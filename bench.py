@@ -1,0 +1,89 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with a noop write (falls back to
+count) so the timing covers the full scan → shuffle → aggregate plan
+without driver-side collection overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# headline set: one per operator family; cheap enough to run per-round
+HEADLINE = (
+    "q1_pricing_summary",
+    "q_filter_predicates",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_sort_limit",
+    "q_join_shipping_priority",
+    "q_join_orders_per_nation",
+    "q_window_topk_per_group",
+    "q_window_running_total",
+    "q_asof_join_events",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_bruteforce_topk",
+    "q_text_quality_score",
+    "q_tfidf_top_terms",
+)
+
+
+def _execute(df) -> None:
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from end_to_end_aws_data_pipeline_spark.session import get_spark
+    import __spark_entry__ as ent
+
+    spark = get_spark("bench")
+    qs = ent.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        # warm the parquet footer/file listing cache out of the timing? No —
+        # cold per-query timing, like the driver sees it.
+        t0 = time.perf_counter()
+        _execute(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Query registry: the bridge between engine operators and the driver
+contract (``__spark_entry__.py``).
+
+Every implemented operator family registers at least one named query
+(a ``(spark, sf_dir) -> DataFrame`` callable) and, when the semantics
+are ANSI-SQL-expressible, a DuckDB oracle SQL string computing the same
+result on the same parquet tables. Column names are aliased identically
+on both sides — the driver sorts columns by name before value-hashing.
+
+Numeric discipline for cross-engine hash-equality (see
+``functions/aggs.py``): floating-point SUM/AVG are order-dependent, so
+both sides aggregate through exact DECIMAL quantization and cast the
+final result back to DOUBLE. Integer aggregates are cast to BIGINT on
+the DuckDB side (DuckDB widens integer sums to HUGEINT).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+# modules that register queries on import
+_QUERY_MODULES = (
+    "end_to_end_aws_data_pipeline_spark.operators.relational",
+    "end_to_end_aws_data_pipeline_spark.operators.joins",
+    "end_to_end_aws_data_pipeline_spark.operators.windows",
+    "end_to_end_aws_data_pipeline_spark.operators.scalars",
+    "end_to_end_aws_data_pipeline_spark.operators.asof",
+    "end_to_end_aws_data_pipeline_spark.operators.dedup",
+    "end_to_end_aws_data_pipeline_spark.operators.similarity",
+    "end_to_end_aws_data_pipeline_spark.operators.text",
+    "end_to_end_aws_data_pipeline_spark.operators.multimodal",
+    "end_to_end_aws_data_pipeline_spark.ingest.queries",
+    "end_to_end_aws_data_pipeline_spark.streaming.queries",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as query ``name`` with optional oracle SQL.
+
+    ``oracle=None`` marks a genuinely non-SQL-expressible operator; the
+    driver then records a weaker rows-only check for it.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # tolerate not-yet-built modules during incremental bring-up
+            if mod.rsplit(".", 1)[0] not in str(e) and mod not in str(e):
+                raise
+    _loaded = True
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLE)
