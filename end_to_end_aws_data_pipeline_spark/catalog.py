@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,10 +34,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one canonical table as a DataFrame (lazy parquet scan)."""
+    """Read one canonical table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    reads only as a raw nanosecond long (``nanosAsLong`` conf, set in
+    session.py). Convert it here to a microsecond TimestampType —
+    truncation, the same thing DuckDB does internally — so every
+    downstream operator sees a real timestamp column.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

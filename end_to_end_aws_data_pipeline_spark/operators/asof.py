@@ -1,0 +1,252 @@
+"""Temporal operators Spark lacks natively: as-of join, gap-based
+sessionization, and a bucketized range join for large-large non-equi
+joins.
+
+PySpark has no ASOF JOIN operator (SURVEY.md §2.B joins row "as-of").
+Rather than dropping to `applyInPandas` + `pd.merge_asof` (Arrow
+transfer + Python for every row), the implementation here is a pure
+DataFrame composition — union the two sides, one window pass carries
+the latest right-side values forward — so the whole operator stays in
+JVM codegen and scales as a single shuffle on (key, time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum, dsum_sql
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# library: as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of (nearest prior event) join: for each left row, attach the
+    right row with the greatest ``right_ts <= left_ts`` per key.
+
+    Implementation: tag and union both sides, then a single window
+    ordered by (ts, right-first-on-ties) carries the last non-null
+    right values forward; left rows then hold their as-of match.
+    Cost: one shuffle on the key + an in-partition sort — the same cost
+    profile as a sort-merge join, with no Python in the loop.
+
+    ``right`` must be unique per (key, right_ts); pre-aggregate if not,
+    otherwise "the" prior row is ambiguous (any engine would be
+    nondeterministic).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    ts = "__asof_ts"
+    side = "__asof_side"  # 0 = right, 1 = left  (right sorts first on ties)
+
+    l_tagged = left.withColumn(ts, F.col(left_ts)).withColumn(side, F.lit(1))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    for c in left.columns:
+        if c not in keys and c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts).asc(), F.col(side).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *left.columns,
+        F.col(side),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col(side) == 1).select(
+        *left.columns, *[F.col(f"__m_{c}").alias(c) for c in value_cols]
+    )
+
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+@register("q_asof_join_events", oracle=_ASOF_ORACLE)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent prior click of the same user
+    (value + timestamp), NULL when no prior click exists."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_ts", "click_value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (batch analogue of streaming session_window)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       {dsum_sql('value', 6)} AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("q_sessionize_events", oracle=_SESSION_ORACLE)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum as session id → per-session aggregate.
+
+    This is the batch mirror of streaming ``session_window`` (see
+    streaming/windows.py); one shuffle on user_id covers both window
+    passes and the final aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# library: bucketized range join (large-large non-equi)
+# ---------------------------------------------------------------------------
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join (point ∈ [lo, hi)) executed as an equi-join.
+
+    A naive non-equi join of two *large* sides is a nested-loop
+    cartesian — O(n·m) and un-shuffleable. Bucketizing the range key
+    turns it into: explode each interval into the fixed-width buckets
+    it covers, hash-shuffle both sides on the bucket id, equi-join,
+    then re-check the exact predicate. With intervals narrow relative
+    to ``bucket_width`` the fan-out is ≤2×, and the join is a plain
+    shuffled hash join that scales linearly.
+    """
+    b = "__range_bucket"
+    pts = points.withColumn(b, F.floor(F.col(point_col) / bucket_width))
+    ivs = intervals.withColumn(
+        b,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, on=b)
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop(b)
+    )
+
+
+_BANDS = [
+    ("budget", 0.0, 500.0),
+    ("standard", 500.0, 1000.0),
+    ("premium", 1000.0, 1500.0),
+    ("luxury", 1500.0, 2500.0),
+]
+
+_RANGE_BUCKETED_ORACLE = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)}
+)
+SELECT band, count(*) AS n_parts, {dsum_sql('p_retailprice', 2)} AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+@register("q_join_range_bucketed", oracle=_RANGE_BUCKETED_ORACLE)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_join_range_bands but through the bucketized
+    equi-join path — the strategy that survives when *both* sides are
+    too large to broadcast."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
+    joined = bucketed_range_join(
+        p, bands, point_col="p_retailprice", lo_col="lo", hi_col="hi", bucket_width=500.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum("p_retailprice", 2).alias("sum_price"),
+    )

@@ -1,0 +1,309 @@
+"""Join operators: equi / outer / semi / anti / cross / non-equi (range).
+
+The reference pipeline is single-table (zero joins — SURVEY.md §2.B
+"Joins"); this module supplies the full join surface a relational engine
+needs, expressed declaratively so Catalyst + AQE choose the physical
+strategy (broadcast-hash for small dims, sort-merge for fact-fact,
+runtime skew splitting).
+
+Scale notes, per query:
+- dimension tables (region/nation/supplier/part-meta) are explicitly
+  `F.broadcast(...)` — at 100 TB the fact side never shuffles for them.
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
+  AQE coalesces post-shuffle partitions. On a real lake these tables
+  would be bucketed by orderkey to remove even that shuffle
+  (`plans/scale.py` documents the bucketing DDL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum, dsum_sql
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q3-style: shipping priority (fact ⋈ fact ⋈ dim, filtered, top-k)
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT
+  l_orderkey,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q_join_shipping_priority", oracle=_Q3_ORACLE)
+def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + filtered agg + top-k (TPC-H Q3 shape).
+
+    customer is small relative to the facts → broadcast; orders⋈lineitem
+    shuffles once on orderkey; final top-10 is TakeOrderedAndProject.
+    """
+    cutoff = F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q5-style: revenue per nation (5-way join through two dim hops)
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT
+  n_name,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q_join_orders_per_nation", oracle=_Q5_ORACLE)
+def q_join_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): two facts + three
+    broadcast dims + a second equi-condition (c_nationkey = s_nationkey)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# outer joins
+# ---------------------------------------------------------------------------
+
+_LEFT_ORACLE = f"""
+SELECT
+  c_custkey,
+  c_name,
+  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+  {dsum_sql('coalesce(o_totalprice, 0.0)', 2)} AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@register("q_join_left_outer", oracle=_LEFT_ORACLE)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count=0, spend=0)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+_FULL_ORACLE = """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), supp AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT
+  coalesce(cust.nationkey, supp.nationkey) AS nationkey,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(n_suppliers, 0) AS n_suppliers
+FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+"""
+
+
+@register("q_join_full_outer", oracle=_FULL_ORACLE)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates keyed by nation."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    supp = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        cust.alias("c")
+        .join(supp.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti (EXISTS / NOT EXISTS) — also the incremental-gate primitive
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 40000.0
+)
+"""
+
+
+@register("q_join_semi", oracle=_SEMI_ORACLE)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one big order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 40000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+@register("q_join_anti", oracle=_ANTI_ORACLE)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all.
+
+    Same primitive that backs the reference's incremental watermark gate
+    (ref: second_lambda_function.py:76-88) in batch mode — see
+    ingest/watermark.py.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross join
+# ---------------------------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r_name, n_name, (r_regionkey = n_regionkey) AS same_region
+FROM region CROSS JOIN nation
+"""
+
+
+@register("q_join_cross", oracle=_CROSS_ORACLE)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two dims (BroadcastNestedLoopJoin)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("same_region"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-equi / range join: banded dimension
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("budget", 0.0, 500.0),
+    ("standard", 500.0, 1000.0),
+    ("premium", 1000.0, 1500.0),
+    ("luxury", 1500.0, 2500.0),
+]
+
+_RANGE_ORACLE = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)}
+)
+SELECT
+  band,
+  count(*) AS n_parts,
+  {dsum_sql('p_retailprice', 2)} AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+@register("q_join_range_bands", oracle=_RANGE_ORACLE)
+def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a banded dimension.
+
+    The tiny band table broadcasts, so the physical plan is a
+    BroadcastNestedLoopJoin — the right strategy at any fact scale as
+    long as the band side is small. (For two large range sides, see
+    operators/asof.py which bucketizes the range key first.)
+    """
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", 2).alias("sum_price"),
+        )
+    )

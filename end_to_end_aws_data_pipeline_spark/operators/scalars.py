@@ -1,0 +1,270 @@
+"""Scalar-function suites: strings, dates, math, arrays, maps, JSON,
+plus pivot. The reference's only scalar op is SQL-literal quote
+escaping (ref: delta_load.py:160-166); this module supplies the full
+per-row expression surface, all JVM-side built-ins inside whole-stage
+codegen — no Python UDFs anywhere in these paths.
+
+Cross-engine notes baked into the oracles:
+- transcendental fns (ln/pow) can differ by 1 ulp across libm
+  implementations → results rounded to 6 digits (boundary risk ~1e-10).
+- array arithmetic folds sequentially in both engines; elements are cast
+  to DOUBLE before arithmetic so float32 inputs widen identically.
+- day-of-week numbering differs across engines → not used; ISO
+  year/quarter/month/day are used instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# strings
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT
+  p_partkey,
+  upper(p_brand)                                   AS brand_upper,
+  lower(p_type)                                    AS type_lower,
+  length(p_name)                                   AS name_len,
+  substring(p_name, 1, 8)                          AS name_prefix,
+  concat_ws('|', p_brand, p_type)                  AS brand_type,
+  trim(p_name)                                     AS name_trim,
+  lpad(CAST(p_size AS VARCHAR), 4, '0')            AS size_padded,
+  replace(p_name, ' ', '_')                        AS name_snake,
+  regexp_extract(p_brand, '[0-9]+')                AS brand_num,
+  regexp_replace(p_type, '[aeiou]', '')            AS type_novowel,
+  CAST(length(string_split(p_name, ' ')) AS INT)   AS n_words,
+  contains(p_type, 'BRASS')                        AS is_brass,
+  levenshtein(p_brand, 'Brand#11')                 AS brand_dist
+FROM part
+"""
+
+
+@register("q_string_funcs", oracle=_STRING_ORACLE)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function suite (SURVEY.md §2.B scalar row): case, length,
+    substring, concat, pad, regexp extract/replace, split, contains,
+    levenshtein — all codegen'd built-ins."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.regexp_extract(F.col("p_brand"), "[0-9]+", 0).alias("brand_num"),
+        F.regexp_replace(F.col("p_type"), "[aeiou]", "").alias("type_novowel"),
+        F.size(F.split(F.col("p_name"), " ")).alias("n_words"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dates / timestamps
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INT)     AS order_year,
+  CAST(quarter(o_orderdate) AS INT)  AS order_quarter,
+  CAST(month(o_orderdate) AS INT)    AS order_month,
+  CAST(day(o_orderdate) AS INT)      AS order_day,
+  date_trunc('month', o_orderdate)   AS month_start,
+  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+                                     AS days_since_95,
+  CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+FROM orders
+"""
+
+
+@register("q_date_funcs", oracle=_DATE_ORACLE)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time suite: extract parts, truncate, diff, add-interval,
+    last_day, epoch seconds. Session TZ pinned UTC (session.py) keeps
+    epoch/date math identical to the oracle's naive timestamps."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("order_year"),
+        F.quarter(od).alias("order_quarter"),
+        F.month(od).alias("order_month"),
+        F.dayofmonth(od).alias("order_day"),
+        F.date_trunc("month", od).alias("month_start"),
+        od.cast("date").cast("timestamp").alias("order_date"),
+        F.datediff(od, F.to_timestamp(F.lit("1995-01-01 00:00:00"))).alias(
+            "days_since_95"
+        ),
+        (od + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.last_day(od.cast("date")).cast("timestamp").alias("month_end"),
+        F.unix_timestamp(od).alias("epoch_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# math
+# ---------------------------------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT
+  l_orderkey, l_linenumber,
+  round(l_extendedprice, 1)                      AS price_round1,
+  abs(l_discount - 0.05)                         AS disc_dev,
+  floor(l_quantity)                              AS qty_floor,
+  ceil(l_extendedprice / 1000.0)                 AS price_kceil,
+  CAST(l_orderkey % 10 AS BIGINT)                AS key_mod,
+  round(sqrt(l_extendedprice), 6)                AS price_sqrt,
+  round(ln(l_extendedprice + 1.0), 6)            AS price_ln,
+  round(pow(1.0 + l_discount, l_linenumber), 6)  AS compound,
+  sign(l_discount - 0.05)                        AS disc_sign,
+  greatest(l_tax, l_discount)                    AS max_rate,
+  least(l_tax, l_discount)                       AS min_rate
+FROM lineitem
+WHERE l_orderkey % 37 = 0
+"""
+
+
+@register("q_math_funcs", oracle=_MATH_ORACLE)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math suite: round/abs/floor/ceil/mod/sqrt/ln/pow/sign/greatest."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 1).alias("price_round1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity")).alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_kceil"),
+        (F.col("l_orderkey") % 10).alias("key_mod"),
+        F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        F.round(
+            F.pow(F.lit(1.0) + F.col("l_discount"), F.col("l_linenumber")), 6
+        ).alias("compound"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# arrays (embeddings table: array<float> dim 64)
+# ---------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS elem_sum,
+  round(sqrt(list_sum(list_transform(
+      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem
+FROM embeddings
+"""
+
+
+@register("q_array_funcs", oracle=_ARRAY_ORACLE)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array suite over embedding vectors: size, index, higher-order
+    transform/filter/aggregate (fold), max — the same primitives the
+    similarity operators build on (operators/similarity.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+    fsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(fsum(as_double), 6).alias("elem_sum"),
+        F.round(F.sqrt(fsum(sq)), 6).alias("l2_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON (events.props) + map types
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_id,
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  (json_extract_string(props, '$.k') IS NOT NULL)   AS has_k,
+  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value
+FROM events
+"""
+
+
+@register("q_json_funcs", oracle=_JSON_ORACLE)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column:
+    get_json_object + typed from_json (map<string,long>) round-trip."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.element_at(parsed, "k").alias("k_value"),
+        F.get_json_object(F.col("props"), "$.k").isNotNull().alias("has_k"),
+        F.get_json_object(F.col("props"), "$.missing").cast("long").alias(
+            "missing_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT
+  user_id,
+  {", ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_pivot_event_counts", oracle=_PIVOT_ORACLE)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide: per-user counts of each event type.
+
+    Explicit pivot values keep the plan one-pass (no extra distinct-scan
+    job to discover values — essential when the fact side is huge).
+    """
+    e = table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )

@@ -1,0 +1,192 @@
+"""Window-function operators: ranking, analytic, and framed aggregates.
+
+All window sums aggregate through DECIMAL (see functions/aggs.py):
+running-sum implementations differ across engines (sequential scan vs
+segment tree), so floating-point framed sums are only reproducible when
+the accumulation domain is exact.
+
+Scale notes: a window shuffles once on its partition key. Partition
+keys here (orderkey, custkey, user_id) have bounded group sizes, so no
+single task ever materializes an unbounded frame; the sort within each
+partition is the only extra cost. Skewed partition keys would be the
+risk at 100 TB — these keys are near-uniform by construction, and
+`plans/scale.py::salted` documents the salting pattern for ones that
+are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# top-k per group (ranking)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, rn
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_linenumber
+         ) AS rn
+  FROM lineitem
+)
+WHERE rn <= 2
+"""
+
+
+@register("q_window_topk_per_group", oracle=_TOPK_ORACLE)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 line items per order by price (row_number ≤ k).
+
+    The unique l_linenumber tiebreaker makes row_number deterministic —
+    without it, ranking ties are engine-dependent and unreproducible.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+_RANK_ORACLE = """
+SELECT
+  c_nationkey, c_custkey, c_acctbal,
+  rank()       OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  ntile(4)     OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("q_window_rank_dense_ntile", oracle=_RANK_ORACLE)
+def q_window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over a deterministic total order."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic functions: lag / lead / first / last
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT
+  user_id, event_id, ts, value,
+  round(value - lag(value)  OVER w, 6) AS delta_prev,
+  lead(event_type) OVER w AS next_type,
+  first_value(event_type) OVER w AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("q_window_lag_lead", oracle=_LAG_ORACLE)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas: lag/lead/first over an event-time order."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# framed aggregates: running totals and sliding frames
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT
+  o_custkey, o_orderkey, o_orderdate,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE), 2) AS running_spend,
+  CAST(count(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
+@register("q_window_running_total", oracle=_RUNNING_ORACLE)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend (UNBOUNDED PRECEDING .. CURRENT ROW).
+
+    The sum runs in DECIMAL so the running total is exact and
+    independent of the engine's frame-evaluation strategy.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT
+  o_custkey, o_orderkey, o_orderdate,
+  round(
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+    / count(*) OVER w, 6) AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("q_window_sliding_frame", oracle=_SLIDING_ORACLE)
+def q_window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average via exact windowed sum / count (avg over a
+    float frame is engine-order-dependent; sum-in-decimal is not)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    exact_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(exact_sum / F.count(F.lit(1)).over(w), 6).alias("moving_avg_3"),
+    )

@@ -57,8 +57,13 @@ def get_spark(
         # parquet scans: vectorized reader + aggressive pushdown are
         # defaults, stated here for explicitness at review time
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet TIMESTAMP(NANOS) (events.ts) is unreadable by default;
+        # read as long and convert in catalog.table (truncate ns → µs,
+        # matching DuckDB's µs-internal timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
