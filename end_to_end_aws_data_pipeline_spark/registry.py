@@ -29,6 +29,7 @@ _ORACLE: dict[str, str] = {}
 # modules that register queries on import
 _QUERY_MODULES = (
     "end_to_end_aws_data_pipeline_spark.operators.relational",
+    "end_to_end_aws_data_pipeline_spark.operators.percentiles",
     "end_to_end_aws_data_pipeline_spark.operators.joins",
     "end_to_end_aws_data_pipeline_spark.operators.windows",
     "end_to_end_aws_data_pipeline_spark.operators.scalars",
