@@ -1,0 +1,361 @@
+"""Deduplication suite for LLM training-data pipelines (BASELINE.json
+mandate): exact, n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Design at 100 TB:
+- exact dedup is one hash shuffle on the dedup key (here: the text
+  itself; for long documents, ``sha2(text, 256)`` first so the shuffle
+  moves 32-byte digests, not documents).
+- exact pairwise Jaccard is quadratic in the worst case; the inverted-
+  index join below is output-bound (only docs sharing a shingle meet),
+  which is fine for natural corpora and is exactly the candidate
+  structure MinHash/LSH approximates when even that is too big.
+- MinHash+LSH and SimHash banding are the sub-quadratic scale paths:
+  candidate generation is an equi-join on (band, band-hash) buckets —
+  a plain shuffled hash join, linear in candidates, no cross product.
+
+Everything is built-in expressions (higher-order array functions +
+xxhash64) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT
+  min(doc_id) AS keeper_doc_id,
+  count(*) AS n_copies,
+  CAST(min(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY text
+"""
+
+
+@register("q_dedup_exact", oracle=_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text +
+    copy count (generalizes ref delta_load.py:98 drop_duplicates to a
+    keyed, count-preserving form)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+def exact_dedup(df: DataFrame, cols: list[str], keep_order_col: str) -> DataFrame:
+    """Library form: keep the min-``keep_order_col`` row per duplicate
+    group. Hashes wide columns to digests before the shuffle."""
+    from pyspark.sql import Window as W
+
+    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    w = W.partitionBy(digest).orderBy(F.col(keep_order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling helpers (shared by jaccard / minhash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column (array<string>).
+
+    Pure expression: split → slide a k-window via transform over an
+    index sequence → concat — stays in codegen, no UDF.
+    """
+    words = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.array_distinct(sh)
+
+
+_JACCARD_TAU = 0.6
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+         )) AS s
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {_JACCARD_TAU}
+"""
+
+
+@register("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by 3-shingle Jaccard ≥ 0.6 via inverted-index
+    join (explode shingles → equi-join on shingle → count shared →
+    |∩| / |∪|). Output-bound, not quadratic: only docs sharing a
+    shingle ever meet in the join."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("s")
+    )
+    tok = d.select("doc_id", F.explode("s").alias("shingle"))
+    sizes = d.select("doc_id", F.size("s").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (sub-quadratic candidate generation; Spark-hash-based →
+# rows-only driver check; recall vs the exact pairs asserted in tests)
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 32  # signature length
+_LSH_BANDS = 8  # bands of 4 rows → catches J≳0.6 with high prob.
+
+
+def minhash_signature(shingle_col: Column, k: int = _MINHASH_K) -> Column:
+    """k-permutation MinHash signature (array<long>): per hash seed i,
+    min over shingles of xxhash64(i ⊕ shingle).
+
+    NOTE: the seed must be bound via a closure *factory*, not a lambda
+    default arg — PySpark dispatches higher-order-function lambdas on
+    arity, so an extra defaulted parameter silently becomes the array
+    index Column and shadows the seed.
+    """
+
+    def _hashed(i: int) -> Column:
+        return F.transform(shingle_col, lambda s: F.xxhash64(F.lit(i), s))
+
+    return F.array(*[F.array_min(_hashed(i)) for i in range(k)])
+
+
+@register("q_dedup_minhash_lsh")  # Spark-specific hashes → rows-only
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: signature → band → bucket equi-join →
+    exact-Jaccard verification of candidates only.
+
+    The verification step makes output precision exact; recall vs the
+    full O(n²) ground truth is probabilistic (tests assert it on the
+    small SF). At 100 TB this is the only tractable shape: candidate
+    count ≈ duplicate count, not n².
+    """
+    r = _MINHASH_K // _LSH_BANDS
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text")).alias("s")
+    )
+    sig = d.select("doc_id", "s", minhash_signature(F.col("s")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "s", "bb.band", "bb.bucket")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
+    return cand.filter(jac >= _JACCARD_TAU).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Hamming-space near-dup; Spark-specific hashes → rows-only)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_SIMHASH_BAND_BITS = 8  # 4 bands → catches hamming ≤ 3 pairs
+
+
+def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
+    """SimHash over word tokens: per bit, sum ±1 votes of each token's
+    hash bit; the sign vector packs into a long. Pure fold expressions."""
+    hashes = F.transform(F.split(text, " "), lambda w: F.xxhash64(w))
+
+    def _vote(i: int) -> Column:  # closure factory, see minhash_signature note
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return out
+
+
+@register("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint (4×8 bits), join on
+    any equal band, verify Hamming distance ≤ 3 via bit_count(xor)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", simhash(F.col("text")).alias("sh")
+    )
+    n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * _SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact; quadratic baseline — the LSH/IVF
+# scale path lives in operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+# synthetic embeddings top out around cosine 0.48 (no true dups);
+# 0.35 marks the ~99.9th percentile → "near-dup" pairs exist at every SF
+_COS_TAU = 0.35
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_COS_PAIR_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(range(1, len(a.e)+1),
+             i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
+      / (a.nrm * b.nrm) >= {_COS_TAU}
+"""
+
+
+@register("q_dedup_embedding_cosine", oracle=_COS_PAIR_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ τ), brute pairwise.
+
+    Correctness baseline for the approximate paths; at scale use the
+    IVF/LSH variants in operators/similarity.py.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine"), cos.alias("__raw")
+    ).filter(F.col("__raw") >= _COS_TAU).drop("__raw")

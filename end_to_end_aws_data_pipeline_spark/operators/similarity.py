@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (BASELINE.json mandate):
+brute-force cosine top-k as the exactness baseline, IVF (inverted-file)
+partitioned search as the scale path (ICDE'21 / EDBT'20 top-k
+similarity-search shape, PAPERS.md).
+
+Scale posture:
+- brute force is O(|Q|·N): fine when the query set broadcasts; the
+  fact side streams through one scan, top-k folds per partition before
+  the final merge (window + filter → partial TakeOrdered under AQE).
+- IVF makes search sub-linear: vectors are bucketed by nearest
+  centroid once (linear pass), queries probe only their bucket(s).
+  Centroid count √N keeps both passes balanced; buckets are the join
+  key, so probing is an equi-join, not a cross product.
+- both paths are pure expressions (zip_with folds) — bit-deterministic,
+  oracle-checkable, no Python in the row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.vector import cosine
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+_TOP_K = 5
+_QUERY_MOD = 100  # vec_id % 100 == 0 → deterministic query set at any SF
+
+_BRUTE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
+  WHERE query_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * v.e[i]))
+           / (qn * v.nrm) AS cos
+  FROM q JOIN v ON v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("q_ann_bruteforce_topk", oracle=_BRUTE_ORACLE)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a broadcast query set.
+
+    The query side is tiny (N/100 rows) → broadcast-NL join against the
+    full table; one scan of the big side, no shuffle of it. The window
+    ranks deterministically (cosine desc, then neighbor id).
+    """
+    v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = v.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse-quantized buckets, nprobe=1
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+_IVF_K = 3
+
+_IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < {_N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(e)+1),
+                      i -> e[i] * ce[i])) / (nrm * cn) DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), q AS (
+  SELECT v.vec_id AS query_id, v.e AS qe, v.nrm AS qn, a.cent_id
+  FROM v JOIN assign a USING (vec_id)
+  WHERE v.vec_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, q.cent_id,
+         list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * v.e[i]))
+           / (qn * v.nrm) AS cos
+  FROM q
+  JOIN assign a ON a.cent_id = q.cent_id
+  JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cent_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
+       CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+@register("q_ann_ivf_topk", oracle=_IVF_ORACLE)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: bucket every vector by nearest centroid
+    (deterministic coarse quantizer: the first {_N_CENTROIDS} vectors),
+    then each query searches only its own bucket (nprobe=1).
+
+    Assignment is a broadcast-NL pass (N × C, C tiny); search is an
+    equi-join on the centroid id — the sub-linear structure that
+    replaces brute force at scale. Recall vs brute force is asserted in
+    tests; raising nprobe trades cost for recall.
+    """
+    v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    sim_to_cent = cosine(F.col("embedding"), F.col("c_emb"))
+    aw = W.partitionBy("vec_id").orderBy(F.col("__cs").desc(), F.col("cent_id"))
+    assign = (
+        v.crossJoin(F.broadcast(c))
+        .select("vec_id", "embedding", "cent_id", sim_to_cent.alias("__cs"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id"),
+    )
+    scored = (
+        assign.join(F.broadcast(q), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cent_id").cast("long").alias("probed_centroid"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probed_centroid",
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,339 @@
+"""Text-analysis operators for LLM training-data pipelines (BASELINE.json
+mandate): quality scoring, token counting, language ID, document
+fingerprinting, TF-IDF, lexicon sentiment.
+
+All pure built-in expressions (split / higher-order array functions /
+regexp) — one scan of `documents`, no UDFs, so every operator here
+whole-stage-codegens and scales with the scan. Lexicon operators join
+against tiny broadcast lexicon tables (the EDBT'16-style map-side
+lexicon join — see PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w, length(text) AS nc
+  FROM documents
+)
+SELECT
+  doc_id, lang,
+  CAST(nc AS BIGINT) AS n_chars,
+  CAST(len(w) AS BIGINT) AS n_words,
+  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_words,
+  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_ratio,
+  round(CAST(nc - (len(w) - 1) AS DOUBLE) / len(w), 6) AS avg_word_len,
+  round(CAST(len(list_filter(w, x -> x IN {_STOPWORDS})) AS DOUBLE) / len(w), 6)
+    AS stopword_ratio,
+  round(0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      + 0.5 * (1.0 - CAST(len(list_filter(w, x -> x IN {_STOPWORDS})) AS DOUBLE)
+                     / len(w)), 6) AS quality_score
+FROM t
+"""
+
+
+@register("q_text_quality_score", oracle=_QUALITY_ORACLE)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length stats, vocabulary diversity,
+    stopword density → weighted score (the length/punct/stopword family
+    of pretraining-data filters)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nc = F.length("text")
+    n_words = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    uniq_ratio = n_uniq.cast("double") / n_words
+    avg_word_len = (nc - (n_words - 1)).cast("double") / n_words
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("double") / n_words
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        nc.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_uniq.cast("long").alias("n_uniq_words"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(0.5 * uniq_ratio + 0.5 * (1.0 - stop_ratio), 6).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + regex + BPE-ish estimate)
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)
+SELECT
+  doc_id,
+  CAST(len(w) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS regex_tokens,
+  CAST(list_sum(list_transform(w, x -> (length(x) + 3) // 4)) AS BIGINT)
+    AS bpe_est_tokens
+FROM t
+"""
+
+
+@register("q_text_token_count", oracle=_TOKENS_ORACLE)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts: whitespace split, regex word extraction, and a
+    BPE-style estimate (⌈len/4⌉ pieces per word — the standard ~4
+    chars/token heuristic), all in integer arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bpe = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor((F.length(x) + 3) / 4),
+    )
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
+        .cast("long")
+        .alias("regex_tokens"),
+        bpe.alias("bpe_est_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling polynomial hash — cross-engine exact)
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+_FP_SEED = 7
+
+_FP_ORACLE = f"""
+SELECT
+  doc_id,
+  list_reduce(
+    list_prepend(CAST({_FP_SEED} AS BIGINT),
+      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * {_FP_BASE} + x) % {_FP_MOD}
+  ) AS fingerprint,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@register("q_text_fingerprint", oracle=_FP_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling polynomial hash over characters
+    ((acc·31 + ascii) mod 1e9+7) — an engine-portable fingerprint
+    (unlike xxhash64) usable for cross-system dedup reconciliation."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(_FP_SEED).cast("long"),
+        lambda acc, c: (acc * _FP_BASE + F.ascii(c)) % _FP_MOD,
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-lexicon n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# deterministic marker lexicon over the corpus vocabulary: in a real
+# pipeline these are per-language stopword lists; here they partition the
+# synthetic vocabulary so the operator's mechanics (explode → broadcast
+# lexicon join → per-doc argmax) are exercised end-to-end
+_LANG_LEXICON = [
+    ("en", "the"), ("en", "fast"), ("en", "small"), ("en", "big"),
+    ("de", "table"), ("de", "scan"), ("de", "row"),
+    ("es", "query"), ("es", "join"), ("es", "merge"),
+    ("fr", "window"), ("fr", "order"), ("fr", "sort"),
+    ("zh", "hash"), ("zh", "stream"), ("zh", "batch"),
+]
+
+_LANG_ORACLE = f"""
+WITH lex(lex_lang, word) AS (
+  VALUES {", ".join(f"('{lang}', '{w}')" for lang, w in _LANG_LEXICON)}
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hits AS (
+  SELECT doc_id, lex_lang, count(*) AS n_hits
+  FROM tok JOIN lex USING (word)
+  GROUP BY doc_id, lex_lang
+), ranked AS (
+  SELECT doc_id, lex_lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lex_lang)
+           AS rn
+  FROM hits
+)
+SELECT d.doc_id, d.lang AS labeled_lang,
+       coalesce(r.lex_lang, 'unknown') AS predicted_lang,
+       coalesce(r.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+"""
+
+
+@register("q_text_lang_id", oracle=_LANG_ORACLE)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word voting: explode tokens → broadcast
+    lexicon join → per-doc argmax (ties broken by language code) —
+    'unknown' when no marker hits."""
+    d = table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(_LANG_LEXICON, schema="lex_lang string, word string")
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    hits = tok.join(lex, "word").groupBy("doc_id", "lex_lang").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("lex_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.coalesce("lex_lang", F.lit("unknown")).alias("predicted_lang"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
+@register("q_tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. The document-frequency side is
+    an aggregate of the same tokenized scan (self-agg + broadcast-join
+    back); corpus size joins in as a 1-row broadcast, keeping the whole
+    plan two shuffles (tokens→tf, tokens→df)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lexicon sentiment
+# ---------------------------------------------------------------------------
+
+_SENT_LEXICON = [
+    ("fast", 1), ("small", 1), ("spark", 1), ("merge", 1), ("vector", 1),
+    ("slow", -1), ("dup", -1), ("big", -1), ("filter", -1),
+]
+
+_SENT_ORACLE = f"""
+WITH lex(word, polarity) AS (
+  VALUES {", ".join(f"('{w}', {p})" for w, p in _SENT_LEXICON)}
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), scores AS (
+  SELECT t.doc_id, CAST(sum(l.polarity) AS BIGINT) AS polarity_sum,
+         CAST(count(l.word) AS BIGINT) AS n_scored
+  FROM tok t LEFT JOIN lex l USING (word)
+  GROUP BY t.doc_id
+), words AS (
+  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT s.doc_id,
+       coalesce(s.polarity_sum, 0) AS polarity_sum,
+       s.n_scored,
+       round(CAST(coalesce(s.polarity_sum, 0) AS DOUBLE) / w.n_words, 6)
+         AS sentiment
+FROM scores s JOIN words w ON s.doc_id = w.doc_id
+"""
+
+
+@register("q_text_sentiment", oracle=_SENT_ORACLE)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment (EDBT'16 Spark sentiment shape, PAPERS.md):
+    token explode → broadcast polarity lexicon join → per-doc
+    normalized score."""
+    d = table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(_SENT_LEXICON, schema="word string, polarity int")
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    scores = (
+        tok.join(lex, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("polarity").cast("long").alias("polarity_sum"),
+            F.count("polarity").alias("n_scored"),
+        )
+    )
+    words = d.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"))
+    return (
+        scores.join(words, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("polarity_sum", F.lit(0)).alias("polarity_sum"),
+            "n_scored",
+            F.round(
+                F.coalesce("polarity_sum", F.lit(0)).cast("double") / F.col("n_words"),
+                6,
+            ).alias("sentiment"),
+        )
+    )
