@@ -1,0 +1,154 @@
+"""Registry queries for the streaming surface.
+
+The window builders (streaming/windows.py) are batch/stream-unified, so
+the oracle checks them in batch mode; q_stream_exactly_once_counts goes
+further and *actually executes a streaming query* (file source →
+availableNow → memory sink) inside the correctness gate, asserting that
+the streaming path computes exactly the batch answer.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum_sql
+from end_to_end_aws_data_pipeline_spark.registry import register
+from end_to_end_aws_data_pipeline_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_SUM6 = dsum_sql("value", 6)
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  count(*) AS n_events,
+  {_SUM6} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q_stream_tumbling_window", oracle=_TUMBLING_ORACLE)
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (epoch-aligned, so ≡
+    date_trunc('hour')); identical code path runs under readStream."""
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = f"""
+WITH offs AS (SELECT unnest([0, 1]) AS i)
+SELECT
+  time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE AS window_start,
+  time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE
+    + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  count(*) AS n_events,
+  {_SUM6} AS sum_value
+FROM events CROSS JOIN offs
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q_stream_sliding_window", oracle=_SLIDING_ORACLE)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows — every event contributes to exactly
+    width/slide = 2 windows (the oracle materializes that identity)."""
+    return sliding_counts(table(spark, sf_dir, "events"))
+
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+)
+SELECT
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  user_id,
+  count(*) AS n_events,
+  {_SUM6} AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+@register("q_stream_session_window", oracle=_SESSION_ORACLE)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap; end = last event + gap) —
+    the built-in that replaces the manual lag/cumsum sessionization of
+    operators/asof.py when running under a stream."""
+    return session_counts(table(spark, sf_dir, "events"))
+
+
+_counter = itertools.count()
+
+
+def stream_dir_for(path: str) -> str:
+    """The file-stream source only accepts directories; stage a symlink
+    dir for a single-file source (cheap, idempotent, local-fs only —
+    on a lake the source is always a directory already)."""
+    import hashlib
+
+    d = os.path.join(
+        "/tmp", f"stream_src_{hashlib.sha1(path.encode()).hexdigest()[:12]}"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+_EXACTLY_ONCE_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS user_id_checksum
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_stream_exactly_once_counts", oracle=_EXACTLY_ONCE_ORACLE)
+def q_stream_exactly_once_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming execution inside the correctness
+    gate: parquet file source → availableNow trigger → complete-mode
+    aggregate → memory sink. Exactly-once file tracking means the
+    streamed totals equal the batch answer — which the DuckDB oracle
+    asserts.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts arrives as ns-long
+    name = f"__stream_counts_{next(_counter)}"
+    src = spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    # (distinct aggregates are unsupported on streams — an integer
+    # checksum gives the oracle an equally strong exactly-once signal)
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").cast("long").alias("user_id_checksum"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,150 @@
+"""Real Structured Streaming executions: exactly-once file ingest
+(checkpoint survives restart), watermark late-data drop, stateful
+applyInPandasWithState, and batch≡stream window agreement."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.streaming.ingest_stream import StreamingIngest
+from end_to_end_aws_data_pipeline_spark.streaming.stateful import user_session_tracker
+from end_to_end_aws_data_pipeline_spark.streaming.windows import (
+    tumbling_counts,
+    with_watermark,
+)
+from tests.conftest import SF_SMOKE
+
+_names = (f"__t{i}" for i in itertools.count())
+
+
+def _write_csv(root, folder, name, text):
+    d = os.path.join(root, folder)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        f.write(text)
+
+
+def test_streaming_ingest_exactly_once_across_restarts(spark, tmp_path):
+    root = str(tmp_path / "in")
+    wh = str(tmp_path / "wh")
+    _write_csv(root, "20250101_000000", "T.csv", "K,V\n1,a\n2,a\n")
+
+    si = StreamingIngest(spark, root, wh, schema="K long, V string", keys=["K"], table_name="T")
+    si.start(poll_all=True)
+    t1 = spark.read.parquet(os.path.join(wh, "T"))
+    assert sorted((r.K, r.V) for r in t1.collect()) == [(1, "a"), (2, "a")]
+
+    # second delivery + RESTARTED stream on the same checkpoint:
+    # only the new file is processed (source log = exactly-once),
+    # and the keyed upsert applies it
+    _write_csv(root, "20250101_000001", "T.csv", "K,V\n2,b\n3,b\n")
+    si2 = StreamingIngest(spark, root, wh, schema="K long, V string", keys=["K"], table_name="T")
+    si2.start(poll_all=True)
+    t2 = spark.read.parquet(os.path.join(wh, "T"))
+    assert sorted((r.K, r.V) for r in t2.collect()) == [(1, "a"), (2, "b"), (3, "b")]
+
+    # re-running with NO new files must be a no-op
+    si3 = StreamingIngest(spark, root, wh, schema="K long, V string", keys=["K"], table_name="T")
+    si3.start(poll_all=True)
+    t3 = spark.read.parquet(os.path.join(wh, "T"))
+    assert t3.count() == 3
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src_dir = str(tmp_path / "events_src")
+    os.makedirs(src_dir)
+    sink = next(_names)
+    # batch 1: events at 12:00-13:00 → watermark advances to ~12:50
+    _write_csv(src_dir, ".", "b1.csv",
+               "ts,user_id,value\n2024-01-01 12:00:00,1,1.0\n2024-01-01 13:00:00,1,1.0\n")
+    q = (
+        with_watermark(
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(src_dir),
+            "10 minutes",
+        )
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: an 11:00 event — older than watermark (13:00 − 10min) → dropped
+    _write_csv(src_dir, ".", "b2.csv", "ts,user_id,value\n2024-01-01 11:00:00,1,9.0\n")
+    # batch 3: push event time forward so the 12:00 window finalizes/appends
+    _write_csv(src_dir, ".", "b3.csv", "ts,user_id,value\n2024-01-01 15:00:00,1,1.0\n")
+    q.processAllAvailable()
+    q.stop()
+    finalized = {
+        (r["window"].start.hour, r.n) for r in spark.table(sink).collect()
+    }
+    # the 11:00 late event must NOT have created an 11:00 window
+    assert all(h != 11 for h, _ in finalized)
+    assert (12, 1) in finalized  # on-time window finalized with 1 event
+
+
+def test_stateful_tracker_accumulates_across_batches(spark, tmp_path):
+    src_dir = str(tmp_path / "ev")
+    os.makedirs(src_dir)
+    sink = next(_names)
+    _write_csv(src_dir, ".", "b1.csv",
+               "user_id,ts,value\n7,2024-01-01 10:00:00,1.5\n7,2024-01-01 10:05:00,2.5\n")
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(src_dir)
+    )
+    q = (
+        user_session_tracker(events)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write_csv(src_dir, ".", "b2.csv", "user_id,ts,value\n7,2024-01-01 10:10:00,6.0\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(sink).collect()
+    # update mode: one emission per batch; the LAST reflects folded state
+    last = max(rows, key=lambda r: r.n_events)
+    assert last.n_events == 3
+    assert abs(last.total_value - 10.0) < 1e-9
+    assert last.first_ts.minute == 0 and last.last_ts.minute == 10
+
+
+def test_stream_equals_batch_for_tumbling_windows(spark, tmp_path):
+    # same builder, batch vs streaming execution → identical results
+    batch = tumbling_counts(table(spark, SF_SMOKE, "events"))
+    expected = {tuple(r) for r in batch.collect()}
+
+    from end_to_end_aws_data_pipeline_spark.streaming.queries import stream_dir_for
+
+    path = os.path.join(SF_SMOKE, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sink = next(_names)
+    q = (
+        tumbling_counts(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(sink).collect()}
+    assert got == expected
