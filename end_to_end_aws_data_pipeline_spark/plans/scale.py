@@ -1,0 +1,88 @@
+"""Scale-posture helpers: skew salting, partitioning advice, bucketing
+DDL — the knobs that matter when the same plans run on a 1000-executor
+cluster against 100 TB.
+
+Catalyst + AQE already handle: broadcast selection, post-shuffle
+partition coalescing, runtime skew-join splitting, dynamic partition
+pruning. What it cannot invent is a better *key*: a pathologically hot
+group key still lands on one reducer. ``salted_agg`` is the standard
+two-phase fix, kept generic over any algebraic aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: Callable[[], list[Column]],
+    merge_aggs: Callable[[], list[Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the per-salt partials on the
+    key alone (tiny input: n_groups × n_salts rows).
+
+    ``aggs`` builds the phase-1 partial aggregates; ``merge_aggs``
+    builds the phase-2 re-aggregation over the phase-1 column names
+    (sum→sum, count→sum, min→min, max→max; avg must be expressed as
+    sum+count and divided after the merge).
+    """
+    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % n_salts
+    phase1 = df.withColumn("__salt", salt).groupBy(*group_cols, "__salt").agg(*aggs())
+    return phase1.groupBy(*group_cols).agg(*merge_aggs())
+
+
+def salted_join_left_hot(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join when the LEFT side has hot keys and the
+    right side is too large to broadcast: salt the left key, replicate
+    each right row to all salts (explode), join on (key, salt).
+
+    Right-side inflation is n_salts×, so this only wins when the right
+    side is much smaller than the skewed left (else rely on AQE's
+    runtime skew splitting, enabled by default in session.py).
+    """
+    lsalt = left.withColumn(
+        "__salt",
+        (F.spark_partition_id() + F.monotonically_increasing_id()) % n_salts,
+    )
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = lsalt.join(rsalt, [on, "__salt"])
+    return out.drop("__salt")
+
+
+def repartition_for_join(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Pre-shuffle on the join key so repeated joins on the same key
+    reuse one exchange (Catalyst reuses compatible output partitioning
+    across stages)."""
+    return df.repartition(n, key) if n else df.repartition(key)
+
+
+def bucketing_ddl(table: str, key: str, n_buckets: int, path: str) -> str:
+    """The DDL that removes the fact-fact shuffle entirely on a real
+    lake: both sides bucketed on the join key co-locate, and the
+    sort-merge join reads pre-bucketed files with zero exchange.
+
+    (Testdata is plain parquet, so this is documentation + the string a
+    deployment would run; `df.write.bucketBy(n, key).saveAsTable(t)` is
+    the writer-side equivalent.)
+    """
+    return (
+        f"CREATE TABLE {table} USING PARQUET "
+        f"CLUSTERED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )

@@ -1,0 +1,86 @@
+"""Plan-quality gates: pushdown, pruning, broadcast, codegen, top-N —
+asserted on the headline queries so scale posture can't silently rot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.operators.joins import (
+    q_join_orders_per_nation,
+    q_join_shipping_priority,
+)
+from end_to_end_aws_data_pipeline_spark.operators.relational import (
+    q1_pricing_summary,
+    q_filter_predicates,
+    q_sort_limit,
+)
+from end_to_end_aws_data_pipeline_spark.plans.explain import (
+    count_broadcast_joins,
+    count_shuffles,
+    has_pushed_filters,
+    has_wholestage_codegen,
+    scan_read_schema,
+    uses_take_ordered,
+)
+from end_to_end_aws_data_pipeline_spark.plans.scale import salted_agg
+from tests.conftest import SF_SMOKE
+
+
+def test_q1_pushdown_and_codegen(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    assert has_pushed_filters(df, "l_shipdate")
+    assert has_wholestage_codegen(df)
+    # one shuffle for the groupBy; sort of 6 rows may add a range exchange
+    assert count_shuffles(df) <= 2
+
+
+def test_filter_reaches_scan(spark):
+    df = q_filter_predicates(spark, SF_SMOKE)
+    assert has_pushed_filters(df, "o_totalprice")
+    assert count_shuffles(df) == 0  # pure scan+filter: no exchange at all
+
+
+def test_projection_prunes_columns(spark):
+    df = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    rs = scan_read_schema(df, "lineitem")
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs  # 11-col table, 2-col scan
+
+
+def test_dim_joins_broadcast(spark):
+    assert count_broadcast_joins(q_join_shipping_priority(spark, SF_SMOKE)) >= 1
+    assert count_broadcast_joins(q_join_orders_per_nation(spark, SF_SMOKE)) >= 4
+
+
+def test_topn_plans_take_ordered(spark):
+    assert uses_take_ordered(q_sort_limit(spark, SF_SMOKE))
+
+
+def test_salted_agg_matches_plain(spark):
+    li = table(spark, SF_SMOKE, "lineitem")
+    plain = {
+        (r.l_returnflag, r.n, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.n, r.s)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            aggs=lambda: [
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("ps"),
+            ],
+            merge_aggs=lambda: [
+                F.sum("pn").alias("n"),
+                F.sum("ps").cast("decimal(18,2)").alias("s"),
+            ],
+        ).collect()
+    }
+    assert plain == salted
