@@ -64,11 +64,18 @@ class IngestPipeline:
         warehouse_dir: str,
         keys_by_table: dict[str, list[str]] | None = None,
         schema_policy: str = "reference",
+        notifier: "NotifyFn | None" = None,
     ):
+        from end_to_end_aws_data_pipeline_spark.ingest.notify import (
+            NotifyFn,  # noqa: F401
+            log_notifier,
+        )
+
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.keys_by_table = keys_by_table or {}
         self.schema_policy = schema_policy
+        self.notifier = notifier or log_notifier
         self.watermarks = WatermarkStore(spark, os.path.join(warehouse_dir, "_ingest_watermarks"))
 
     def table_dir(self, table_name: str) -> str:
@@ -87,6 +94,16 @@ class IngestPipeline:
         keys = self.keys_by_table.get(table_name, list(cleaned.columns))
         n = merge_into_parquet(self.spark, self.table_dir(table_name), cleaned, keys)
         self.watermarks.advance(table_name, folder_ts)
+        # notification parity (ref delta_load.py:77-84, 267-286): one
+        # bounded null report + one success event per load
+        from end_to_end_aws_data_pipeline_spark.ingest.notify import (
+            null_rows_event,
+            success_event,
+        )
+
+        if audit.n_bad_rows:
+            self.notifier(null_rows_event(table_name, folder_ts, audit))
+        self.notifier(success_event(table_name, folder_ts, n))
         return IngestResult(table_name, folder_ts, "loaded", audit, n)
 
     def ingest_file(self, path: str) -> IngestResult:

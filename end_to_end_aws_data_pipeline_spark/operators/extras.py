@@ -1,0 +1,150 @@
+"""Remaining relational surface: multiset set-ops (ALL variants), map
+types, exact moment statistics, unpivot (wide→long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# EXCEPT ALL / INTERSECT ALL (bag semantics, duplicates preserved)
+# ---------------------------------------------------------------------------
+
+_SETALL_ORACLE = """
+WITH big AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 20000.0
+), urgent AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT custkey, 'except_all' AS op FROM (
+  SELECT custkey FROM big EXCEPT ALL SELECT custkey FROM urgent
+)
+UNION ALL
+SELECT custkey, 'intersect_all' AS op FROM (
+  SELECT custkey FROM big INTERSECT ALL SELECT custkey FROM urgent
+)
+"""
+
+
+@register("q_set_ops_all", oracle=_SETALL_ORACLE)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL / INTERSECT ALL — multiplicity-preserving
+    (a customer with 3 big orders and 1 urgent keeps 2 rows)."""
+    o = table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 20000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return big.exceptAll(urgent).withColumn("op", F.lit("except_all")).unionAll(
+        big.intersectAll(urgent).withColumn("op", F.lit("intersect_all"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# map type construction / access
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT
+  event_id,
+  'k,uid' AS map_keys_sorted,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) + user_id AS map_value_sum,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map
+FROM events
+"""
+
+
+@register("q_map_funcs", oracle=_MAP_ORACLE)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json → map, map_concat with a constructed
+    map, map_keys (sorted), element_at, fold over map_values."""
+    e = table(spark, sf_dir, "events")
+    props_map = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    m = F.map_concat(props_map, F.create_map(F.lit("uid"), F.col("user_id")))
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_sorted"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("map_value_sum"),
+        F.element_at(m, "k").alias("k_via_map"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact moment statistics (variance/stddev from exact decimal sums)
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT c_nationkey,
+         count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, n,
+       round(sx / n, 6) AS mean_bal,
+       round((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_bal,
+       round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))), 6)
+         AS stddev_bal
+FROM s
+WHERE n > 1
+"""
+
+
+@register("q_agg_stats_exact", oracle=_STATS_ORACLE)
+def q_agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact decimal power sums
+    ((nΣx² − (Σx)²) / n(n−1)) — reproducible across engines, unlike
+    native one-pass stddev whose accumulation order varies; and still
+    one map-side-combinable aggregation pass."""
+    c = table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    s = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (n * sxx - sx * sx) / (n.cast("double") * (n - 1))
+    return s.filter(n > 1).select(
+        "c_nationkey",
+        "n",
+        F.round(sx / n, 6).alias("mean_bal"),
+        F.round(var, 6).alias("var_bal"),
+        F.round(F.sqrt(var), 6).alias("stddev_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (wide → long)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+"""
+
+
+@register("q_unpivot", oracle=_UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): two measure columns become (metric, value)
+    rows — the inverse of q_pivot_event_counts."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE)) "
+            "AS (metric, value)"
+        ),
+    )

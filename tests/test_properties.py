@@ -1,0 +1,74 @@
+"""Property-style checks (SURVEY.md §5.2b): upsert algebra, gate
+monotonicity, clean idempotence — hypothesis-generated inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.ingest.clean import clean
+from end_to_end_aws_data_pipeline_spark.ingest.merge import upsert
+from end_to_end_aws_data_pipeline_spark.ingest.watermark import gate_strictly_newer
+
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(st.integers(0, 9), st.sampled_from(["a", "b", "c", None])),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, schema="k int, v string") if data else (
+        spark.createDataFrame([], schema="k int, v string")
+    )
+
+
+@given(base=rows, upd=rows)
+@_SLOW
+def test_upsert_key_uniqueness_and_update_wins(spark, base, upd):
+    # inputs must be key-unique (the upsert contract); make them so
+    base_u = list({k: (k, v) for k, v in base}.values())
+    upd_u = list({k: (k, v) for k, v in upd}.values())
+    out = upsert(_df(spark, base_u), _df(spark, upd_u), ["k"]).collect()
+    got = {r.k: r.v for r in out}
+    expected = {k: v for k, v in base_u} | {k: v for k, v in upd_u}
+    assert got == expected
+    assert len(out) == len(expected)  # one row per key, always
+
+
+@given(data=rows)
+@_SLOW
+def test_clean_idempotent(spark, data):
+    once = clean(_df(spark, data))
+    twice = clean(once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert all(v is not None for _, v in once.collect())
+
+
+@given(
+    wm=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), max_size=5),
+    incoming=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50)), max_size=12
+    ),
+)
+@_SLOW
+def test_gate_strictly_newer_property(spark, wm, incoming):
+    wm_u = list({k: (k, ts) for k, ts in wm}.values())
+    wdf = spark.createDataFrame(wm_u, schema="table_name int, folder_ts int") if wm_u else (
+        spark.createDataFrame([], schema="table_name int, folder_ts int")
+    )
+    idf = spark.createDataFrame(incoming, schema="key int, ts int") if incoming else (
+        spark.createDataFrame([], schema="key int, ts int")
+    )
+    out = gate_strictly_newer(idf, wdf, key_col="key", ts_col="ts").collect()
+    wmap = dict(wm_u)
+    expected = sorted((k, t) for k, t in incoming if k not in wmap or t > wmap[k])
+    assert sorted((r.key, r.ts) for r in out) == expected
