@@ -190,3 +190,38 @@ def q_window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(exact_sum / F.count(F.lit(1)).over(w), 6).alias("moving_avg_3"),
     )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT
+  c_custkey, c_nationkey, c_acctbal,
+  CAST(count(*) OVER w AS BIGINT) AS n_within_500,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+    AS sum_within_500
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+             RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+"""
+
+
+@register("q_window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per customer, peers within ±500.0
+    account balance in the same nation (frame defined by the ORDER BY
+    *value*, not row offsets — well-defined under ties, unlike row
+    frames, so no tiebreaker column is needed)."""
+    o = table(spark, sf_dir, "customer")
+    # non-integral RANGE offsets need SQL window syntax (the PySpark
+    # rangeBetween API only accepts integer row values)
+    wspec = (
+        "PARTITION BY c_nationkey ORDER BY c_acctbal "
+        "RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING"
+    )
+    return o.selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        f"count(*) OVER ({wspec}) AS n_within_500",
+        f"round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER ({wspec}) "
+        f"AS DOUBLE), 2) AS sum_within_500",
+    )
