@@ -28,17 +28,28 @@ HEADLINE = (
     "q_filter_predicates",
     "q_agg_distinct",
     "q_agg_rollup",
+    "q_agg_percentiles",
     "q_sort_limit",
     "q_join_shipping_priority",
     "q_join_orders_per_nation",
+    "q_join_range_bucketed",
     "q_window_topk_per_group",
     "q_window_running_total",
+    "q_window_range_frame",
     "q_asof_join_events",
+    "q_sessionize_events",
+    "q_stream_tumbling_window",
+    "q_etl_incremental_gate",
+    "q_etl_upsert_merge",
+    "q_json_funcs",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_ann_bruteforce_topk",
+    "q_ann_ivf_topk",
     "q_text_quality_score",
+    "q_text_fingerprint",
     "q_tfidf_top_terms",
+    "q_multimodal_features",
 )
 
 
