@@ -42,8 +42,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation, the same thing DuckDB does internally — so every
     downstream operator sees a real timestamp column.
     """
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -53,6 +53,27 @@ def null_audit(df: DataFrame, sample_size: int = 20) -> NullAudit:
     )
 
 
+def observed_clean(df: DataFrame, observation_name: str = "null_audit"):
+    """clean() with a zero-extra-pass audit: an ``observe`` node counts
+    rows/bad-rows *while* the cleaning query itself executes, so the
+    notification payload costs nothing beyond the load (the
+    `df.observe()` channel of SURVEY.md §4.3 — vs null_audit()'s
+    separate aggregation pass when a bounded row sample is needed).
+
+    Returns (cleaned_df, observation); read ``observation.get`` AFTER an
+    action on cleaned_df.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(observation_name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_any_null(df).cast("long")).alias("n_bad_rows"),
+    )
+    return clean(observed), obs
+
+
 def clean(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """dropna(any) + full-row dedup (ref delta_load.py:97-98).
 

@@ -21,6 +21,28 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "end_to_end_aws_data_pipeline_spark"
 
+# confs every engine query depends on, all runtime-settable — applied
+# defensively to externally-provided sessions (the driver harness builds
+# its own SparkSession; without these, ns-timestamp parquet fails to
+# read and timestamp semantics drift from the UTC-naive oracle)
+RUNTIME_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the session confs the engine requires; safe to
+    call per-query (conf writes are cheap no-ops when already set)."""
+    for k, v in RUNTIME_REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in some deployment: surface at read time
+    return spark
+
 
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,

@@ -133,6 +133,9 @@ def q_stream_exactly_once_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed totals equal the batch answer — which the DuckDB oracle
     asserts.
     """
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema  # ts arrives as ns-long
     name = f"__stream_counts_{next(_counter)}"
