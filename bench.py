@@ -25,6 +25,8 @@ if _REPO not in sys.path:
 # headline set: one per operator family; cheap enough to run per-round
 HEADLINE = (
     "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "q_filter_predicates",
     "q_agg_distinct",
     "q_agg_rollup",

@@ -126,6 +126,59 @@ def q_agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# collection aggregates + argmax/argmin
+# ---------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       CAST(len(list(DISTINCT c_mktsegment)) AS INT) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("q_agg_collect", oracle=_COLLECT_ORACLE)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted array (collection aggregates are unordered
+    by definition; sorting makes the result deterministic/hashable)."""
+    c = table(spark, sf_dir, "customer")
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(segs, ",").alias("segments"),
+        F.size(segs).alias("n_segments"),
+    )
+
+
+# composite (value, unique-key) tiebreak folded into one scalar:
+# acctbal steps are ≥0.01 → ×1e9 leaves 1e7 of headroom for the key
+# (ample at test scale; engines compute the identical double)
+_ARG_KEY_SQL = "c_acctbal * 1000000000 + c_custkey"
+
+_ARGMAX_ORACLE = f"""
+SELECT c_nationkey,
+       arg_max(c_name, {_ARG_KEY_SQL}) AS richest,
+       arg_min(c_name, {_ARG_KEY_SQL}) AS poorest,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("q_agg_argmax", oracle=_ARGMAX_ORACLE)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) with a deterministic tiebreak
+    (unique key folded into the ordering scalar)."""
+    c = table(spark, sf_dir, "customer")
+    key = F.col("c_acctbal") * 1000000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # unpivot (wide → long)
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "end_to_end_aws_data_pipeline_spark.operators.relational",
     "end_to_end_aws_data_pipeline_spark.operators.percentiles",
     "end_to_end_aws_data_pipeline_spark.operators.sources",
+    "end_to_end_aws_data_pipeline_spark.operators.tpch",
     "end_to_end_aws_data_pipeline_spark.operators.extras",
     "end_to_end_aws_data_pipeline_spark.operators.joins",
     "end_to_end_aws_data_pipeline_spark.operators.windows",
