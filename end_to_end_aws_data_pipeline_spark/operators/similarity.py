@@ -88,6 +88,48 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_CENTROIDS = 8
 _IVF_K = 3
 
+
+@register("q_ann_lsh_projection")  # ml-lib hash seeds → rows-only check
+def q_ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH similarity join via spark.ml
+    (BucketedRandomProjectionLSH is euclidean-only, so vectors are
+    unit-normalized first: for unit vectors, ‖a−b‖² = 2(1−cos) — a
+    euclidean threshold IS a cosine threshold).
+
+    cosine ≥ 0.35 ⇔ distance ≤ √(2·(1−0.35)) ≈ 1.140. Deterministic
+    seed; approxSimilarityJoin is the all-pairs scale path (bucketed
+    shuffle join, sub-quadratic candidates). Recall vs the exact pairs
+    is asserted in tests/test_llm_ops.py.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401 (ml presence)
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("raw"),
+    )
+    unit = Normalizer(inputCol="raw", outputCol="unit", p=2.0).transform(e).select(
+        "vec_id", "unit"
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    ).fit(unit)
+    tau_dist = math.sqrt(2.0 * (1.0 - 0.35))
+    pairs = lsh.approxSimilarityJoin(unit, unit, tau_dist, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine_est"),
+        )
+    )
+
 _IVF_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,

@@ -88,6 +88,27 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert overlap >= 0.2
 
 
+def test_lsh_projection_recall_vs_exact(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_dedup_embedding_cosine,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_ann_lsh_projection,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in q_dedup_embedding_cosine(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b) for r in q_ann_lsh_projection(spark, SF_SMOKE).collect()
+    }
+    assert exact  # ground truth nonempty at τ=0.35
+    # approxSimilarityJoin may overshoot slightly below τ (distance
+    # grid), but must recover most true pairs
+    assert len(exact & lsh) / len(exact) >= 0.9
+
+
 def test_cosine_pandas_matches_expression(spark):
     e = table(spark, SF_SMOKE, "embeddings").limit(50)
     a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
