@@ -84,23 +84,31 @@ def extract_features(binary_docs: DataFrame) -> DataFrame:
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            first = payloads.map(lambda b: b[0] if len(b) else -1)
-            checksum = payloads.map(lambda b: int(sum(b[:8])))
+            # one python pass over the batch's payload bytes
+            stats = [
+                (len(b), b[0] if b else -1, int(sum(b[:8])))
+                for b in pdf["payload"]
+            ]
+            n_bytes = pd.Series([s[0] for s in stats], dtype="int64")
+            first = pd.Series([s[1] for s in stats], dtype="int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": pdf["meta"].map(lambda m: m["media_type"]),
-                    "n_bytes": n_bytes.astype("int64"),
-                    "first_byte": first.astype("int32"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes,
+                    "first_byte": first,
                     "fake_width": (16 + n_bytes % 64).astype("int64"),
                     "fake_height": (16 + first % 48).astype("int64"),
-                    "checksum8": checksum.astype("int64"),
+                    "checksum8": pd.Series([s[2] for s in stats], dtype="int64"),
                 }
             )
 
-    return binary_docs.mapInPandas(_batches, schema=_FEATURE_SCHEMA)
+    # flatten the struct JVM-side: Arrow then ships two flat columns
+    # instead of per-row struct objects (visibly cheaper conversion)
+    flat = binary_docs.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(_batches, schema=_FEATURE_SCHEMA)
 
 
 def sample_frames(binary_docs: DataFrame, n_frames: int = 4) -> DataFrame:

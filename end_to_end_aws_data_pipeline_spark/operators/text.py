@@ -251,7 +251,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df from tf, not from re-exploded tokens: tf is unique per
+    # (doc, word), so count(*) ≡ countDistinct(doc) at a fraction of the
+    # input (one explode+shuffle instead of two over the raw corpus)
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "word")
