@@ -155,3 +155,64 @@ def q_stream_exactly_once_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS total_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_stream_stateful_user_aggs", oracle=_STATEFUL_ORACLE)
+def q_stream_stateful_user_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState inside the correctness gate: the per-user
+    GroupState tracker (streaming/stateful.py) runs over the events
+    stream with availableNow; the *final* emitted state per user must
+    equal the batch aggregate — which the DuckDB oracle computes.
+
+    State folds money in integer cents, so the streamed result is exact
+    regardless of micro-batch boundaries (timestamps truncate ns → µs
+    like everywhere else in the engine).
+    """
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+    from end_to_end_aws_data_pipeline_spark.streaming.stateful import (
+        user_session_tracker,
+    )
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    name = f"__stream_state_{next(_counter)}"
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(path))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "value")
+    )
+    q = (
+        user_session_tracker(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (user, batch); keep each user's last
+    out = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"),
+                "first_ts", "last_ts")
+    )

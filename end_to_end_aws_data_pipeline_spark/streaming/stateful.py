@@ -18,7 +18,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, first_ts timestamp, last_ts timestamp"
 )
-STATE_SCHEMA = "n_events long, total_value double, first_ts long, last_ts long"
+# total tracked in integer cents: float accumulation order varies with
+# batch arrival, but int sums are exact → state is replay- and
+# engine-reproducible (same discipline as functions/aggs.py)
+STATE_SCHEMA = "n_events long, total_cents long, first_ts long, last_ts long"
 
 
 def _track_user_sessions(
@@ -28,24 +31,24 @@ def _track_user_sessions(
     emit the updated aggregate (update-mode output)."""
     (user_id,) = key
     if state.exists:
-        n, total, first_us, last_us = state.get
+        n, cents, first_us, last_us = state.get
     else:
-        n, total, first_us, last_us = 0, 0.0, None, None
+        n, cents, first_us, last_us = 0, 0, None, None
     for pdf in pdfs:
         if pdf.empty:
             continue
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
         ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
         lo, hi = int(ts_us.min()), int(ts_us.max())
         first_us = lo if first_us is None else min(first_us, lo)
         last_us = hi if last_us is None else max(last_us, hi)
-    state.update((n, total, first_us, last_us))
+    state.update((n, cents, first_us, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [cents / 100.0],
             "first_ts": [pd.Timestamp(first_us, unit="us")],
             "last_ts": [pd.Timestamp(last_us, unit="us")],
         }
