@@ -87,7 +87,9 @@ SELECT
                                      AS days_since_95,
   CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
   CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
-  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+  CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS INT)
+    AS months_since_95
 FROM orders
 """
 
@@ -113,6 +115,9 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (od + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
         F.last_day(od.cast("date")).cast("timestamp").alias("month_end"),
         F.unix_timestamp(od).alias("epoch_sec"),
+        # integer month arithmetic (fractional months_between semantics
+        # are engine-specific; whole-month diffs are portable)
+        ((F.year(od) - 1995) * 12 + (F.month(od) - 1)).alias("months_since_95"),
     )
 
 

@@ -89,13 +89,25 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as ent
-    from end_to_end_aws_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if bare:
+        # replicate the driver harness: a SparkSession with NO engine
+        # confs — queries must self-provision what they need
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("bare-oracle").getOrCreate()
+        )
+    else:
+        from end_to_end_aws_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
