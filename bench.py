@@ -64,6 +64,12 @@ def _execute(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        print(
+            json.dumps({"error": f"SPARK_GRAFT_SF_DIR not a directory: {sf_dir}"}),
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 

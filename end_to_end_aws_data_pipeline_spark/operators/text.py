@@ -278,6 +278,74 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus n-gram frequency
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+WITH grams AS (
+  SELECT unnest(list_transform(
+    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+  )) AS bigram
+  FROM documents
+), counted AS (
+  SELECT bigram, count(*) AS n FROM grams GROUP BY bigram
+), ranked AS (
+  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rnk
+  FROM counted
+)
+SELECT bigram, n, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 20
+"""
+
+
+@register("q_text_ngram_freq", oracle=_NGRAM_ORACLE)
+def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: shingle explode → count → global
+    top-k with deterministic ties (the NGram + CountVectorizer shape
+    without mllib overhead)."""
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
+    counted = (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # global top-k via orderBy+limit (TakeOrderedAndProject: distributed
+    # per-partition top-N + merge) — an unpartitioned ranking window
+    # would drag every distinct bigram to a single task at scale
+    top = counted.orderBy(F.col("n").desc(), F.col("bigram")).limit(20)
+    w = W.orderBy(F.col("n").desc(), F.col("bigram"))  # 20 rows: harmless
+    return top.withColumn("rnk", F.row_number().over(w)).select("bigram", "n", "rnk")
+
+
+_HIST_ORACLE = """
+SELECT (length(text) // 20) * 20 AS len_bucket,
+       count(*) AS n_docs,
+       CAST(min(length(text)) AS BIGINT) AS min_len,
+       CAST(max(length(text)) AS BIGINT) AS max_len
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("q_text_length_histogram", oracle=_HIST_ORACLE)
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (20-char buckets) — the data-quality
+    profile every corpus pipeline starts with."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / 20) * 20).cast("long")
+    return d.groupBy(bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # lexicon sentiment
 # ---------------------------------------------------------------------------
 
