@@ -201,3 +201,37 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (metric, value)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# boolean + bitwise expression coverage
+# ---------------------------------------------------------------------------
+
+_BOOLBIT_ORACLE = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even,
+       CAST(min(xor(o_orderkey, o_custkey)) AS BIGINT) AS min_xor,
+       CAST(max(o_orderkey & 255) AS BIGINT) AS max_low_byte,
+       CAST(max(o_orderkey << 1 >> 1) AS BIGINT) AS max_shift_roundtrip
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_bool_bitwise", oracle=_BOOLBIT_ORACLE)
+def q_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or aggregates + bitwise XOR/AND/shift expressions
+    (the primitive layer under SimHash/bloom-style operators)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.sum(F.when(k % 2 == 0, 1).otherwise(0)).cast("long").alias("n_even"),
+        F.min(k.bitwiseXOR(F.col("o_custkey"))).alias("min_xor"),
+        F.max(k.bitwiseAND(F.lit(255))).alias("max_low_byte"),
+        F.max(F.shiftright(F.shiftleft(k, 1), 1)).alias("max_shift_roundtrip"),
+    )
