@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "end_to_end_aws_data_pipeline_spark.operators.percentiles",
     "end_to_end_aws_data_pipeline_spark.operators.sources",
     "end_to_end_aws_data_pipeline_spark.operators.tpch",
+    "end_to_end_aws_data_pipeline_spark.operators.pipeline_demo",
     "end_to_end_aws_data_pipeline_spark.operators.extras",
     "end_to_end_aws_data_pipeline_spark.operators.joins",
     "end_to_end_aws_data_pipeline_spark.operators.windows",
