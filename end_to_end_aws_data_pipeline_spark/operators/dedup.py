@@ -249,13 +249,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (Hamming-space near-dup; Spark-specific hashes → rows-only)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 32
-_SIMHASH_BAND_BITS = 8  # 4 bands → catches hamming ≤ 3 pairs
+_SIMHASH_BITS = 64
+_SIMHASH_BAND_BITS = 16  # 4 bands → catches hamming ≤ 3 pairs
 
 
 def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     """SimHash over word tokens: per bit, sum ±1 votes of each token's
-    hash bit; the sign vector packs into a long. Pure fold expressions."""
+    hash bit; the sign vector packs into a long. Pure fold expressions.
+
+    (Library form for column-level use; the bulk query below computes
+    the same fingerprint through explode + codegen'd aggregates, which
+    is the faster shape for whole-corpus runs.)
+    """
     hashes = F.transform(F.split(text, " "), lambda w: F.xxhash64(w))
 
     def _vote(i: int) -> Column:  # closure factory, see minhash_signature note
@@ -268,17 +273,43 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
 
     out = F.lit(0).cast("long")
     for i in range(bits):
-        out = out + F.when(_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        # bit 63 of 1<<63 overflows signed long via F.lit; accumulate
+        # with to-signed wraparound semantics
+        weight = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        out = out + F.when(_vote(i) > 0, weight).otherwise(0)
     return out
+
+
+def _simhash_by_agg(tokens: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
+    """tokens(doc_id, w) → (doc_id, sh): per-bit ±1 vote sums as
+    codegen'd aggregates (map-side combinable), then pack the sign
+    vector into one long."""
+    h = F.xxhash64(F.col("w"))
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        packed = packed + F.when(F.col(f"v{i}") > 0, weight).otherwise(0)
+    return votes.select("doc_id", packed.alias("sh"))
 
 
 @register("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the fingerprint (4×8 bits), join on
-    any equal band, verify Hamming distance ≤ 3 via bit_count(xor)."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", simhash(F.col("text")).alias("sh")
-    )
+    """SimHash near-dup pairs: 64-bit fingerprint banded 4×16 bits,
+    join on any equal band, verify Hamming distance ≤ 3 via
+    bit_count(xor). 16-bit bands keep coincidental bucket collisions
+    ~1/65536 per band, so candidates ≈ true near-dups at any corpus
+    size."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    d = _simhash_by_agg(tokens)
     n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
     mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = d.select(

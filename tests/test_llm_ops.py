@@ -51,8 +51,9 @@ def test_simhash_identical_and_near(spark):
     )
     rows = {r.doc_id: r.sh for r in df.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
     assert rows[1] == rows[2]
-    ham_13 = bin(rows[1] ^ rows[3]).count("1")
-    ham_14 = bin(rows[1] ^ rows[4]).count("1")
+    mask = (1 << 64) - 1  # fingerprints are signed longs; mask for popcount
+    ham_13 = bin((rows[1] ^ rows[3]) & mask).count("1")
+    ham_14 = bin((rows[1] ^ rows[4]) & mask).count("1")
     assert ham_13 < ham_14  # near-dup closer than unrelated
 
 
