@@ -167,6 +167,36 @@ def test_pipeline_versioned_redelivery(spark, tmp_path):
     assert pipe.backfill(p_old).status == "loaded"
 
 
+def test_failed_load_does_not_advance_watermark(spark, tmp_path, monkeypatch):
+    """at-least-once replay: a crash before the watermark advance leaves
+    the gate open, and the keyed upsert makes the retry idempotent
+    (ref delta_load.py:49-53 ordering)."""
+    import end_to_end_aws_data_pipeline_spark.ingest.pipeline as pipe_mod
+
+    p1 = _write(tmp_path, "20250108_075503", "T.csv", "K,V\n1,a\n2,a\n")
+    pipe = IngestPipeline(spark, str(tmp_path / "wh"), keys_by_table={"T": ["K"]})
+
+    boom = RuntimeError("sink unavailable")
+
+    def failing_merge(*a, **kw):
+        raise boom
+
+    monkeypatch.setattr(pipe_mod, "merge_into_parquet", failing_merge)
+    try:
+        pipe.ingest_file(p1)
+        raise AssertionError("expected merge failure")
+    except RuntimeError as e:
+        assert e is boom
+    assert pipe.watermarks.get("T") is None  # gate still open
+
+    monkeypatch.undo()
+    r = pipe.ingest_file(p1)  # replay succeeds
+    assert r.status == "loaded"
+    assert pipe.watermarks.get("T") == 20250108075503
+    # replaying again after success is gated
+    assert pipe.ingest_file(p1).status == "skipped_not_newer"
+
+
 def test_pipeline_ingest_root_ordering(spark, tmp_path):
     _write(tmp_path, "20250108_075504", "T.csv", "K,V\n1,b\n")
     _write(tmp_path, "20250108_075503", "T.csv", "K,V\n1,a\n2,a\n")
