@@ -55,6 +55,31 @@ def test_streaming_ingest_exactly_once_across_restarts(spark, tmp_path):
     assert t3.count() == 3
 
 
+def test_streaming_ingest_many_versions(spark, tmp_path):
+    """20 versioned deliveries with overlapping keys drain through one
+    availableNow run in FIFO order; the table converges to last-writer-
+    wins per key with no duplicates."""
+    root = str(tmp_path / "in")
+    wh = str(tmp_path / "wh")
+    for v in range(20):
+        _write_csv(
+            root,
+            f"20250101_{v:06d}",
+            "T.csv",
+            f"K,V\n{v % 5},v{v}\n{(v + 1) % 5},v{v}\n",
+        )
+    si = StreamingIngest(spark, root, wh, schema="K long, V string", keys=["K"], table_name="T")
+    si.start(poll_all=True)
+    rows = {r.K: r.V for r in spark.read.parquet(os.path.join(wh, "T")).collect()}
+    assert len(rows) == 5  # one row per key, ever
+    # key k last written by version max{v : v%5==k or (v+1)%5==k}
+    expect = {}
+    for v in range(20):
+        for k in (v % 5, (v + 1) % 5):
+            expect[k] = f"v{v}"
+    assert rows == expect
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     src_dir = str(tmp_path / "events_src")
     os.makedirs(src_dir)
