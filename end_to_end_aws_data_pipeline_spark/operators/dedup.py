@@ -153,8 +153,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only driver check; recall vs the exact pairs asserted in tests)
 # ---------------------------------------------------------------------------
 
-_MINHASH_K = 32  # signature length
-_LSH_BANDS = 8  # bands of 4 rows → catches J≳0.6 with high prob.
+# banding math at the J=0.6 operating point: P(candidate) = 1-(1-J^r)^b.
+# b=8, r=2 → 97% at J=0.6 (and 35% at J=0.3, filtered by exact verify);
+# r=4 would need twice the hashes for LESS recall (67%) at this τ.
+_MINHASH_K = 16  # signature length
+_LSH_BANDS = 8  # bands of 2 rows
 
 
 def minhash_signature(shingle_col: Column, k: int = _MINHASH_K) -> Column:
