@@ -39,6 +39,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_raw(a: Column, b: Column) -> Column:
+    """Dot product of two already-double arrays (no per-element cast) —
+    for pre-normalized vectors where cosine ≡ plain dot."""
+    return fsum(F.zip_with(a, b, lambda x, y: x * y))
+
+
 def l2_normalize(a: Column) -> Column:
     """Unit-normalize (cosine on normalized vectors ≡ monotone in
     euclidean distance — the trick that lets euclidean LSH answer

@@ -361,29 +361,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_TAU = 0.35
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-
-
-def _dot_plain(a: Column, b: Column) -> Column:
-    """Dot product of two already-double arrays (no per-element cast)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+from end_to_end_aws_data_pipeline_spark.functions.vector import dot_raw as _dot_plain
 
 
 _COS_PAIR_ORACLE = f"""

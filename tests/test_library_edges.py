@@ -1,0 +1,63 @@
+"""Edge cases for library operators not fully covered by the registry
+queries: bucketized range join with misaligned intervals, minhash
+signature shape/determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.operators.asof import bucketed_range_join
+from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+    _MINHASH_K,
+    minhash_signature,
+    shingles,
+)
+
+
+def test_bucketed_range_join_misaligned_intervals(spark):
+    """Intervals spanning multiple buckets and points on boundaries must
+    match the naive non-equi join exactly."""
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 99, 100, 250, 499, 500, 750, 999])],
+        "pid int, x double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("narrow", 90.0, 110.0),  # inside one bucket + neighbor
+            ("wide", 50.0, 850.0),  # spans many buckets
+            ("edge", 500.0, 501.0),  # starts exactly on a boundary
+            ("empty", 1200.0, 1300.0),
+        ],
+        "name string, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.name)
+        for r in bucketed_range_join(points, ivs, "x", "lo", "hi", bucket_width=100.0).collect()
+    }
+    naive = {
+        (r.pid, r.name)
+        for r in points.join(
+            ivs, (points.x >= ivs.lo) & (points.x < ivs.hi)
+        ).collect()
+    }
+    assert got == naive
+    assert (5, "edge") in got  # x=500.0 ∈ [500, 501)
+    assert all(n != "empty" for _, n in got)
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in df.select(
+            "doc_id", minhash_signature(shingles(F.col("text"))).alias("sig")
+        ).collect()
+    }
+    assert all(len(s) == _MINHASH_K for s in sigs.values())
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert sigs[1] != sigs[3]
+    # signature entries differ per seed (the arity-trap regression)
+    assert len(set(sigs[1])) > 1
