@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401 (used across merge paths)
 
 
 def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
@@ -44,21 +44,33 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def merge_into_parquet(
-    spark: SparkSession, target_dir: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
 ) -> int:
     """Upsert ``updates`` into the parquet table at ``target_dir``;
     creates it if absent. Returns the resulting row count.
 
-    Local read-modify-write of the whole table; on a partitioned lake
-    target, restrict the rewrite to partitions present in ``updates``
-    (dynamic partition overwrite) so the IO is proportional to the
-    delta, not the table.
+    With ``partition_by`` set (which must be one of ``keys``' hash
+    inputs — every key lives in exactly one partition), the merge is
+    partition-scoped: only partitions present in ``updates`` are read
+    and rewritten via dynamic partition overwrite, so IO is
+    proportional to the delta, not the table — the shape that holds at
+    100 TB. Without it: whole-table read-modify-write (fine for small
+    state tables like the watermarks).
     """
+    if partition_by is not None and os.path.exists(target_dir):
+        return _merge_partition_scoped(spark, target_dir, updates, keys, partition_by)
     if os.path.exists(target_dir):
         base = spark.read.parquet(target_dir)
         merged = upsert(base, updates, keys)
     else:
         merged = updates
+        if partition_by is not None:
+            merged.write.mode("overwrite").partitionBy(partition_by).parquet(target_dir)
+            return spark.read.parquet(target_dir).count()
     # write-to-temp + swap: never overwrite the directory still being
     # scanned by the merge plan (cache-then-overwrite can lose evicted
     # partitions; a temp swap is crash-safe)
@@ -71,3 +83,31 @@ def merge_into_parquet(
         shutil.rmtree(target_dir)
     os.replace(tmp_dir, target_dir)
     return n
+
+
+def _merge_partition_scoped(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str,
+) -> int:
+    """Merge touching only the partitions ``updates`` lands in.
+
+    1. collect the (small) set of affected partition values;
+    2. read ONLY those partitions of the base (partition pruning);
+    3. upsert within them;
+    4. dynamic-partition-overwrite writes back just those directories.
+    Untouched partition files are never read or rewritten.
+    """
+    affected = [r[0] for r in updates.select(partition_by).distinct().collect()]
+    base = spark.read.parquet(target_dir)
+    base_affected = base.filter(F.col(partition_by).isin(affected))
+    merged = upsert(base_affected, updates, keys)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_by)
+        .parquet(target_dir)
+    )
+    return spark.read.parquet(target_dir).count()
