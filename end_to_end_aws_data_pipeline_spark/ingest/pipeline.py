@@ -65,6 +65,7 @@ class IngestPipeline:
         keys_by_table: dict[str, list[str]] | None = None,
         schema_policy: str = "reference",
         notifier: "NotifyFn | None" = None,
+        partition_by_table: dict[str, str] | None = None,
     ):
         from end_to_end_aws_data_pipeline_spark.ingest.notify import (
             NotifyFn,  # noqa: F401
@@ -76,6 +77,9 @@ class IngestPipeline:
         self.keys_by_table = keys_by_table or {}
         self.schema_policy = schema_policy
         self.notifier = notifier or log_notifier
+        # optional per-table partition column → partition-scoped merges
+        # (IO proportional to each delivery, not the table)
+        self.partition_by_table = partition_by_table or {}
         self.watermarks = WatermarkStore(spark, os.path.join(warehouse_dir, "_ingest_watermarks"))
 
     def table_dir(self, table_name: str) -> str:
@@ -92,7 +96,13 @@ class IngestPipeline:
         # reference's keyless ON DUPLICATE KEY UPDATE (which degraded to
         # append, SURVEY.md §2.A row 8)
         keys = self.keys_by_table.get(table_name, list(cleaned.columns))
-        n = merge_into_parquet(self.spark, self.table_dir(table_name), cleaned, keys)
+        n = merge_into_parquet(
+            self.spark,
+            self.table_dir(table_name),
+            cleaned,
+            keys,
+            partition_by=self.partition_by_table.get(table_name),
+        )
         self.watermarks.advance(table_name, folder_ts)
         # notification parity (ref delta_load.py:77-84, 267-286): one
         # bounded null report + one success event per load

@@ -307,3 +307,48 @@ def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_retailprice", 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pure theta join (inequality-only predicate)
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       round(b.s_acctbal - a.s_acctbal, 2) AS bal_gap
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey
+ AND a.s_suppkey < b.s_suppkey
+ AND b.s_acctbal > a.s_acctbal + 500.0
+"""
+
+
+@register("q_join_theta", oracle=_THETA_ORACLE)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part (nation) carries the shuffle; the
+    inequality predicates evaluate as post-join filters — the planner
+    shape for any mixed equi/non-equi condition."""
+    s = table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_nationkey").alias("nat_a"),
+        F.col("s_acctbal").alias("bal_a"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_nationkey").alias("nat_b"),
+        F.col("s_acctbal").alias("bal_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("supp_a") < F.col("supp_b"))
+            & (F.col("bal_b") > F.col("bal_a") + 500.0),
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            F.round(F.col("bal_b") - F.col("bal_a"), 2).alias("bal_gap"),
+        )
+    )
