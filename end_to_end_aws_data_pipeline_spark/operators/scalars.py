@@ -273,3 +273,67 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# conditional functions + struct build / JSON round-trip
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT
+  event_id,
+  coalesce(nullif(event_type, 'error'), 'recovered') AS type_or_recovered,
+  ifnull(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1)
+    AS missing_or_default,
+  CASE WHEN value > 50 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END
+    AS value_band,
+  (CASE WHEN user_id IS NOT NULL THEN user_id * 10 ELSE -1 END) AS nvl2_like
+FROM events
+"""
+
+
+@register("q_conditional_funcs", oracle=_COND_ORACLE)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional suite: nullif / coalesce / ifnull-nvl / nvl2 /
+    multi-branch CASE."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")), F.lit("recovered")
+        ).alias("type_or_recovered"),
+        F.nvl(
+            F.get_json_object(F.col("props"), "$.missing").cast("long"), F.lit(-1)
+        ).alias("missing_or_default"),
+        F.when(F.col("value") > 50, "high")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.nvl2(F.col("user_id"), F.col("user_id") * 10, F.lit(-1)).alias("nvl2_like"),
+    )
+
+
+_STRUCT_ORACLE = """
+SELECT
+  o_orderkey,
+  to_json(struct_pack(k := o_orderkey, status := o_orderstatus))
+    AS order_json,
+  struct_pack(k := o_orderkey, status := o_orderstatus).status
+    AS status_via_struct
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
+@register("q_struct_funcs", oracle=_STRUCT_ORACLE)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, and to_json serialization
+    (the nested-type pattern multimodal metadata uses)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    st = F.struct(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status")
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(st).alias("order_json"),
+        st.getField("status").alias("status_via_struct"),
+    )
