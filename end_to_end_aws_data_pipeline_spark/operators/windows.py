@@ -225,3 +225,31 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER ({wspec}) "
         f"AS DOUBLE), 2) AS sum_within_500",
     )
+
+
+_PCTRANK_ORACLE = """
+SELECT
+  c_nationkey, c_custkey, c_acctbal,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist()    OVER w, 6) AS cume,
+  CAST(ntile(10) OVER w AS INT)   AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("q_window_percent_rank", oracle=_PCTRANK_ORACLE)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions: percent_rank / cume_dist / ntile deciles
+    over a deterministic total order (both are rank ratios — exact
+    rationals in double, identical across engines)."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
