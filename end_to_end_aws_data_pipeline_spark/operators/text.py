@@ -408,3 +408,40 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sentiment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (lateral table function)
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           WHERE doc_id % 25 = 0)
+SELECT doc_id, CAST(i AS INT) AS pos, words[i] AS token
+FROM w, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) t
+"""
+
+
+@register("q_udtf_tokenize", oracle=_UDTF_ORACLE)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: one doc row in → one row per
+    token out. The oracle recomputes the expansion relationally,
+    proving the UDTF path agrees with posexplode semantics."""
+    from end_to_end_aws_data_pipeline_spark.functions.udtfs import (
+        HAVE_UDTF,
+        register_udtfs,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    if not HAVE_UDTF:  # older Spark: native equivalent keeps the query alive
+        return d.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    register_udtfs(spark)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM __udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
