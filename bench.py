@@ -46,6 +46,7 @@ HEADLINE = (
     "q_json_funcs",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_cosine_blocked",
     "q_ann_bruteforce_topk",
     "q_ann_ivf_topk",
     "q_text_quality_score",

@@ -406,3 +406,114 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__raw") >= _COS_TAU)
         .select("vec_a", "vec_b", F.round("__raw", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked all-pairs cosine (the exact-at-scale path: integer-quantized
+# Gram blocks computed by numpy matmul, deterministic by construction)
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 100_000_000  # 1e8: quantized unit-vector dots fit int64 with
+# huge headroom (|dot_q| ≤ 1e16 + slop) and give ~1e-8 cosine resolution
+
+_N_BLOCKS = 8
+
+_COS_BLOCKED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(
+           (CAST(x AS DOUBLE) /
+             sqrt(list_sum(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+           ) * {_Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(CAST(list_sum(list_transform(range(1, len(a.q)+1),
+             i -> a.q[i] * b.q[i])) AS DOUBLE) / {_Q_SCALE * _Q_SCALE}.0, 6)
+         AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(1, len(a.q)+1),
+      i -> a.q[i] * b.q[i])) AS DOUBLE) / {_Q_SCALE * _Q_SCALE}.0 >= {_COS_TAU}
+"""
+
+
+@register("q_dedup_cosine_blocked", oracle=_COS_BLOCKED_ORACLE)
+def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine via blocked Gram matrices.
+
+    Vectors are unit-normalized, quantized to int64 (×1e8 — exact,
+    associative arithmetic ⇒ engine/plan-order independent), grouped
+    into blocks, and every block *pair* computes its sub-Gram with one
+    numpy int64 matmul inside mapInPandas. Work is B(B+1)/2 independent
+    block pairs — the classic distributed all-pairs layout: each task
+    touches two blocks, compute is a dense matmul (cache-friendly),
+    and nothing quadratic ever sits in one task's memory at scale
+    (block size is a free parameter).
+
+    Same semantics as q_dedup_embedding_cosine at 1e-8 quantization.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from end_to_end_aws_data_pipeline_spark.functions.vector import l2_normalize
+
+    quant = F.transform(
+        l2_normalize(F.col("embedding")),
+        lambda x: F.round(x * _Q_SCALE).cast("long"),
+    )
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quant.alias("q"), (F.col("vec_id") % _N_BLOCKS).alias("blk")
+    )
+    blocks = v.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "q")).alias("vecs")
+    )
+    bp = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("a.vecs").alias("va"),
+            F.col("b.vecs").alias("vb"),
+        )
+    )
+    tau_q = _COS_TAU  # compared on dot/SCALE² as double, like the oracle
+
+    def _gram(it):
+        for pdf in it:
+            out_a, out_b, out_d = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["vec_id"] for r in row["va"]], dtype=np.int64)
+                ids_b = np.array([r["vec_id"] for r in row["vb"]], dtype=np.int64)
+                qa = np.array([r["q"] for r in row["va"]], dtype=np.int64)
+                qb = np.array([r["q"] for r in row["vb"]], dtype=np.int64)
+                g = qa @ qb.T  # exact int64 sub-Gram
+                keep = g.astype(np.float64) / (_Q_SCALE * _Q_SCALE) >= tau_q
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal block: each unordered pair appears once
+                    keep &= ids_a[:, None] < ids_b[None, :]
+                else:
+                    # off-diagonal: ids interleave across blocks — emit
+                    # every pair once, canonicalized to (min, max) below
+                    keep &= ids_a[:, None] != ids_b[None, :]
+                ii, jj = np.nonzero(keep)
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_d.extend(g[ii, jj])
+            yield pd.DataFrame(
+                {"vec_a": pd.Series(out_a, dtype="int64"),
+                 "vec_b": pd.Series(out_b, dtype="int64"),
+                 "dot_q": pd.Series(out_d, dtype="int64")}
+            )
+
+    pairs = bp.mapInPandas(_gram, schema="vec_a long, vec_b long, dot_q long")
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("dot_q").cast("double") / (_Q_SCALE * _Q_SCALE), 6).alias(
+            "cosine"
+        ),
+    )
