@@ -445,3 +445,36 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# row-wise Python UDF (surface completeness — NOT a hot-path pattern)
+# ---------------------------------------------------------------------------
+
+_ROWUDF_ORACLE = """
+SELECT doc_id,
+       reverse(source) AS source_reversed,
+       length(source) AS source_len
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@register("q_udf_rowwise", oracle=_ROWUDF_ORACLE)
+def q_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (SURVEY.md §2.B UDF surface row) on a
+    deliberately tiny slice: every call crosses JVM↔Python per row, so
+    this pattern exists for correctness parity only — Pandas UDFs /
+    mapInPandas are the real Python escape hatch (10-100× faster), and
+    every hot path in this engine stays on built-ins."""
+    from pyspark.sql import types as T
+
+    @F.udf(T.StringType())
+    def py_reverse(s: str) -> str:
+        return s[::-1] if s is not None else None
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id",
+        py_reverse(F.col("source")).alias("source_reversed"),
+        F.length("source").alias("source_len"),
+    )
