@@ -7,8 +7,16 @@ strategy (broadcast-hash for small dims, sort-merge for fact-fact,
 runtime skew splitting).
 
 Scale notes, per query:
-- dimension tables (region/nation/supplier/part-meta) are explicitly
-  `F.broadcast(...)` — at 100 TB the fact side never shuffles for them.
+- only genuinely fixed-cardinality dims (region=5, nation=25, literal
+  band tables, lexicons) carry an explicit `F.broadcast(...)` hint —
+  at 100 TB the fact side never shuffles for them.
+- sf-scaling tables (customer/supplier/part/orders/lineitem) are NEVER
+  force-broadcast: a forced hint bypasses AQE's size check and OOMs
+  executors once the table outgrows memory. AQE still picks a
+  broadcast-hash join at small SF (runtime size stats), and falls back
+  to shuffle joins at scale — the safe default either way.
+  `tests/test_plans.py::test_no_forced_broadcast_on_scaling_tables`
+  gates this invariant.
 - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
   AQE coalesces post-shuffle partitions. On a real lake these tables
   would be bucketed by orderkey to remove even that shuffle
@@ -50,8 +58,10 @@ LIMIT 10
 def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + filtered agg + top-k (TPC-H Q3 shape).
 
-    customer is small relative to the facts → broadcast; orders⋈lineitem
-    shuffles once on orderkey; final top-10 is TakeOrderedAndProject.
+    customer scales with SF, so no forced broadcast — AQE broadcasts it
+    at small SF from runtime stats and shuffle-joins at scale;
+    orders⋈lineitem shuffles once on orderkey; final top-10 is
+    TakeOrderedAndProject.
     """
     cutoff = F.to_timestamp(F.lit("1995-03-15 00:00:00"))
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -59,7 +69,7 @@ def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum(
@@ -95,8 +105,10 @@ ORDER BY revenue DESC, n_name
 
 @register("q_join_orders_per_nation", oracle=_Q5_ORACLE)
 def q_join_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier volume (TPC-H Q5 shape): two facts + three
-    broadcast dims + a second equi-condition (c_nationkey = s_nationkey)."""
+    """Local-supplier volume (TPC-H Q5 shape): two facts + two
+    sf-scaling joins (customer/supplier — AQE picks the strategy) +
+    two fixed-size broadcast dims (nation/region) + a second
+    equi-condition (c_nationkey = s_nationkey)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -105,9 +117,9 @@ def q_join_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -4,8 +4,11 @@ engine runs daily: forecast-revenue (Q6), order-priority EXISTS (Q4),
 ship-mode CASE aggregation (Q12 shape), promo share (Q14 shape),
 large-volume customers (Q18 shape).
 
-All plans: filters at the scan, single-shuffle aggregates, broadcast
-dims, decimal-exact money arithmetic (functions/aggs.py).
+All plans: filters at the scan, single-shuffle aggregates, decimal-exact
+money arithmetic (functions/aggs.py). Broadcast hints only on
+fixed-cardinality dims — sf-scaling tables (customer/part/...) are left
+to AQE so the plan degrades safely at 100 TB (see operators/joins.py
+module docstring).
 """
 
 from __future__ import annotations
@@ -132,8 +135,9 @@ WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
 
 @register("q14_promo_share", oracle=_Q14_ORACLE)
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + conditional revenue share
-    (exact decimal sums → engine-stable percentage)."""
+    """TPC-H Q14 shape: dim join + conditional revenue share (exact
+    decimal sums → engine-stable percentage). part scales with SF, so
+    no forced broadcast — AQE decides from runtime size stats."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-06-01 00:00:00")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-07-01 00:00:00")))
@@ -141,7 +145,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     return j.agg(
         F.round(
             100.0
@@ -174,7 +178,8 @@ LIMIT 20
 @register("q18_large_volume_customers", oracle=_Q18_ORACLE)
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING subquery → semi join of the fact against
-    its own aggregate, then enrich + top-k."""
+    its own aggregate, then enrich + top-k. customer scales with SF →
+    no forced broadcast (AQE chooses)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -187,7 +192,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))

@@ -56,6 +56,25 @@ def scan_read_schema(df: DataFrame, table_fragment: str) -> str:
     return ""
 
 
+def forced_broadcast_count(df: DataFrame) -> int:
+    """Number of *explicit* broadcast hints surviving to the optimized
+    logical plan (`rightHint=(strategy=broadcast)` on a Join node).
+
+    Auto-selected broadcasts (size-threshold / AQE runtime stats) do NOT
+    appear here — only user-forced `F.broadcast(...)` hints. The scale
+    invariant is: forced hints are allowed ONLY on fixed-cardinality
+    inputs (region=5, nation=25, literal band/lexicon tables); an
+    sf-scaling table behind a forced hint bypasses AQE's size check and
+    OOMs executors at 100 TB.
+    """
+    return (
+        df._jdf.queryExecution()  # noqa: SLF001
+        .optimizedPlan()
+        .toString()
+        .count("strategy=broadcast")
+    )
+
+
 def count_broadcast_joins(df: DataFrame) -> int:
     return physical_plan(df).count("BroadcastHashJoin") + physical_plan(df).count(
         "BroadcastNestedLoopJoin"

@@ -18,6 +18,7 @@ from end_to_end_aws_data_pipeline_spark.operators.relational import (
 from end_to_end_aws_data_pipeline_spark.plans.explain import (
     count_broadcast_joins,
     count_shuffles,
+    forced_broadcast_count,
     has_pushed_filters,
     has_wholestage_codegen,
     scan_read_schema,
@@ -49,8 +50,30 @@ def test_projection_prunes_columns(spark):
 
 
 def test_dim_joins_broadcast(spark):
+    # no forced hints on sf-scaling tables, but at smoke SF the planner
+    # still auto-broadcasts from size stats — the safe behavior we want
     assert count_broadcast_joins(q_join_shipping_priority(spark, SF_SMOKE)) >= 1
     assert count_broadcast_joins(q_join_orders_per_nation(spark, SF_SMOKE)) >= 4
+
+
+def test_no_forced_broadcast_on_scaling_tables(spark):
+    """Forced `F.broadcast` hints are allowed only on fixed-cardinality
+    inputs (region/nation/band/lexicon tables). customer/supplier/part/
+    orders/lineitem grow with SF — a forced hint on them bypasses AQE's
+    size check and OOMs executors at scale."""
+    from end_to_end_aws_data_pipeline_spark.operators.tpch import (
+        q14_promo_share,
+        q18_large_volume_customers,
+    )
+
+    # Q3: joins customer/orders/lineitem only → zero forced hints
+    assert forced_broadcast_count(q_join_shipping_priority(spark, SF_SMOKE)) == 0
+    # Q5: exactly the two fixed dims (nation=25, region=5) are hinted
+    assert forced_broadcast_count(q_join_orders_per_nation(spark, SF_SMOKE)) == 2
+    # Q14: part scales with SF → no forced hint
+    assert forced_broadcast_count(q14_promo_share(spark, SF_SMOKE)) == 0
+    # Q18: customer scales with SF → no forced hint
+    assert forced_broadcast_count(q18_large_volume_customers(spark, SF_SMOKE)) == 0
 
 
 def test_topn_plans_take_ordered(spark):
