@@ -381,6 +381,11 @@ WHERE list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
 """
 
 
+_EXACT_PAIRS_MAX_ROWS = 100_000  # ~5e9 pairs: past this the unblocked
+# cartesian is a foot-gun; the blocked Gram path below has the same
+# exact semantics with bounded per-task memory
+
+
 @register("q_dedup_embedding_cosine", oracle=_COS_PAIR_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ τ), brute pairwise.
@@ -389,14 +394,23 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) stage runs a single dot-product fold per pair instead of
     dot + two norms (3× fewer interpreted fold evaluations; the oracle
     mirrors the exact same computation shape for bit-equality).
-    Correctness baseline for the approximate paths; at scale use the
-    IVF/LSH variants in operators/similarity.py.
+    Correctness baseline for the approximate paths; guarded by a size
+    check — above _EXACT_PAIRS_MAX_ROWS rows it refuses and points at
+    q_dedup_cosine_blocked (same exact answer, scale-safe layout) or
+    the IVF/LSH variants in operators/similarity.py.
     """
     from end_to_end_aws_data_pipeline_spark.functions.vector import l2_normalize
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("en")
-    )
+    src = table(spark, sf_dir, "embeddings")
+    n = src.count()  # parquet-metadata count: cheap
+    if n > _EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"q_dedup_embedding_cosine is the unblocked O(n²) exactness "
+            f"baseline; refusing {n} rows (> {_EXACT_PAIRS_MAX_ROWS}). "
+            f"Use q_dedup_cosine_blocked (exact, bounded per-task memory) "
+            f"or the LSH/IVF paths in operators/similarity.py."
+        )
+    e = src.select("vec_id", l2_normalize(F.col("embedding")).alias("en"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("en").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("en").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -416,7 +430,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_SCALE = 100_000_000  # 1e8: quantized unit-vector dots fit int64 with
 # huge headroom (|dot_q| ≤ 1e16 + slop) and give ~1e-8 cosine resolution
 
-_N_BLOCKS = 8
+_TARGET_BLOCK_ROWS = 4096  # per-block row bound → constant per-task memory
+_MIN_BLOCKS = 8  # parallelism floor: ≥ B(B+1)/2 = 36 block-pair tasks
+
+
+def n_blocks_for(n_rows: int) -> int:
+    """Block count for the blocked Gram join: enough blocks that no
+    block exceeds _TARGET_BLOCK_ROWS rows (each block travels as ONE
+    collect_list row through Arrow — its size must stay bounded no
+    matter the corpus), with a floor for small-input parallelism."""
+    import math
+
+    return max(_MIN_BLOCKS, math.ceil(max(n_rows, 1) / _TARGET_BLOCK_ROWS))
 
 _COS_BLOCKED_ORACLE = f"""
 WITH v AS (
@@ -448,8 +473,12 @@ def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy int64 matmul inside mapInPandas. Work is B(B+1)/2 independent
     block pairs — the classic distributed all-pairs layout: each task
     touches two blocks, compute is a dense matmul (cache-friendly),
-    and nothing quadratic ever sits in one task's memory at scale
-    (block size is a free parameter).
+    and nothing quadratic ever sits in one task's memory at scale.
+
+    The block count adapts to the corpus: B = ceil(N / 4096), so a
+    block never exceeds 4096 vectors (~2 MB at dim 64) regardless of N
+    — per-task memory is constant; only the task COUNT grows with the
+    corpus, which is exactly what a cluster absorbs.
 
     Same semantics as q_dedup_embedding_cosine at 1e-8 quantization.
     """
@@ -458,12 +487,14 @@ def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from end_to_end_aws_data_pipeline_spark.functions.vector import l2_normalize
 
+    e = table(spark, sf_dir, "embeddings")
+    n_blocks = n_blocks_for(e.count())  # parquet-metadata count: cheap
     quant = F.transform(
         l2_normalize(F.col("embedding")),
         lambda x: F.round(x * _Q_SCALE).cast("long"),
     )
-    v = table(spark, sf_dir, "embeddings").select(
-        "vec_id", quant.alias("q"), (F.col("vec_id") % _N_BLOCKS).alias("blk")
+    v = e.select(
+        "vec_id", quant.alias("q"), (F.col("vec_id") % n_blocks).alias("blk")
     )
     blocks = v.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "q")).alias("vecs")

@@ -26,6 +26,10 @@ from end_to_end_aws_data_pipeline_spark.registry import register
 
 _TOP_K = 5
 _QUERY_MOD = 100  # vec_id % 100 == 0 → deterministic query set at any SF
+_MAX_QUERIES = 64  # hard cap on the broadcast query side: without it the
+# %100 sample grows as N/100 and the broadcast eventually stops fitting;
+# with it the driver-side state is O(1) in corpus size. Larger query
+# sets should loop in _MAX_QUERIES-sized batches (one scan each).
 
 _BRUTE_ORACLE = f"""
 WITH v AS (
@@ -35,7 +39,8 @@ WITH v AS (
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
-  WHERE query_id % {_QUERY_MOD} = 0
+  WHERE vec_id % {_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_MAX_QUERIES}
 ), scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * v.e[i]))
@@ -57,13 +62,18 @@ FROM ranked WHERE rank <= {_TOP_K}
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a broadcast query set.
 
-    The query side is tiny (N/100 rows) → broadcast-NL join against the
-    full table; one scan of the big side, no shuffle of it. The window
-    ranks deterministically (cosine desc, then neighbor id).
+    The query side is bounded (%-sampled, then capped at _MAX_QUERIES
+    via TakeOrdered) → broadcast-NL join against the full table; one
+    scan of the big side, no shuffle of it, and the broadcast stays
+    O(1) as the corpus grows. The window ranks deterministically
+    (cosine desc, then neighbor id).
     """
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = v.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = (
+        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -85,8 +95,21 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF: coarse-quantized buckets, nprobe=1
 # ---------------------------------------------------------------------------
 
-_N_CENTROIDS = 8
 _IVF_K = 3
+# ceil(sqrt(N)) centroids — the classic IVF balance point: assignment is
+# N·√N dot products, each probe list averages √N vectors. Expressed as a
+# scalar subquery in the oracle so Spark and DuckDB derive the SAME
+# quantizer from the data at any SF.
+_CENTROIDS_SQL = (
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+)
+
+
+def n_centroids_for(n_rows: int) -> int:
+    """√N coarse-quantizer size (must mirror _CENTROIDS_SQL exactly)."""
+    import math
+
+    return max(1, int(math.ceil(math.sqrt(n_rows))))
 
 
 @register("q_ann_lsh_projection")  # ml-lib hash seeds → rows-only check
@@ -137,7 +160,8 @@ WITH v AS (
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
 ), c AS (
-  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v WHERE vec_id < {_N_CENTROIDS}
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+  WHERE vec_id < {_CENTROIDS_SQL}
 ), assign AS (
   SELECT vec_id, cent_id FROM (
     SELECT v.vec_id, c.cent_id,
@@ -151,6 +175,7 @@ WITH v AS (
   SELECT v.vec_id AS query_id, v.e AS qe, v.nrm AS qn, a.cent_id
   FROM v JOIN assign a USING (vec_id)
   WHERE v.vec_id % {_QUERY_MOD} = 0
+  ORDER BY v.vec_id LIMIT {_MAX_QUERIES}
 ), scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id, q.cent_id,
          list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * v.e[i]))
@@ -173,16 +198,21 @@ FROM ranked WHERE rank <= {_IVF_K}
 @register("q_ann_ivf_topk", oracle=_IVF_ORACLE)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: bucket every vector by nearest centroid
-    (deterministic coarse quantizer: the first {_N_CENTROIDS} vectors),
-    then each query searches only its own bucket (nprobe=1).
+    (deterministic coarse quantizer: the first ceil(√N) vectors), then
+    each query searches only its own bucket (nprobe=1).
 
-    Assignment is a broadcast-NL pass (N × C, C tiny); search is an
+    C = ceil(√N) scales the quantizer with the corpus — assignment is
+    N·√N dots, probe lists average √N vectors — instead of a fixed
+    constant that degenerates to brute force per bucket as N grows.
+    Assignment is a broadcast-NL pass (C rows broadcast); search is an
     equi-join on the centroid id — the sub-linear structure that
-    replaces brute force at scale. Recall vs brute force is asserted in
-    tests; raising nprobe trades cost for recall.
+    replaces brute force at scale. The query set is capped at
+    _MAX_QUERIES so its broadcast is O(1) in N. Recall vs brute force
+    is asserted in tests; raising nprobe trades cost for recall.
     """
     v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    c = v.filter(F.col("vec_id") < _N_CENTROIDS).select(
+    n_cent = n_centroids_for(v.count())  # parquet-metadata count: cheap
+    c = v.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
     sim_to_cent = cosine(F.col("embedding"), F.col("c_emb"))
@@ -194,10 +224,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cent_id")
     )
-    q = assign.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("cent_id"),
+    q = (
+        assign.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cent_id"),
+        )
     )
     scored = (
         assign.join(F.broadcast(q), "cent_id")

@@ -110,6 +110,41 @@ def test_lsh_projection_recall_vs_exact(spark):
     assert len(exact & lsh) / len(exact) >= 0.9
 
 
+def test_blocked_cosine_block_rows_bounded():
+    # per-block rows stay ≤ _TARGET_BLOCK_ROWS for ANY corpus size —
+    # a block is one Arrow row, so this bound IS the memory bound
+    import math
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _MIN_BLOCKS,
+        _TARGET_BLOCK_ROWS,
+        n_blocks_for,
+    )
+
+    for n in (1, 10, 500, 4096, 4097, 10**6, 10**9):
+        b = n_blocks_for(n)
+        assert b >= _MIN_BLOCKS
+        assert math.ceil(n / b) <= _TARGET_BLOCK_ROWS
+
+
+def test_exact_cosine_guard_refuses_large_input(spark, monkeypatch):
+    import end_to_end_aws_data_pipeline_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_EXACT_PAIRS_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="q_dedup_cosine_blocked"):
+        dd.q_dedup_embedding_cosine(spark, SF_SMOKE)
+
+
+def test_ivf_centroids_scale_as_sqrt():
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        n_centroids_for,
+    )
+
+    assert n_centroids_for(500) == 23
+    assert n_centroids_for(2000) == 45
+    assert n_centroids_for(10**8) == 10_000
+
+
 def test_cosine_pandas_matches_expression(spark):
     e = table(spark, SF_SMOKE, "embeddings").limit(50)
     a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
