@@ -2,12 +2,14 @@
 payloads + typed metadata structs, with decode / feature-extraction /
 frame-sampling as Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``NotImplementedError`` unless a real decoder is
-importable), while everything Spark-side is real and tested: the
-binary schema convention, partition-count preservation, the
-mapInPandas batch iterator signature, and a deterministic
-feature-extraction that the DuckDB oracle can verify arithmetically.
+Decode is REAL for the uncompressed formats a dependency-free engine
+can own: 24-bit BMP (BITMAPINFOHEADER, padded bottom-up rows) and
+binary PPM (P6), both parsed byte-by-byte in ``decode_image`` — no
+codec library involved. Compressed formats (PNG/JPEG/...) still raise
+``NotImplementedError`` until a codec library is plugged in; the rest
+of the pipeline — binary schema convention, partition-count
+preservation, the mapInPandas batch iterator signature, deterministic
+feature extraction — is independent of the codec and oracle-checked.
 
 Scale notes: binary payloads ride in parquet as byte arrays; metadata
 lives in a sibling struct so filters on media_type/size prune row
@@ -56,21 +58,108 @@ def to_binary_docs(documents: DataFrame, media_type: str = "image/fake") -> Data
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: decode an image payload to (height, width, channels) pixels.
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, BGR byte order, rows bottom-up, 4-byte padded)."""
+    import struct
 
-    No codec library ships in this environment; plug one in by
-    replacing this function (e.g. PIL.Image.open over io.BytesIO).
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+    import numpy as np
+
+    pix = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = pix.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pix[y, :, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (stride - len(row))
+    file_size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + body)
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    import numpy as np
+
+    pix = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = pix.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pix.tobytes()
+
+
+def _decode_bmp(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "image decode requires a codec library (e.g. pillow); "
-            "not available in this environment — deterministic fake "
-            "features are used instead (extract_features)"
-        ) from e
-    raise NotImplementedError("real decode path not wired in this build")
+            f"only 24-bit uncompressed BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        off = data_offset + r * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR → RGB
+    img = np.stack(rows[::-1] if bottom_up else rows)
+    return img
+
+
+def _decode_ppm(payload: bytes):
+    import numpy as np
+
+    # token scan: magic, width, height, maxval — honoring '#' comments
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM (maxval 255) is supported")
+    pos += 1  # single whitespace after maxval, then raster
+    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return img.reshape(h, w, 3)
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to an (h, w, 3) uint8 RGB numpy array.
+
+    Real, dependency-free decoders for uncompressed formats: 24-bit BMP
+    and binary PPM (P6). Compressed codecs (PNG/JPEG/...) are not
+    shipped in this environment and raise ``NotImplementedError`` —
+    plug in a codec library (e.g. PIL) to extend this dispatch.
+    """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "unsupported image codec (only 24-bit BMP and P6 PPM decode "
+        "without a codec library; install one, e.g. pillow, for "
+        "PNG/JPEG)"
+    )
 
 
 def extract_features(binary_docs: DataFrame) -> DataFrame:
@@ -152,6 +241,83 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     docs = table(spark, sf_dir, "documents")
     return extract_features(to_binary_docs(docs))
+
+
+# width/height/pixel derivation for the synthesized decode fixtures —
+# mirrored EXACTLY by the oracle SQL so DuckDB derives the expected
+# decoder output arithmetically, without any image code of its own
+_DEC_W = "(4 + doc_id % 29)"  # widths 4..32 → exercises all 4 BMP pads
+_DEC_H = "(4 + (doc_id // 7) % 23)"
+
+_DECODE_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST({_DEC_W} AS INT) AS width,
+       CAST({_DEC_H} AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(3 * list_sum(list_transform(
+             range(0, {_DEC_W} * {_DEC_H}),
+             i -> (i % {_DEC_W} + i // {_DEC_W} + doc_id) % 256))
+            AS BIGINT) AS pixel_sum
+FROM documents
+"""
+
+
+@register("q_multimodal_decode", oracle=_DECODE_ORACLE)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the full binary-column path.
+
+    Per document a deterministic gradient image (pixel = (x+y+doc_id)
+    mod 256 on all 3 channels, size derived from doc_id) is *encoded*
+    to actual BMP (even ids — padded bottom-up BGR rows) or PPM (odd
+    ids) bytes, then *decoded* back by the pure-python parsers in
+    ``decode_image``, all inside one Arrow-batched mapInPandas pass.
+    The oracle recomputes width/height/channels/pixel_sum arithmetically
+    — any header-parse, stride, row-order or channel-order bug in the
+    codec shows up as a hash mismatch.
+    """
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height", "channels", "pixel_sum"
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 29
+                h = 4 + (doc_id // 7) % 23
+                yy, xx = np.mgrid[0:h, 0:w]
+                val = ((xx + yy + doc_id) % 256).astype(np.uint8)
+                pix = np.repeat(val[:, :, None], 3, axis=2)
+                payload = encode_bmp(pix) if doc_id % 2 == 0 else encode_ppm(pix)
+                img = decode_image(payload)
+                out["doc_id"].append(doc_id)
+                out["format"].append("bmp" if doc_id % 2 == 0 else "ppm")
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["channels"].append(img.shape[2])
+                out["pixel_sum"].append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "format": out["format"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "channels": pd.Series(out["channels"], dtype="int32"),
+                    "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, format string, width int, height int, "
+            "channels int, pixel_sum long"
+        ),
+    )
 
 
 _FRAME_ORACLE = """

@@ -318,7 +318,11 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition top-N + merge) — an unpartitioned ranking window
     # would drag every distinct bigram to a single task at scale
     top = counted.orderBy(F.col("n").desc(), F.col("bigram")).limit(20)
-    w = W.orderBy(F.col("n").desc(), F.col("bigram"))  # 20 rows: harmless
+    # the unpartitioned window below sees ONLY the k=20 TakeOrdered
+    # survivors — its single-partition exec is bounded by k, not by the
+    # vocabulary, at any corpus size (WindowExec's "no partition" log
+    # line is about the 20-row input, not the corpus)
+    w = W.orderBy(F.col("n").desc(), F.col("bigram"))
     return top.withColumn("rnk", F.row_number().over(w)).select("bigram", "n", "rnk")
 
 

@@ -159,9 +159,36 @@ def test_cosine_pandas_matches_expression(spark):
         assert abs(r.expr_cos - r.udf_cos) < 1e-9
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_compressed_formats_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_bmp_roundtrip_all_paddings():
+    # widths 4..7 hit every BMP row-padding case (stride % 4)
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w in (4, 5, 6, 7, 33):
+        pix = rng.integers(0, 256, size=(9, w, 3), dtype=np.uint8)
+        out = decode_image(encode_bmp(pix))
+        assert out.shape == (9, w, 3)
+        assert (out == pix).all()
+
+
+def test_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import encode_ppm
+
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, size=(5, 8, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(pix)) == pix).all()
+    # header comments are legal PPM — the parser must skip them
+    commented = b"P6\n# a comment\n8 5\n255\n" + pix.tobytes()
+    assert (decode_image(commented) == pix).all()
 
 
 def test_multimodal_feature_schema_and_partitions(spark):
