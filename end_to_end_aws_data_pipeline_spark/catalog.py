@@ -38,9 +38,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
     reads only as a raw nanosecond long (``nanosAsLong`` conf, set in
-    session.py). Convert it here to a microsecond TimestampType —
-    truncation, the same thing DuckDB does internally — so every
-    downstream operator sees a real timestamp column.
+    session.py). Convert it here to a microsecond TimestampType so
+    every downstream operator sees a real timestamp column. The
+    conversion is FLOOR division in pure integer math (`div` truncates
+    toward zero, which would round pre-1970 nanos the wrong way;
+    float-based floor() would lose precision past 2^53 ns ≈ 1970+104d).
     """
     from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
 
@@ -49,7 +51,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
     return df
 
 

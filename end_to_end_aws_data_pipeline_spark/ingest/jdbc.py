@@ -8,10 +8,13 @@ executor task opens one connection, sends its partition in batches of
 ``batch_size``, and commits once per batch — thousands of times fewer
 round-trips, parallel across executors.
 
-No database driver ships in this environment, so the connection step is
-injected (``connection_factory``) and import-gated; the SQL generation
-— the part with reference semantics — is a pure function, unit-tested
-without a database.
+The connection step is injected (``connection_factory``) so any DB-API
+driver plugs in; the SQL generation — the part with reference semantics
+— is a pure function covering mysql (ON DUPLICATE KEY UPDATE),
+postgresql and sqlite (ON CONFLICT ... DO UPDATE). No mysql/postgres
+driver ships in this environment, but the full executor-side write path
+runs for real against stdlib sqlite3 in
+tests/test_ingest.py::test_jdbc_upsert_sqlite_roundtrip.
 """
 
 from __future__ import annotations
@@ -22,22 +25,52 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
-def upsert_sql(table: str, columns: list[str], dialect: str = "mysql") -> str:
+def upsert_sql(
+    table: str,
+    columns: list[str],
+    dialect: str = "mysql",
+    key_columns: list[str] | None = None,
+) -> str:
     """Parameterized upsert statement (reference shape, delta_load.py:182-186
     — but parameterized, never f-string literals: the reference's
     quote-doubling `format_value` (delta_load.py:160-166) is unnecessary
-    and injectable; bind parameters are both)."""
-    collist = ", ".join(f"`{c}`" for c in columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    and injectable; bind parameters are both).
+
+    mysql infers the conflict target from the table's unique keys;
+    postgresql/sqlite require it explicitly (``key_columns``). Non-key
+    columns are updated from the arriving row on conflict.
+    """
     if dialect == "mysql":
+        collist = ", ".join(f"`{c}`" for c in columns)
+        placeholders = ", ".join(["%s"] * len(columns))
         updates = ", ".join(f"`{c}`=VALUES(`{c}`)" for c in columns)
         return (
             f"INSERT INTO `{table}` ({collist}) VALUES ({placeholders}) "
             f"ON DUPLICATE KEY UPDATE {updates}"
         )
-    if dialect == "postgresql":
-        # requires key columns; caller passes them via columns order contract
-        raise NotImplementedError("postgres ON CONFLICT needs explicit key columns")
+    if dialect in ("postgresql", "sqlite"):
+        if not key_columns:
+            raise ValueError(
+                f"{dialect} ON CONFLICT needs explicit key_columns"
+            )
+        missing = [k for k in key_columns if k not in columns]
+        if missing:
+            raise ValueError(f"key_columns not in columns: {missing}")
+        mark = "%s" if dialect == "postgresql" else "?"
+        collist = ", ".join(f'"{c}"' for c in columns)
+        placeholders = ", ".join([mark] * len(columns))
+        keylist = ", ".join(f'"{k}"' for k in key_columns)
+        non_key = [c for c in columns if c not in key_columns]
+        if not non_key:  # pure-key row: conflict means "already there"
+            return (
+                f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders}) '
+                f"ON CONFLICT ({keylist}) DO NOTHING"
+            )
+        updates = ", ".join(f'"{c}"=EXCLUDED."{c}"' for c in non_key)
+        return (
+            f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders}) '
+            f"ON CONFLICT ({keylist}) DO UPDATE SET {updates}"
+        )
     raise ValueError(f"unsupported dialect: {dialect}")
 
 
@@ -53,15 +86,17 @@ def write_jdbc_upsert(
     connection_factory: Callable[[], Any],
     batch_size: int = 1000,
     dialect: str = "mysql",
+    key_columns: list[str] | None = None,
 ) -> None:
     """Distributed batched upsert via foreachPartition + executemany.
 
     ``connection_factory`` must be picklable (e.g. a top-level function
     closing over DSN strings) and is invoked once per partition on the
-    executor.
+    executor. ``key_columns`` is required for the postgresql/sqlite
+    dialects (explicit ON CONFLICT target).
     """
     columns = df.columns
-    sql = upsert_sql(table, columns, dialect)
+    sql = upsert_sql(table, columns, dialect, key_columns=key_columns)
 
     def _write_partition(rows) -> None:
         conn = connection_factory()

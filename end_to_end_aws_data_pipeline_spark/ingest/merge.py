@@ -31,7 +31,20 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     most one row per key (a table invariant this function preserves).
     Implementation: tag + union + one window over the key taking the
     highest-precedence row — a single hash shuffle, no join needed.
+
+    Schema drift between deliveries (a realistic CSV-pipeline input) is
+    rejected loudly: an increment with missing columns would otherwise
+    silently drop those columns from every existing row, and one with
+    extra columns would fail with an opaque AnalysisException.
     """
+    if set(base.columns) != set(updates.columns):
+        missing = sorted(set(base.columns) - set(updates.columns))
+        extra = sorted(set(updates.columns) - set(base.columns))
+        raise ValueError(
+            f"upsert schema drift: updates missing columns {missing}, "
+            f"unexpected columns {extra}; align the increment's schema "
+            f"to the table (or migrate the table) before merging"
+        )
     tagged_base = base.select(*updates.columns).withColumn("__prec", F.lit(0))
     tagged_upd = updates.withColumn("__prec", F.lit(1))
     w = W.partitionBy(*keys).orderBy(F.col("__prec").desc())
@@ -71,17 +84,25 @@ def merge_into_parquet(
         if partition_by is not None:
             merged.write.mode("overwrite").partitionBy(partition_by).parquet(target_dir)
             return spark.read.parquet(target_dir).count()
-    # write-to-temp + swap: never overwrite the directory still being
-    # scanned by the merge plan (cache-then-overwrite can lose evicted
-    # partitions; a temp swap is crash-safe)
+    # write-to-temp, rename old aside, promote, then delete old: never
+    # overwrite the directory still being scanned by the merge plan, and
+    # a valid table directory exists at target_dir at every instant —
+    # a crash between the two renames leaves the .__merge_old dir to
+    # clean up, never a missing table
     tmp_dir = target_dir.rstrip("/") + ".__merge_tmp"
+    old_dir = target_dir.rstrip("/") + ".__merge_old"
     merged.write.mode("overwrite").parquet(tmp_dir)
     n = spark.read.parquet(tmp_dir).count()
-    if os.path.exists(target_dir):
-        import shutil
+    import shutil
 
-        shutil.rmtree(target_dir)
+    if os.path.exists(old_dir):  # leftover from an interrupted merge
+        shutil.rmtree(old_dir)
+    had_target = os.path.exists(target_dir)
+    if had_target:
+        os.replace(target_dir, old_dir)
     os.replace(tmp_dir, target_dir)
+    if had_target:
+        shutil.rmtree(old_dir)
     return n
 
 
@@ -101,6 +122,15 @@ def _merge_partition_scoped(
     Untouched partition files are never read or rewritten.
     """
     affected = [r[0] for r in updates.select(partition_by).distinct().collect()]
+    if any(v is None for v in affected):
+        # isin() below never matches NULL, so a NULL partition key would
+        # silently skip the upsert against existing null-partition rows
+        # (__HIVE_DEFAULT_PARTITION__) and could duplicate keys there
+        raise ValueError(
+            f"updates contain NULL values in partition column "
+            f"{partition_by!r}; partition keys must be non-null for a "
+            f"partition-scoped merge"
+        )
     base = spark.read.parquet(target_dir)
     base_affected = base.filter(F.col(partition_by).isin(affected))
     merged = upsert(base_affected, updates, keys)

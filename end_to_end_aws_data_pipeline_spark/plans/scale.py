@@ -34,8 +34,16 @@ def salted_agg(
     builds the phase-2 re-aggregation over the phase-1 column names
     (sum→sum, count→sum, min→min, max→max; avg must be expressed as
     sum+count and divided after the merge).
+
+    The salt is a content hash of the full row, NOT
+    monotonically_increasing_id/spark_partition_id: those change when a
+    task is retried or the input is re-split, which would move rows
+    between salt buckets mid-job and skew (or in pathological recompute
+    interleavings, corrupt) the partials. A row hash is deterministic
+    under retries; it spreads a hot key because the non-key columns
+    vary within the key.
     """
-    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % n_salts
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
     phase1 = df.withColumn("__salt", salt).groupBy(*group_cols, "__salt").agg(*aggs())
     return phase1.groupBy(*group_cols).agg(*merge_aggs())
 
@@ -54,9 +62,9 @@ def salted_join_left_hot(
     side is much smaller than the skewed left (else rely on AQE's
     runtime skew splitting, enabled by default in session.py).
     """
+    # content-hash salt: deterministic under task retries (see salted_agg)
     lsalt = left.withColumn(
-        "__salt",
-        (F.spark_partition_id() + F.monotonically_increasing_id()) % n_salts,
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(n_salts))
     )
     rsalt = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

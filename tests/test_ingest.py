@@ -122,6 +122,57 @@ def test_upsert_sql_shape():
     )
 
 
+def test_upsert_sql_postgres_and_sqlite():
+    pg = upsert_sql("t", ["k", "a", "b"], dialect="postgresql", key_columns=["k"])
+    assert pg == (
+        'INSERT INTO "t" ("k", "a", "b") VALUES (%s, %s, %s) '
+        'ON CONFLICT ("k") DO UPDATE SET "a"=EXCLUDED."a", "b"=EXCLUDED."b"'
+    )
+    lite = upsert_sql("t", ["k", "v"], dialect="sqlite", key_columns=["k"])
+    assert lite == (
+        'INSERT INTO "t" ("k", "v") VALUES (?, ?) '
+        'ON CONFLICT ("k") DO UPDATE SET "v"=EXCLUDED."v"'
+    )
+    keys_only = upsert_sql("t", ["k"], dialect="sqlite", key_columns=["k"])
+    assert keys_only.endswith("DO NOTHING")
+    with pytest.raises(ValueError, match="key_columns"):
+        upsert_sql("t", ["k", "v"], dialect="postgresql")
+    with pytest.raises(ValueError, match="not in columns"):
+        upsert_sql("t", ["k", "v"], dialect="sqlite", key_columns=["zz"])
+
+
+def test_jdbc_upsert_sqlite_roundtrip(spark, tmp_path):
+    """write_jdbc_upsert executes against a REAL database: stdlib
+    sqlite3 through the same foreachPartition + executemany path a
+    mysql/postgres driver would use."""
+    import sqlite3
+
+    from end_to_end_aws_data_pipeline_spark.ingest.jdbc import write_jdbc_upsert
+
+    db = str(tmp_path / "upsert.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+        conn.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(1, "old"), (2, "keep")]
+        )
+        conn.commit()
+
+    df = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
+    # single partition: sqlite's writer lock rejects concurrent writers
+    write_jdbc_upsert(
+        df.coalesce(1),
+        "t",
+        connection_factory=lambda: sqlite3.connect(db),
+        batch_size=1,  # exercise the mid-partition commit path too
+        dialect="sqlite",
+        key_columns=["k"],
+    )
+
+    with sqlite3.connect(db) as conn:
+        got = sorted(conn.execute("SELECT k, v FROM t").fetchall())
+    assert got == [(1, "new"), (2, "keep"), (3, "ins")]
+
+
 # ---------------------------------------------------------------------------
 # end-to-end incremental pipeline (EP1/EP2, SURVEY.md §3)
 # ---------------------------------------------------------------------------
