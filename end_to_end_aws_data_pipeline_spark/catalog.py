@@ -50,10 +50,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # a µs-precision source (e.g. a rewritten copy of the table)
+            # reads as NTZ; normalize to the session-TZ timestamp every
+            # operator expects (session TZ is pinned UTC, so this is a
+            # pure type change, not a clock shift)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -548,3 +548,116 @@ def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: near-dup pairs -> transitive duplicate GROUPS
+# (connected components), the step that turns pairwise dedup output into
+# keep-one-per-cluster decisions for a training corpus
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+         )) AS s
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {_JACCARD_TAU}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node
+), labeled AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labeled
+"""
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Label every node of an undirected edge list ``(src, dst)`` with
+    the minimum node id reachable from it (its connected component).
+
+    Pregel-style min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — one shuffle per
+    round, converging in graph-diameter rounds. Near-dup graphs have
+    tiny components (a duplicate family), so the diameter is small and
+    this beats the O(log n)-round star-contraction algorithms
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) in constant factors; swap in large-star/small-star if a
+    corpus ever shows giant components. ``localCheckpoint`` truncates
+    the lineage each round so the plan does not grow unboundedly.
+    """
+    both = edges.toDF("src", "dst")
+    fwd = both.union(both.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+    labels = (
+        fwd.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            fwd.join(labels, fwd.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("q_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: the 3-shingle Jaccard pairs (same edge
+    set as q_dedup_ngram_jaccard) closed under transitivity, labeling
+    each clustered doc with min-doc_id-in-component + the cluster size.
+
+    This is the operator a curation pipeline actually acts on — "keep
+    cluster_id, drop the rest" — rather than raw pairs. The oracle
+    computes the identical labeling with a recursive CTE in DuckDB, so
+    the distributed fixpoint is checked against an independent
+    single-node graph traversal.
+    """
+    from pyspark.sql import Window as W
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    w = W.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))

@@ -110,6 +110,25 @@ def test_lsh_projection_recall_vs_exact(spark):
     assert len(exact & lsh) / len(exact) >= 0.9
 
 
+def test_connected_components_chain_and_islands(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # a 2-cycle {7,8}, and a self-contained pair {10,11}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8), (8, 7), (10, 11)],
+        "src long, dst long",
+    )
+    got = {(r.node, r.label) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (7, 7), (8, 7),
+        (10, 10), (11, 10),
+    }
+
+
 def test_blocked_cosine_block_rows_bounded():
     # per-block rows stay ≤ _TARGET_BLOCK_ROWS for ANY corpus size —
     # a block is one Arrow row, so this bound IS the memory bound

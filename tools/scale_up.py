@@ -1,0 +1,90 @@
+"""Key-consistent synthetic scale-up of a testdata SF directory.
+
+Replicates every sf-scaling table R times with entity keys shifted by a
+per-copy offset, preserving referential integrity (lineitem.l_orderkey
+still joins orders.o_orderkey, orders.o_custkey still joins
+customer.c_custkey, ...), so every engine query runs unchanged at R×
+the data. Fixed-cardinality dims (region, nation) are copied verbatim.
+
+Used to produce local scaling evidence (SCALING.md): the driver ships
+sf0.001/0.01/0.1 only; `python tools/scale_up.py` materializes an
+sf1-equivalent under the repo-local (gitignored) .benchdata/ so
+bench.py can measure a true 10× scale step.
+
+Usage: python tools/scale_up.py [SRC] [DST] [R]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# per-table key columns shifted by (copy_index * stride[entity]);
+# stride = max(key)+1 of the owning entity so copies never collide
+_ENTITY_KEY = {
+    "orders": ("orders", "o_orderkey"),
+    "customer": ("customer", "c_custkey"),
+    "part": ("part", "p_partkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "events": ("events", "event_id"),
+    "users": ("events", "user_id"),
+    "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
+}
+
+_SHIFTS: dict[str, list[tuple[str, str]]] = {
+    "region": [],
+    "nation": [],
+    "customer": [("c_custkey", "customer")],
+    "supplier": [("s_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem": [
+        ("l_orderkey", "orders"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supplier"),
+    ],
+    # ts is re-cast to TIMESTAMP_NS on write so the scaled copy keeps
+    # the source's parquet TIMESTAMP(NANOS) physical type (the engine's
+    # nanosAsLong read path stays exercised at scale)
+    "events": [("event_id", "events"), ("user_id", "users")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+
+
+def scale_up(src: str, dst: str, r: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    stride = {
+        ent: con.sql(
+            f"SELECT max({col}) + 1 FROM '{src}/{tbl}.parquet'"
+        ).fetchone()[0]
+        for ent, (tbl, col) in _ENTITY_KEY.items()
+    }
+    for table, shifts in _SHIFTS.items():
+        parts = []
+        for i in range(r if shifts else 1):
+            if shifts:
+                repls = [
+                    f"{col} + {i * stride[ent]} AS {col}" for col, ent in shifts
+                ]
+                if table == "events":
+                    repls.append("CAST(ts AS TIMESTAMP_NS) AS ts")
+                parts.append(f"SELECT * REPLACE ({', '.join(repls)}) FROM src")
+            else:
+                parts.append("SELECT * FROM src")
+        union = " UNION ALL ".join(parts)
+        con.sql(f"CREATE OR REPLACE VIEW src AS FROM '{src}/{table}.parquet'")
+        con.sql(f"COPY ({union}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
+    r = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    scale_up(src, dst, r)
