@@ -3,91 +3,183 @@ brute-force cosine top-k as the exactness baseline, IVF (inverted-file)
 partitioned search as the scale path (ICDE'21 / EDBT'20 top-k
 similarity-search shape, PAPERS.md).
 
+Numeric core: vectors are unit-normalized then quantized to int64
+(×1e8, same formulation as the blocked Gram dedup in operators/dedup.py)
+so every dot product is EXACT, ASSOCIATIVE integer arithmetic. That
+buys two things at once:
+- cross-engine determinism: DuckDB recomputes identical integers, so
+  the driver hash-check holds with no float-order caveats;
+- vectorizability: an exact int64 matmul (numpy, inside Arrow-batched
+  mapInPandas) replaces per-pair interpreted expression folds — the
+  10× scale step (SCALING.md) showed the fold-based variants spending
+  >80% of their time in expression interpretation.
+
 Scale posture:
-- brute force is O(|Q|·N): fine when the query set broadcasts; the
-  fact side streams through one scan, top-k folds per partition before
-  the final merge (window + filter → partial TakeOrdered under AQE).
+- brute force is O(|Q|·N): the fact side streams through one scan in
+  Arrow batches; each batch emits only its per-query top-k (map-side
+  combine for top-k), so the final merge sees |batches|·|Q|·k rows,
+  never N·|Q|.
 - IVF makes search sub-linear: vectors are bucketed by nearest
-  centroid once (linear pass), queries probe only their bucket(s).
-  Centroid count √N keeps both passes balanced; buckets are the join
-  key, so probing is an equi-join, not a cross product.
-- both paths are pure expressions (zip_with folds) — bit-deterministic,
-  oracle-checkable, no Python in the row loop.
+  centroid once (one N×C matmul pass), queries probe only their bucket
+  (equi-join on cent_id, nprobe=1). C = ceil(√N) keeps build and probe
+  balanced; the centroid matrix rides to executors in the task closure
+  (√N·dim·8 bytes — 16 MB at N=1e9, broadcast-variable territory but
+  bounded).
+- the query set is %-sampled then capped at _MAX_QUERIES so its
+  footprint is O(1) in corpus size; larger query sets loop in batches.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
-from end_to_end_aws_data_pipeline_spark.functions.vector import cosine
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _TOP_K = 5
 _QUERY_MOD = 100  # vec_id % 100 == 0 → deterministic query set at any SF
-_MAX_QUERIES = 64  # hard cap on the broadcast query side: without it the
-# %100 sample grows as N/100 and the broadcast eventually stops fitting;
-# with it the driver-side state is O(1) in corpus size. Larger query
-# sets should loop in _MAX_QUERIES-sized batches (one scan each).
+_MAX_QUERIES = 64  # hard cap on the query side: without it the %-sample
+# grows as N/100 and per-task query state eventually stops fitting; with
+# it the footprint is O(1) in corpus size. Larger query sets should loop
+# in _MAX_QUERIES-sized batches (one scan each).
+
+_Q_SCALE = 100_000_000  # 1e8 quantization (see operators/dedup.py): dots
+_SCALE_SQ = _Q_SCALE * _Q_SCALE  # fit int64 with headroom, ~1e-8 resolution
+
+# quantized-vector CTE shared by both oracles — mirrors _quantized()
+# exactly so Spark and DuckDB derive identical integers
+_QV_SQL = f"""
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(
+           (CAST(x AS DOUBLE) /
+             sqrt(list_sum(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+           ) * {_Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+"""
+
+# ceil(sqrt(N)) centroids — the classic IVF balance point: assignment is
+# N·√N dot products, each probe list averages √N vectors. Expressed as a
+# scalar subquery in the oracle so Spark and DuckDB derive the SAME
+# quantizer from the data at any SF.
+_CENTROIDS_SQL = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+
+
+def n_centroids_for(n_rows: int) -> int:
+    """√N coarse-quantizer size (must mirror _CENTROIDS_SQL exactly)."""
+    import math
+
+    return max(1, int(math.ceil(math.sqrt(n_rows))))
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, q array<long>): unit-normalized int64
+    quantization (must mirror _QV_SQL exactly)."""
+    from end_to_end_aws_data_pipeline_spark.functions.vector import l2_normalize
+
+    quant = F.transform(
+        l2_normalize(F.col("embedding")),
+        lambda x: F.round(x * _Q_SCALE).cast("long"),
+    )
+    return table(spark, sf_dir, "embeddings").select("vec_id", quant.alias("q"))
+
+
+def _query_matrix(qdf: DataFrame):
+    """Collect the (bounded) query set to a dense int64 matrix.
+
+    Driver-side by design: the set is capped at _MAX_QUERIES rows, so
+    this is O(1) state shipped to executors in the task closure.
+    """
+    import numpy as np
+
+    rows = qdf.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["q"] for r in rows], dtype=np.int64)
+    return ids, mat
+
+
+def _cosine_out(col: str = "dot_q"):
+    return F.round(F.col(col).cast("double") / _SCALE_SQ, 6).alias("cosine")
+
 
 _BRUTE_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
-), q AS (
-  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM v
+WITH v AS ({_QV_SQL}
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq FROM v
   WHERE vec_id % {_QUERY_MOD} = 0
   ORDER BY vec_id LIMIT {_MAX_QUERIES}
 ), scored AS (
-  SELECT q.query_id, v.vec_id AS neighbor_id,
-         list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * v.e[i]))
-           / (qn * v.nrm) AS cos
-  FROM q JOIN v ON v.vec_id <> q.query_id
+  SELECT qs.query_id, v.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qq)+1), i -> qq[i] * v.q[i]))
+           AS dot_q
+  FROM qs JOIN v ON v.vec_id <> qs.query_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
-           AS rank
+  SELECT query_id, neighbor_id, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-       round(cos, 6) AS cosine
+       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
 FROM ranked WHERE rank <= {_TOP_K}
 """
 
 
 @register("q_ann_bruteforce_topk", oracle=_BRUTE_ORACLE)
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for a broadcast query set.
+    """Exact top-k neighbors for a bounded query set, one scan of the
+    corpus.
 
-    The query side is bounded (%-sampled, then capped at _MAX_QUERIES
-    via TakeOrdered) → broadcast-NL join against the full table; one
-    scan of the big side, no shuffle of it, and the broadcast stays
-    O(1) as the corpus grows. The window ranks deterministically
-    (cosine desc, then neighbor id).
+    Each Arrow batch computes a B×|Q| int64 matmul and emits ONLY its
+    per-query top-k (dot desc, id asc) — map-side combine for top-k —
+    so the final exact merge ranks |batches|·|Q|·k candidate rows, not
+    N·|Q|. Integer dots make the batch-local pruning safe: partial
+    top-k of an exact total order composes to the global top-k.
     """
-    v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = (
-        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .orderBy("vec_id")
-        .limit(_MAX_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    import numpy as np
+
+    v = _quantized(spark, sf_dir)
+    qdf = (
+        v.filter(F.col("vec_id") % _QUERY_MOD == 0).orderBy("vec_id").limit(_MAX_QUERIES)
     )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    q_ids, q_mat = _query_matrix(qdf)
+
+    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            s = m @ q_mat.T  # B×|Q| exact int64 dots
+            out_q, out_n, out_d = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                col, nid = s[mask, j], ids[mask]
+                take = min(_TOP_K, len(nid))
+                # batch-local top-k by (dot desc, neighbor asc)
+                order = np.lexsort((nid, -col))[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(nid[order])
+                out_d.extend(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "dot_q": pd.Series(out_d, dtype="int64"),
+                }
+            )
+
+    cand = v.mapInPandas(_score, schema="query_id long, neighbor_id long, dot_q long")
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", _cosine_out())
     )
 
 
@@ -96,20 +188,6 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_K = 3
-# ceil(sqrt(N)) centroids — the classic IVF balance point: assignment is
-# N·√N dot products, each probe list averages √N vectors. Expressed as a
-# scalar subquery in the oracle so Spark and DuckDB derive the SAME
-# quantizer from the data at any SF.
-_CENTROIDS_SQL = (
-    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
-)
-
-
-def n_centroids_for(n_rows: int) -> int:
-    """√N coarse-quantizer size (must mirror _CENTROIDS_SQL exactly)."""
-    import math
-
-    return max(1, int(math.ceil(math.sqrt(n_rows))))
 
 
 @register("q_ann_lsh_projection")  # ml-lib hash seeds → rows-only check
@@ -153,44 +231,42 @@ def q_ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
 _IVF_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-  FROM embeddings
+WITH v AS ({_QV_SQL}
 ), c AS (
-  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM v
+  SELECT vec_id AS cent_id, q AS cq FROM v
   WHERE vec_id < {_CENTROIDS_SQL}
 ), assign AS (
   SELECT vec_id, cent_id FROM (
     SELECT v.vec_id, c.cent_id,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY list_sum(list_transform(range(1, len(e)+1),
-                      i -> e[i] * ce[i])) / (nrm * cn) DESC, c.cent_id) AS rn
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
     FROM v CROSS JOIN c
   ) WHERE rn = 1
-), q AS (
-  SELECT v.vec_id AS query_id, v.e AS qe, v.nrm AS qn, a.cent_id
+), qs AS (
+  SELECT v.vec_id AS query_id, v.q AS qq, a.cent_id
   FROM v JOIN assign a USING (vec_id)
   WHERE v.vec_id % {_QUERY_MOD} = 0
   ORDER BY v.vec_id LIMIT {_MAX_QUERIES}
 ), scored AS (
-  SELECT q.query_id, v.vec_id AS neighbor_id, q.cent_id,
-         list_sum(list_transform(range(1, len(qe)+1), i -> qe[i] * v.e[i]))
-           / (qn * v.nrm) AS cos
-  FROM q
-  JOIN assign a ON a.cent_id = q.cent_id
-  JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> q.query_id
+  SELECT qs.query_id, v.vec_id AS neighbor_id, qs.cent_id,
+         list_sum(list_transform(range(1, len(qq)+1), i -> qq[i] * v.q[i]))
+           AS dot_q
+  FROM qs
+  JOIN assign a ON a.cent_id = qs.cent_id
+  JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> qs.query_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, cent_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
-           AS rank
+  SELECT query_id, neighbor_id, cent_id, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
-       CAST(rank AS INT) AS rank, round(cos, 6) AS cosine
+       CAST(rank AS INT) AS rank,
+       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
 FROM ranked WHERE rank <= {_IVF_K}
 """
 
@@ -201,58 +277,73 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic coarse quantizer: the first ceil(√N) vectors), then
     each query searches only its own bucket (nprobe=1).
 
-    C = ceil(√N) scales the quantizer with the corpus — assignment is
-    N·√N dots, probe lists average √N vectors — instead of a fixed
-    constant that degenerates to brute force per bucket as N grows.
-    Assignment is a broadcast-NL pass (C rows broadcast); search is an
-    equi-join on the centroid id — the sub-linear structure that
-    replaces brute force at scale. The query set is capped at
-    _MAX_QUERIES so its broadcast is O(1) in N. Recall vs brute force
-    is asserted in tests; raising nprobe trades cost for recall.
+    Assignment — the N×C pass that dominates IVF build cost — is one
+    exact int64 matmul per Arrow batch (B×C), argmax with ties to the
+    lowest cent_id; the measured 10× scale step showed this ~30× faster
+    than per-pair expression folds. Probe scoring stays a JVM-side
+    integer fold: each query touches ~√N bucket rows, so that phase is
+    sub-linear and never the bottleneck. Recall vs brute force is
+    asserted in tests; raising nprobe trades cost for recall.
     """
-    v = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    import numpy as np
+
+    v = _quantized(spark, sf_dir)
     n_cent = n_centroids_for(v.count())  # parquet-metadata count: cheap
-    c = v.filter(F.col("vec_id") < n_cent).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    cent_ids, cent_mat = _query_matrix(
+        v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
     )
-    sim_to_cent = cosine(F.col("embedding"), F.col("c_emb"))
-    aw = W.partitionBy("vec_id").orderBy(F.col("__cs").desc(), F.col("cent_id"))
-    assign = (
-        v.crossJoin(F.broadcast(c))
-        .select("vec_id", "embedding", "cent_id", sim_to_cent.alias("__cs"))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+
+    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            s = m @ cent_mat.T  # B×C exact int64 dots
+            # argmax takes the FIRST max; cent_ids ascend, so ties
+            # resolve to the lowest cent_id — same as the oracle's
+            # (dot DESC, cent_id) ranking
+            best = s.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cent_id": pd.Series(cent_ids[best], dtype="int64"),
+                    "q": pdf["q"],
+                }
+            )
+
+    assign = v.mapInPandas(_assign, schema="vec_id long, cent_id long, q array<long>")
+    # assign the (bounded) query set on the driver with the identical
+    # int64 argmax — otherwise deriving it from `assign` would run the
+    # corpus-wide assignment pass twice (once for 64 rows)
+    q_ids, q_mat = _query_matrix(
+        v.filter(F.col("vec_id") % _QUERY_MOD == 0).orderBy("vec_id").limit(_MAX_QUERIES)
     )
-    q = (
-        assign.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .orderBy("vec_id")
-        .limit(_MAX_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("cent_id"),
-        )
+    q_cents = cent_ids[(q_mat @ cent_mat.T).argmax(axis=1)]
+    qs = spark.createDataFrame(
+        [
+            (int(qid), [int(x) for x in qv], int(cid))
+            for qid, qv, cid in zip(q_ids, q_mat, q_cents)
+        ],
+        schema="query_id long, qq array<long>, cent_id long",
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     scored = (
-        assign.join(F.broadcast(q), "cent_id")
+        assign.join(F.broadcast(qs), "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("cent_id").cast("long").alias("probed_centroid"),
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            dot_q.alias("dot_q"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _IVF_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "probed_centroid",
-            "rank",
-            F.round("cos", 6).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", "probed_centroid", "rank", _cosine_out())
     )
