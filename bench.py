@@ -53,6 +53,9 @@ HEADLINE = (
     "q_text_fingerprint",
     "q_tfidf_top_terms",
     "q_multimodal_features",
+    "q_multimodal_decode",
+    "q_dedup_clusters",
+    "q_sql_pricing_summary",
 )
 
 

@@ -77,10 +77,21 @@ def shingles(text: Column, k: int = 3) -> Column:
     Pure expression: split → slide a k-window via transform over an
     index sequence → concat — stays in codegen, no UDF.
     """
+    # k-1 shifted slices zipped element-wise: each zip_with pass does one
+    # cheap concat per element, vs the transform-over-index form whose
+    # per-window slice/get chain ran ~8-10x slower (HOF lambdas are
+    # interpreted, so expression size per element is what matters).
+    # zip_with pads the shorter side with NULL and concat_ws skips
+    # NULLs, so the short tail windows come out identical to a
+    # truncated slice; the final slice drops those tails, keeping
+    # max(W-k+1, 1) windows — same as the index-sequence bound.
     words = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    return F.array_distinct(sh)
+    n = F.size(words)
+    tri = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+        tri = F.zip_with(tri, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(F.slice(tri, 1, F.greatest(n - k + 1, F.lit(1))))
 
 
 _JACCARD_TAU = 0.6
@@ -118,8 +129,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (explode shingles → equi-join on shingle → count shared →
     |∩| / |∪|). Output-bound, not quadratic: only docs sharing a
     shingle ever meet in the join."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(F.col("text")).alias("s")
+    from pyspark import StorageLevel
+
+    # persist the shingled projection: it feeds FOUR consumers (both
+    # sides of the inverted-index self-join + both size lookups), and
+    # shingling is the dominant per-doc cost — without this the HOF
+    # window-concat runs 4x. MEMORY_AND_DISK spills gracefully when the
+    # shingle corpus outgrows executor memory at scale.
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", shingles(F.col("text")).alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tok = d.select("doc_id", F.explode("s").alias("shingle"))
     sizes = d.select("doc_id", F.size("s").alias("n"))
@@ -612,7 +632,15 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     the lineage each round so the plan does not grow unboundedly.
     """
     both = edges.toDF("src", "dst")
-    fwd = both.union(both.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+    # materialize the symmetrized edge list ONCE: without this every
+    # iteration's neighbor join AND convergence count would re-run the
+    # full upstream pair-generation plan (for near-dup input, the whole
+    # shingle-explode + self-join pipeline) per round
+    fwd = (
+        both.union(both.select(F.col("dst"), F.col("src")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         fwd.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
