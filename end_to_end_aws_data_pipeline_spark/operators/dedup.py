@@ -141,7 +141,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles(F.col("text")).alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tok = d.select("doc_id", F.explode("s").alias("shingle"))
+    # join on xxhash64(shingle), not the string: the inverted-index
+    # shuffle moves 8-byte longs instead of ~25-byte strings and the
+    # sort/compare is a long compare. Collisions would need two distinct
+    # shingles in the SAME doc pair to alias (P ~ |vocab|^2 / 2^64 —
+    # negligible, and the exact |union| denominator is unaffected).
+    tok = d.select("doc_id", F.explode("s").alias("sh_str")).select(
+        "doc_id", F.xxhash64("sh_str").alias("shingle")
+    )
     sizes = d.select("doc_id", F.size("s").alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     shared = (
