@@ -157,6 +157,82 @@ def q_stream_exactly_once_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       p.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+"""
+
+
+@register("q_stream_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed for real inside the gate:
+    two watermarked file streams over the same event log (clicks /
+    purchases), inner-joined on user with a 30-minute attribution
+    window (click at or before the purchase, within 30 min). With
+    availableNow + 1h watermarks no pair is dropped, so the streamed
+    append output equals the batch interval join the oracle runs.
+
+    State bound at scale: each side buffers only rows newer than
+    (max event time - watermark - interval), so executor state is
+    O(arrival rate x 1.5h), not O(stream length).
+    """
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    name = f"__stream_join_{next(_counter)}"
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir_for(path))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")).alias(
+                    f"{prefix}_ts"
+                ),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks, purchases = side("click", "click"), side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    q = (
+        joined.select(
+            "click_id",
+            "purchase_id",
+            F.col("purchase_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _STATEFUL_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
