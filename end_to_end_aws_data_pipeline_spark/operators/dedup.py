@@ -123,12 +123,12 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {_JACCARD_TAU}
 """
 
 
-@register("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs by 3-shingle Jaccard ≥ 0.6 via inverted-index
-    join (explode shingles → equi-join on shingle → count shared →
-    |∩| / |∪|). Output-bound, not quadratic: only docs sharing a
-    shingle ever meet in the join."""
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
+    """Exact near-dup pairs ``(doc_a, doc_b, jaccard)`` by 3-shingle
+    Jaccard ≥ ``tau`` over a ``(doc_id, text)`` corpus, via
+    inverted-index join (explode shingles → equi-join on shingle →
+    count shared → |∩| / |∪|). Output-bound, not quadratic: only docs
+    sharing a shingle ever meet in the join."""
     from pyspark import StorageLevel
 
     # persist the shingled projection: it feeds FOUR consumers (both
@@ -136,10 +136,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling is the dominant per-doc cost — without this the HOF
     # window-concat runs 4x. MEMORY_AND_DISK spills gracefully when the
     # shingle corpus outgrows executor memory at scale.
-    d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", shingles(F.col("text")).alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    d = docs.select("doc_id", shingles(F.col("text")).alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     # join on xxhash64(shingle), not the string: the inverted-index
     # shuffle moves 8-byte longs instead of ~25-byte strings and the
@@ -170,8 +168,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_TAU)
+        .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs over the documents table (see
+    :func:`ngram_jaccard_pairs`)."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -687,12 +694,54 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical labeling with a recursive CTE in DuckDB, so
     the distributed fixpoint is checked against an independent
     single-node graph traversal.
+
+    Scale shape: exact duplicates are collapsed FIRST — identical texts
+    have identical shingle sets, so they share every neighbor and are
+    pairwise J=1 edges; clustering one representative per distinct text
+    and expanding membership afterwards is exactly equivalent to running
+    on the full corpus, while shrinking the inverted-index posting lists
+    (whose pair-join cost is quadratic in per-shingle document
+    frequency). This is the standard exact-then-near dedup order of a
+    production curation pipeline; on a clone-heavy corpus it turns a
+    superlinear blowup back into ~linear work.
     """
     from pyspark.sql import Window as W
 
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one representative (min doc_id) per distinct text; group on a
+    # 256-bit digest so the exact-dedup shuffle moves 32 bytes, not the
+    # full text
+    grp = (
+        docs.groupBy(F.sha2("text", 256).alias("__h"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    member = docs.select(
+        "doc_id", F.sha2("text", 256).alias("__h")
+    ).join(grp.select("__h", "rep_id"), "__h").select("doc_id", "rep_id")
+    reps = (
+        docs.join(
+            grp.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
+        )
+    )
+    pairs = ngram_jaccard_pairs(reps).select("doc_a", "doc_b")
+    labels = connected_components(pairs)  # rep_id -> component label
+    # a rep is clustered if it has a near-dup edge (in `labels`) or its
+    # text occurs more than once (clones are J=1 edges by definition);
+    # component label = min doc_id = min rep_id in the component
+    rep_label = (
+        grp.select("rep_id", "n_members")
+        .join(labels, F.col("rep_id") == F.col("node"), "left")
+        .select(
+            "rep_id",
+            "n_members",
+            F.coalesce(F.col("label"), F.col("rep_id")).alias("cluster_id"),
+            F.col("label").isNotNull().alias("has_edge"),
+        )
+        .filter(F.col("has_edge") | (F.col("n_members") > 1))
+    )
     w = W.partitionBy("cluster_id")
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    return (
+        member.join(rep_label, "rep_id")
+        .select("doc_id", "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
