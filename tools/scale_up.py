@@ -73,6 +73,24 @@ def scale_up(src: str, dst: str, r: int) -> None:
                 ]
                 if table == "events":
                     repls.append("CAST(ts AS TIMESTAMP_NS) AS ts")
+                if table == "documents" and i > 0:
+                    # perturb text per copy: inject a copy-unique token
+                    # between every pair of words, so every shingle of
+                    # copy i differs from every shingle of copy j — a
+                    # verbatim-cloned corpus is NOT a realistic 10x
+                    # scale-up (it multiplies per-shingle document
+                    # frequency by R and the near-dup pair join, being
+                    # quadratic in df, by R^2; and it welds clone
+                    # groups into mega duplicate-clusters). Copy 0
+                    # keeps the original texts and their pair
+                    # structure; each perturbed copy carries its own.
+                    repls.append(
+                        f"regexp_replace(text, ' ', ' c{i} ', 'g') AS text"
+                    )
+                    repls.append(
+                        f"length(regexp_replace(text, ' ', ' c{i} ', 'g'))"
+                        " AS n_chars"
+                    )
                 parts.append(f"SELECT * REPLACE ({', '.join(repls)}) FROM src")
             else:
                 parts.append("SELECT * FROM src")
