@@ -1,0 +1,384 @@
+"""Training-data curation operators: deterministic splits, corpus
+mixing, contamination checks, PII redaction, repetition filters, and
+token-budget packing.
+
+These are the steps between "raw corpus" and "training shards" that the
+dedup/similarity/text modules don't cover. Everything is expression-only
+(no UDFs) and keyed on *deterministic arithmetic hashes* rather than
+engine RNG, so results are reproducible across engines, retries, and
+cluster sizes — the property that matters when a split assignment must
+never change under re-runs (val-set leakage). Each query has an exact
+DuckDB oracle.
+
+Scale notes: every op here is a narrow projection + one hash-partition
+aggregate, no self-joins except contamination (an inverted-index
+semi-join, output-bound like dedup). Packing is stratified — each of
+``_PACK_STRATA`` strata packs independently with a per-stratum window,
+so the sequential cumsum never concentrates on one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# Knuth multiplicative hash: maps a BIGINT key to a pseudo-uniform
+# bucket in [0, 1000). Pure integer arithmetic → bit-identical in any
+# engine, unlike rand(seed) which is engine-specific.
+_KNUTH = 2654435761
+
+
+def hash_bucket(key, buckets: int = 1000):
+    """Deterministic pseudo-uniform bucket in [0, buckets) for a
+    non-negative integral key column (pure arithmetic, engine-neutral)."""
+    return F.pmod(F.col(key).cast("long") * F.lit(_KNUTH), F.lit(buckets))
+
+
+def _bucket_sql(key: str, buckets: int = 1000) -> str:
+    return f"(({key} * {_KNUTH}) % {buckets} + {buckets}) % {buckets}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_BOUNDS = (("train", 0, 800), ("val", 800, 900), ("test", 900, 1000))
+
+
+def assign_split(df: DataFrame, key: str) -> DataFrame:
+    """Add a ``split`` column (train/val/test 80/10/10) keyed on a
+    deterministic hash of ``key`` — stable under re-runs, retries,
+    repartitioning, and engine version changes."""
+    b = hash_bucket(key)
+    expr = F.lit("test")
+    for name, lo, hi in reversed(_SPLIT_BOUNDS[:-1]):
+        expr = F.when(b < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, n_chars, {_bucket_sql("doc_id")} AS bkt FROM documents
+)
+SELECT CASE WHEN bkt < 800 THEN 'train'
+            WHEN bkt < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM b GROUP BY 1
+"""
+
+
+@register("q_curation_split", oracle=_SPLIT_ORACLE)
+def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split of the documents corpus; the
+    id_checksum proves the exact same documents land in each split in
+    both engines (not just the same counts)."""
+    d = assign_split(table(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted corpus mixing
+# ---------------------------------------------------------------------------
+
+# per-source sampling rates (per-mille). A training mix keeps
+# high-quality sources at full weight and downsamples the rest.
+_MIX_RATES = {
+    "src0": 1000, "src1": 750, "src2": 500, "src3": 500, "src4": 250,
+    "src5": 250, "src6": 100, "src7": 100, "src8": 50, "src9": 50,
+}
+
+
+def sample_by_rate(df: DataFrame, key: str, rate_col, buckets: int = 1000):
+    """Keep rows whose deterministic hash bucket falls under the
+    row's per-mille rate: exact, reproducible weighted sampling with no
+    RNG state (a row is kept or not independent of partitioning)."""
+    return df.filter(hash_bucket(key, buckets) < rate_col)
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+)
+
+_MIX_ORACLE = f"""
+WITH rated AS (
+  SELECT doc_id, source, n_chars,
+         {_bucket_sql("doc_id")} AS bkt,
+         CASE {_MIX_CASE} ELSE 0 END AS rate
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM rated WHERE bkt < rate
+GROUP BY source
+"""
+
+
+@register("q_curation_mix", oracle=_MIX_ORACLE)
+def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mix: per-source deterministic downsampling
+    (src0 kept at 100%, long tail at 5%); checksums prove the exact
+    row selection matches across engines."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for s, r in _MIX_RATES.items():
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    kept = sample_by_rate(d, "doc_id", rate)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_EVAL_MOD, _EVAL_REM = 97, 3  # deterministic synthetic "benchmark" slice
+
+_CONTAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+         )) AS s
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), bench AS (
+  SELECT doc_id, shingle FROM tok WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+), train AS (
+  SELECT doc_id, shingle FROM tok WHERE doc_id % {_EVAL_MOD} != {_EVAL_REM}
+)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_overlapping_shingles,
+       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs_hit
+FROM train t JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+"""
+
+
+@register("q_curation_contamination", oracle=_CONTAM_ORACLE)
+def q_curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination scan: which training docs share any
+    3-shingle with the held-out benchmark slice (doc_id ≡ 3 mod 97),
+    with overlap volume. Inverted-index join on the shingle — the same
+    output-bound shape as near-dup detection, never all-pairs.
+
+    On a real pipeline the bench side is a small curated eval set —
+    broadcastable — so the scan is one pass over the corpus.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    )
+    is_bench = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == _EVAL_REM
+    bench = d.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = d.filter(~is_bench)
+    return (
+        train.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_overlapping_shingles"),
+            F.count_distinct("bench_id").alias("n_bench_docs_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9#._-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH contact AS (
+  SELECT c_custkey, c_mktsegment,
+         lower(c_name) || '@example.com call (' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || ') 555-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM customer
+), red AS (
+  SELECT c_custkey, c_mktsegment,
+         regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM contact
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN redacted LIKE '%[EMAIL]%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_email_redacted,
+       CAST(sum(CASE WHEN redacted LIKE '%[PHONE]%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phone_redacted,
+       CAST(sum(length(redacted)) AS BIGINT) AS redacted_len_checksum
+FROM red GROUP BY c_mktsegment
+"""
+
+
+@register("q_curation_pii_redact", oracle=_PII_ORACLE)
+def q_curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email + US-phone regex redaction. The contact string
+    is synthesized deterministically from customer fields (the sandbox
+    corpus carries no real PII), then each engine runs its own regex
+    engine over identical inputs — redaction counts and a redacted
+    length checksum must agree, a genuine cross-dialect regex check."""
+    c = table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lower("c_name"),
+        F.lit("@example.com call ("),
+        F.lpad(F.pmod(F.col("c_custkey"), F.lit(1000)).cast("string"), 3, "0"),
+        F.lit(") 555-"),
+        F.lpad(F.pmod(F.col("c_custkey"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return (
+        c.select("c_mktsegment", red.alias("redacted"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("redacted").contains("[EMAIL]").cast("long")).alias(
+                "n_email_redacted"
+            ),
+            F.sum(F.col("redacted").contains("[PHONE]").cast("long")).alias(
+                "n_phone_redacted"
+            ),
+            F.sum(F.length("redacted")).cast("long").alias(
+                "redacted_len_checksum"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition filter (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+_REP_TAU = 0.35  # flag docs where >35% of word occurrences are repeats
+
+_REP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS rep_ratio
+FROM w
+WHERE n_words > 0 AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words > {_REP_TAU}
+"""
+
+
+@register("q_curation_repetition", oracle=_REP_ORACLE)
+def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter: flag docs whose duplicate-word
+    mass exceeds {tau} (Gopher-style repetition signal, the cheap
+    first-pass quality gate before any cross-doc dedup). Expression-only
+    single pass, no shuffle until the (tiny) flagged set."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    ratio = F.lit(1.0) - n_distinct.cast("double") / n_words
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_words.cast("long").alias("n_words"),
+            n_distinct.cast("long").alias("n_distinct"),
+            F.round(ratio, 6).alias("rep_ratio"),
+        )
+        .filter((F.col("n_words") > 0) & (F.col("rep_ratio") > _REP_TAU))
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget packing (context-window sharding)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per context window
+_PACK_STRATA = 32  # independent packing streams (scale knob)
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {_PACK_STRATA} AS stratum,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, stratum, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), binned AS (
+  SELECT stratum,
+         -- floor(), not a bare CAST: DuckDB casts double->int by
+         -- ROUNDING, Spark floors
+         CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT)
+           AS bin_in_stratum,
+         n_tokens, doc_id
+  FROM c
+)
+SELECT stratum, bin_in_stratum,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM binned GROUP BY stratum, bin_in_stratum
+"""
+
+
+@register("q_curation_pack", oracle=_PACK_ORACLE)
+def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: assign docs to ~{budget}-token context
+    windows by running-cumsum binning, stratified {strata} ways so the
+    inherently sequential cumsum runs as independent per-stratum
+    windows (no global single-partition WindowExec; raise the stratum
+    count with the cluster). A doc starts a new bin when the previous
+    one has no room for its first token — same greedy rule both
+    engines compute exactly."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_STRATA)).alias("stratum"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("stratum")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = d.select(
+        "stratum",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ).alias("bin_in_stratum"),
+    )
+    return binned.groupBy("stratum", "bin_in_stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

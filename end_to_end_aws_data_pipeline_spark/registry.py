@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "end_to_end_aws_data_pipeline_spark.operators.similarity",
     "end_to_end_aws_data_pipeline_spark.operators.text",
     "end_to_end_aws_data_pipeline_spark.operators.multimodal",
+    "end_to_end_aws_data_pipeline_spark.operators.curation",
     "end_to_end_aws_data_pipeline_spark.operators.sqltext",
     "end_to_end_aws_data_pipeline_spark.ingest.queries",
     "end_to_end_aws_data_pipeline_spark.streaming.queries",

@@ -1,0 +1,73 @@
+"""Curation operator properties: split determinism and balance,
+rate sampling exactness, packing bin-capacity bound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.operators.curation import (
+    _PACK_BUDGET,
+    assign_split,
+    hash_bucket,
+    sample_by_rate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_deterministic_and_balanced(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in assign_split(d, "doc_id").collect()}
+    # repartitioning must not change any assignment
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(d.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    # 80% ±10pp on a small sample
+    assert 0.7 * n <= train <= 0.9 * n
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_sample_by_rate_is_subset_filter(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = sample_by_rate(d, "doc_id", F.lit(250))
+    ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    # exactness: kept iff bucket < rate — recompute buckets driver-side
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in d.select("doc_id", hash_bucket("doc_id").alias("b")).collect()
+    }
+    expected = {i for i, b in buckets.items() if b < 250}
+    assert set(ids) == expected
+    # rate 0 and 1000 are the empty / identity samples
+    assert sample_by_rate(d, "doc_id", F.lit(0)).count() == 0
+    assert sample_by_rate(d, "doc_id", F.lit(1000)).count() == d.count()
+
+
+def test_pack_bins_respect_budget(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        q_curation_pack,
+    )
+
+    bins = q_curation_pack(spark, SF).collect()
+    assert len(bins) > 0
+    for r in bins:
+        # a bin may exceed the budget only by its LAST doc's overhang
+        # (greedy rule starts a doc in the current bin if any room);
+        # no bin may exceed budget + max single-doc size
+        assert r["sum_tokens"] < _PACK_BUDGET * 2 + 1
+        assert r["n_docs"] >= 1
+    # every doc packed exactly once
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in bins) == d.count()
+
+
+@pytest.mark.parametrize("mod", [1000, 64])
+def test_hash_bucket_range(spark, mod):
+    d = spark.range(0, 5000).withColumn("b", hash_bucket("id", mod))
+    mn, mx = d.agg(F.min("b"), F.max("b")).first()
+    assert mn >= 0 and mx < mod
