@@ -29,16 +29,27 @@ from end_to_end_aws_data_pipeline_spark.registry import register
 # bucket in [0, 1000). Pure integer arithmetic → bit-identical in any
 # engine, unlike rand(seed) which is engine-specific.
 _KNUTH = 2654435761
+# Reduce the key into [0, 2^31-1) BEFORE the multiply: (2^31-2)*_KNUTH
+# ≈ 5.7e18 fits int64, whereas a raw key above ~3.47e9 would overflow —
+# Spark wraps silently while DuckDB raises, breaking the bit-identical
+# cross-engine guarantee exactly where it matters (huge key spaces).
+_KEY_MOD = 2147483647
 
 
 def hash_bucket(key, buckets: int = 1000):
     """Deterministic pseudo-uniform bucket in [0, buckets) for a
-    non-negative integral key column (pure arithmetic, engine-neutral)."""
-    return F.pmod(F.col(key).cast("long") * F.lit(_KNUTH), F.lit(buckets))
+    non-negative integral key column (pure arithmetic, engine-neutral,
+    overflow-free for the full BIGINT key range)."""
+    reduced = F.pmod(F.col(key).cast("long"), F.lit(_KEY_MOD))
+    return F.pmod(reduced * F.lit(_KNUTH), F.lit(buckets))
 
 
 def _bucket_sql(key: str, buckets: int = 1000) -> str:
-    return f"(({key} * {_KNUTH}) % {buckets} + {buckets}) % {buckets}"
+    # CAST the modulus to BIGINT: DuckDB types the bare literal INT32
+    # and would overflow on the `+ _KEY_MOD` pmod step
+    m = f"CAST({_KEY_MOD} AS BIGINT)"
+    reduced = f"(({key} % {m} + {m}) % {m})"
+    return f"(({reduced} * {_KNUTH}) % {buckets} + {buckets}) % {buckets}"
 
 
 # ---------------------------------------------------------------------------
@@ -153,8 +164,10 @@ WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-           i -> string_split(text,' ')[i] || ' ' ||
-                string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           -- concat_ws skips NULLs (same as Spark), so docs with <3
+           -- words emit the truncated window instead of a NULL shingle
+           i -> concat_ws(' ', string_split(text,' ')[i],
+                string_split(text,' ')[i+1], string_split(text,' ')[i+2])
          )) AS s
   FROM documents
 ), tok AS (
@@ -301,6 +314,9 @@ def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
     ratio = F.lit(1.0) - n_distinct.cast("double") / n_words
+    # filter on the UNROUNDED ratio (matching the oracle's WHERE); round
+    # only in the output projection — filtering post-round would keep /
+    # drop differently from DuckDB for ratios within 5e-7 of the cutoff
     return (
         d.select(
             "doc_id",
@@ -308,8 +324,10 @@ def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_words.cast("long").alias("n_words"),
             n_distinct.cast("long").alias("n_distinct"),
             F.round(ratio, 6).alias("rep_ratio"),
+            ratio.alias("_raw_ratio"),
         )
-        .filter((F.col("n_words") > 0) & (F.col("rep_ratio") > _REP_TAU))
+        .filter((F.col("n_words") > 0) & (F.col("_raw_ratio") > _REP_TAU))
+        .drop("_raw_ratio")
     )
 
 

@@ -101,8 +101,10 @@ WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-           i -> string_split(text,' ')[i] || ' ' ||
-                string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           -- concat_ws skips NULLs (same as Spark), so docs with <3
+           -- words emit the truncated window instead of a NULL shingle
+           i -> concat_ws(' ', string_split(text,' ')[i],
+                string_split(text,' ')[i+1], string_split(text,' ')[i+2])
          )) AS s
   FROM documents
 ), tok AS (
@@ -595,8 +597,10 @@ WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-           i -> string_split(text,' ')[i] || ' ' ||
-                string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           -- concat_ws skips NULLs (same as Spark), so docs with <3
+           -- words emit the truncated window instead of a NULL shingle
+           i -> concat_ws(' ', string_split(text,' ')[i],
+                string_split(text,' ')[i+1], string_split(text,' ')[i+2])
          )) AS s
   FROM documents
 ), tok AS (

@@ -45,8 +45,10 @@ WITH scored AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
-           i -> string_split(text,' ')[i] || ' ' ||
-                string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           -- concat_ws skips NULLs (same as Spark), so docs with <3
+           -- words emit the truncated window instead of a NULL shingle
+           i -> concat_ws(' ', string_split(text,' ')[i],
+                string_split(text,' ')[i+1], string_split(text,' ')[i+2])
          )) AS s
   FROM surviving
 ), tok AS (

@@ -130,13 +130,13 @@ SELECT
   l_orderkey, l_linenumber,
   round(l_extendedprice, 1)                      AS price_round1,
   abs(l_discount - 0.05)                         AS disc_dev,
-  floor(l_quantity)                              AS qty_floor,
-  ceil(l_extendedprice / 1000.0)                 AS price_kceil,
+  CAST(floor(l_quantity) AS BIGINT)              AS qty_floor,
+  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_kceil,
   CAST(l_orderkey % 10 AS BIGINT)                AS key_mod,
   round(sqrt(l_extendedprice), 6)                AS price_sqrt,
   round(ln(l_extendedprice + 1.0), 6)            AS price_ln,
   round(pow(1.0 + l_discount, l_linenumber), 6)  AS compound,
-  sign(l_discount - 0.05)                        AS disc_sign,
+  CAST(sign(l_discount - 0.05) AS DOUBLE)        AS disc_sign,
   greatest(l_tax, l_discount)                    AS max_rate,
   least(l_tax, l_discount)                       AS min_rate
 FROM lineitem

@@ -285,7 +285,9 @@ _NGRAM_ORACLE = """
 WITH grams AS (
   SELECT unnest(list_transform(
     range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
-    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+    -- concat_ws skips NULLs (as Spark does): 1-word docs emit the bare
+    -- word, not a NULL bigram
+    i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1])
   )) AS bigram
   FROM documents
 ), counted AS (

@@ -71,3 +71,62 @@ def test_hash_bucket_range(spark, mod):
     d = spark.range(0, 5000).withColumn("b", hash_bucket("id", mod))
     mn, mx = d.agg(F.min("b"), F.max("b")).first()
     assert mn >= 0 and mx < mod
+
+
+def test_hash_bucket_huge_keys_match_duckdb(spark):
+    """Keys above ~3.47e9 used to overflow key*KNUTH in int64: Spark
+    wrapped silently while DuckDB raised. After the _KEY_MOD reduction
+    both engines compute the identical bucket for the full BIGINT
+    range."""
+    import duckdb
+
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        _bucket_sql,
+    )
+
+    keys = [0, 1, 3_470_000_000, 2**31 - 1, 2**40 + 17, 2**62 + 123]
+    sdf = spark.createDataFrame([(k,) for k in keys], "key: long")
+    got = {
+        r["key"]: r["b"]
+        for r in sdf.withColumn("b", hash_bucket("key")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        (want,) = con.execute(
+            f"SELECT {_bucket_sql(str(k))}"
+        ).fetchone()
+        assert got[k] == want, f"key {k}: spark {got[k]} != duckdb {want}"
+        assert 0 <= got[k] < 1000
+
+
+def test_shingle_oracle_parity_short_docs(spark):
+    """Docs with fewer than k words emit the truncated window in BOTH
+    engines (concat_ws skips NULLs identically) — previously the DuckDB
+    oracle produced a NULL shingle for 1-2-word docs."""
+    import duckdb
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import shingles
+
+    texts = ["one", "two words", "three word doc", "now four word doc"]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = {
+        t: sorted(r["s"])
+        for t, r in zip(
+            texts, sdf.select(shingles(F.col("text")).alias("s")).collect()
+        )
+    }
+    con = duckdb.connect()
+    for t in texts:
+        (want,) = con.execute(
+            """
+            SELECT list_distinct(list_transform(
+              range(1, greatest(len(string_split(t,' ')) - 2, 1) + 1),
+              i -> concat_ws(' ', string_split(t,' ')[i],
+                   string_split(t,' ')[i+1], string_split(t,' ')[i+2])
+            )) FROM (SELECT ? AS t)
+            """,
+            [t],
+        ).fetchone()
+        assert got[t] == sorted(want), f"{t!r}: {got[t]} != {sorted(want)}"
+    assert got["one"] == ["one"]
+    assert got["two words"] == ["two words"]

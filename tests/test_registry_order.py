@@ -1,0 +1,56 @@
+"""Registry verification-queue ordering (VERIFIED.json manifest).
+
+The driver verifies a bounded prefix of ``queries()`` per round, so the
+ordering is load-bearing: new or modified queries must sort before
+already-verified ones, deterministically (no dependence on which
+CORRECTNESS artifacts happen to exist on disk).
+"""
+
+from end_to_end_aws_data_pipeline_spark import registry as reg
+
+
+def test_fingerprint_stable_and_sensitive():
+    reg._load()
+    name = next(iter(reg._QUERIES))
+    fp1, fp2 = reg.fingerprint(name), reg.fingerprint(name)
+    assert fp1 == fp2 and len(fp1) == 16
+    # fingerprint covers the oracle SQL too
+    if name in reg._ORACLE:
+        old = reg._ORACLE[name]
+        try:
+            reg._ORACLE[name] = old + " -- changed"
+            assert reg.fingerprint(name) != fp1
+        finally:
+            reg._ORACLE[name] = old
+
+
+def test_stale_queries_sort_first_in_insertion_order(monkeypatch):
+    reg._load()
+    names = list(reg._QUERIES)
+    # mark two mid-list queries stale (wrong fingerprint), rest verified
+    stale = {names[3], names[7]}
+    manifest = {
+        n: ("0" * 16 if n in stale else reg.fingerprint(n)) for n in names
+    }
+    monkeypatch.setattr(reg, "_verified_fingerprints", lambda: manifest)
+    order = list(reg.queries())
+    assert order[:2] == [names[3], names[7]]  # stale first, insertion order
+    rest = [n for n in names if n not in stale]
+    assert order[2:] == rest  # verified keep insertion order
+
+
+def test_ordering_is_deterministic():
+    reg._load()
+    assert list(reg.queries()) == list(reg.queries())
+    assert list(reg.oracle_sql()) == [
+        n for n in reg.queries() if n in reg._ORACLE
+    ]
+
+
+def test_unknown_manifest_entries_ignored(monkeypatch):
+    reg._load()
+    monkeypatch.setattr(
+        reg, "_verified_fingerprints", lambda: {"no_such_query": "abc"}
+    )
+    names = list(reg._QUERIES)
+    assert list(reg.queries()) == names  # all stale -> insertion order

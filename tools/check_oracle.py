@@ -44,7 +44,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _numclass(v):
+    """Coarse numeric class: the driver's value-hash distinguishes 27 from
+    27.0, so int-vs-float (and decimal-vs-float) is a mismatch even when
+    ``==`` says the values agree."""
+    import numpy as np
+    from decimal import Decimal
+
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, Decimal):
+        return "decimal"
+    return None
+
+
 def _values_equal(a, b) -> bool:
+    ca, cb = _numclass(a), _numclass(b)
+    if ca is not None and cb is not None and ca != cb:
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
@@ -63,6 +84,20 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a (normalized) column dtype to the class the driver's
+    value-hash distinguishes: int / float / bool / datetime / object."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(duck_pdf):
@@ -74,6 +109,15 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if problems:
         return problems
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in a.columns:
+        ka, kb = _dtype_kind(a[col]), _dtype_kind(b[col])
+        if ka != kb:
+            problems.append(
+                f"col {col!r}: dtype kind mismatch spark={ka} "
+                f"({a[col].dtype}) duckdb={kb} ({b[col].dtype})"
+            )
+    if problems:
+        return problems
     for col in a.columns:
         av, bv = list(a[col]), list(b[col])
         bad = [
