@@ -664,6 +664,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iterations):
         nbr = (
             fwd.join(labels, fwd.dst == labels.node)
@@ -684,7 +685,154 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning silently here would hand back SPLIT components —
+        # wrong cluster_ids with no signal. A graph whose diameter
+        # exceeds the round budget needs the O(log n)-round variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing): component "
+            "diameter exceeds the round budget — use "
+            "connected_components_star (large-star/small-star, "
+            "O(log n) rounds) or raise max_iterations"
+        )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds regardless of
+    component DIAMETER, vs diameter rounds for min-label propagation.
+    Same output contract as ``connected_components``: (node, label)
+    with label = min node id in the component.
+
+    Use this for corpora whose near-dup graphs form long chains (e.g.
+    chained paraphrases), where propagation's per-round frontier walk
+    would need thousands of rounds. Each star round is two
+    groupBy-min + join shuffles over the current edge set — no
+    collect_list, so an arbitrarily high-degree hub never materializes
+    its neighborhood in one task.
+    """
+
+    def sym(df: DataFrame) -> DataFrame:
+        return (
+            df.union(df.select(F.col("dst"), F.col("src")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    e0 = edges.toDF("src", "dst")
+    e = sym(e0).localCheckpoint(eager=True)
+    # every input node must appear in the output even if its edges
+    # contract away mid-run (they don't, but cheap insurance)
+    all_nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    def star_mins(ed: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) via groupBy-min — never a neighborhood
+        # list in memory
+        return (
+            ed.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least(F.col("src"), F.col("_mn")).alias("m"))
+        )
+
+    converged = False
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u links to m(u)
+        mins = star_mins(e)
+        large = (
+            e.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e_mid = sym(large).localCheckpoint(eager=True)
+        # small-star: every neighbor v < u links to m(u), and u itself
+        mins = star_mins(e_mid)
+        small = (
+            e_mid.join(mins, "src")
+            .filter(F.col("dst") < F.col("src"))
+            .select(F.col("dst").alias("src2"), F.col("m").alias("dst2"))
+            .toDF("src", "dst")
+            .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        new_e = sym(small).localCheckpoint(eager=True)
+        # fixpoint = identical edge set (both sides are distinct sets,
+        # so equal counts + empty difference ⇒ equality)
+        if (
+            new_e.count() == e.count()
+            and new_e.subtract(e).limit(1).count() == 0
+        ):
+            e = new_e
+            converged = True
+            break
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds — this bounds O(log n) rounds, so "
+            "the input is pathological; inspect the edge list"
+        )
+    # star forest: every node's component min is min(Γ(u) ∪ {u})
+    labels = (
+        e.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
+    )
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+    )
+
+
+def _cluster_docs(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one representative (min doc_id) per distinct text; group on a
+    # 256-bit digest so the exact-dedup shuffle moves 32 bytes, not the
+    # full text
+    grp = (
+        docs.groupBy(F.sha2("text", 256).alias("__h"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+    member = docs.select(
+        "doc_id", F.sha2("text", 256).alias("__h")
+    ).join(grp.select("__h", "rep_id"), "__h").select("doc_id", "rep_id")
+    reps = (
+        docs.join(
+            grp.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
+        )
+    )
+    pairs = ngram_jaccard_pairs(reps).select("doc_a", "doc_b")
+    labels = cc_fn(pairs)  # rep_id -> component label
+    # a rep is clustered if it has a near-dup edge (in `labels`) or its
+    # text occurs more than once (clones are J=1 edges by definition);
+    # component label = min doc_id = min rep_id in the component
+    rep_label = (
+        grp.select("rep_id", "n_members")
+        .join(labels, F.col("rep_id") == F.col("node"), "left")
+        .select(
+            "rep_id",
+            "n_members",
+            F.coalesce(F.col("label"), F.col("rep_id")).alias("cluster_id"),
+            F.col("label").isNotNull().alias("has_edge"),
+        )
+        .filter(F.col("has_edge") | (F.col("n_members") > 1))
+    )
+    w = W.partitionBy("cluster_id")
+    return (
+        member.join(rep_label, "rep_id")
+        .select("doc_id", "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
 
 
 @register("q_dedup_clusters", oracle=_CLUSTER_ORACLE)
@@ -708,44 +856,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency). This is the standard exact-then-near dedup order of a
     production curation pipeline; on a clone-heavy corpus it turns a
     superlinear blowup back into ~linear work.
-    """
-    from pyspark.sql import Window as W
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # one representative (min doc_id) per distinct text; group on a
-    # 256-bit digest so the exact-dedup shuffle moves 32 bytes, not the
-    # full text
-    grp = (
-        docs.groupBy(F.sha2("text", 256).alias("__h"))
-        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
-    )
-    member = docs.select(
-        "doc_id", F.sha2("text", 256).alias("__h")
-    ).join(grp.select("__h", "rep_id"), "__h").select("doc_id", "rep_id")
-    reps = (
-        docs.join(
-            grp.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
-        )
-    )
-    pairs = ngram_jaccard_pairs(reps).select("doc_a", "doc_b")
-    labels = connected_components(pairs)  # rep_id -> component label
-    # a rep is clustered if it has a near-dup edge (in `labels`) or its
-    # text occurs more than once (clones are J=1 edges by definition);
-    # component label = min doc_id = min rep_id in the component
-    rep_label = (
-        grp.select("rep_id", "n_members")
-        .join(labels, F.col("rep_id") == F.col("node"), "left")
-        .select(
-            "rep_id",
-            "n_members",
-            F.coalesce(F.col("label"), F.col("rep_id")).alias("cluster_id"),
-            F.col("label").isNotNull().alias("has_edge"),
-        )
-        .filter(F.col("has_edge") | (F.col("n_members") > 1))
-    )
-    w = W.partitionBy("cluster_id")
-    return (
-        member.join(rep_label, "rep_id")
-        .select("doc_id", "cluster_id")
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-    )
+    Components are labeled by min-label propagation (diameter-bounded
+    rounds — near-dup families are small); ``q_dedup_clusters_star`` is
+    the same pipeline over the O(log n)-round star contraction.
+    """
+    return _cluster_docs(spark, sf_dir, connected_components)
+
+
+@register("q_dedup_clusters_star", oracle=_CLUSTER_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with large-star/small-star connected
+    components (Kiveris et al. SoCC'14) instead of min-label
+    propagation: identical labels — checked against the same recursive-
+    CTE oracle — in O(log n) rounds independent of component diameter.
+    This is the variant to run on corpora whose duplicate families chain
+    (paraphrase cascades), where propagation's round count equals the
+    chain length."""
+    return _cluster_docs(spark, sf_dir, connected_components_star)
