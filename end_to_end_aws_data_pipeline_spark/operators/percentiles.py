@@ -32,14 +32,49 @@ GROUP BY l_returnflag
 """
 
 
+# Cap on per-group row count for the buffer-materializing exact
+# percentile: Spark's `percentile` holds every (value -> count) of a
+# group in one aggregation buffer, so a 100 TB fact table grouped 3
+# ways concentrates the whole column into 3 states and OOMs long before
+# the cluster is the constraint. Past the cap, use the binned exact
+# algorithm below (bounded state at any scale) or percentile_approx.
+_MAX_EXACT_GROUP_ROWS = 10_000_000
+
+
+def guard_exact_percentile(
+    df: DataFrame, group_col: str, max_rows: int = _MAX_EXACT_GROUP_ROWS
+) -> None:
+    """Refuse the buffer-materializing exact percentile when any group
+    exceeds ``max_rows`` (mirrors the exact-cosine guard in dedup.py:
+    exactness baselines are allowed, silently OOM-prone plans are not).
+    One cheap count-aggregate pass (map-side combinable)."""
+    top = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n"))
+        .first()[0]
+    )
+    if top is not None and top > max_rows:
+        raise ValueError(
+            f"largest group holds {top} rows (> {max_rows}): the exact "
+            "percentile aggregate materializes every group value in one "
+            "buffer. Use binned_exact_percentiles (exact, bounded "
+            "state) or percentile_approx (sketch)."
+        )
+
+
 @register("q_agg_percentiles", oracle=_PCT_ORACLE)
 def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (median / p95 / q1).
 
     Both price percentiles come from ONE array-percentile aggregate —
     one sorted materialization of the column per group instead of two.
+    Guarded by ``guard_exact_percentile``: past 10M rows in a group this
+    plan refuses and routes to the binned exact twin
+    (``q_agg_percentiles_binned``) or the sketch (``q_agg_approx``).
     """
     li = table(spark, sf_dir, "lineitem")
+    guard_exact_percentile(li, "l_returnflag")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -56,6 +91,239 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price",
             "max_price",
         )
+    )
+
+
+def binned_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    bins: int = 4096,
+    collect_cap: int = 8192,
+    max_rounds: int = 16,
+) -> dict:
+    """EXACT interpolated percentiles with bounded memory at any scale:
+    iterative histogram refinement instead of materializing each group's
+    values in an aggregation buffer.
+
+    Pass 1 computes per-group (count, min, max); each percentile then
+    needs the order statistics at ranks floor/ceil((n-1)*p). Each round
+    histograms every still-active (group, rank) search interval into
+    ``bins`` buckets in ONE scan (map-side combinable counts — executor
+    state is #active_states × bins longs, independent of data size),
+    narrows the interval to the bucket containing the rank, and repeats
+    until ≤ ``collect_cap`` candidate values remain; those are fetched
+    and the exact order statistic read off. Bucket populations shrink
+    ~``bins``× per round, so 100 TB needs ~3 rounds; a stalled interval
+    (all mass on adjacent representable doubles) falls back to a
+    value-level count, which such an interval bounds to a handful of
+    distinct values.
+
+    Driver state is per-GROUP metadata only (guard: intended for
+    low-cardinality groupings; high-cardinality groupings don't have the
+    per-group-volume problem and should use the plain aggregate).
+    Returns {group: {p: exact_percentile_value}} with the same
+    lower + frac*(higher-lower) interpolation Spark's `percentile` and
+    DuckDB's `quantile_cont` use.
+    """
+    import math
+
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    stats = {
+        r["g"]: (r["n"], r["lo"], r["hi"])
+        for r in base.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    # search states: one per needed order statistic
+    # state: [g, rank, lo, hi, k_local, population, value_or_None]
+    states: dict[tuple, list] = {}
+    for g, (n, lo, hi) in stats.items():
+        for p in ps:
+            pos = p * (n - 1)
+            for k in {int(math.floor(pos)), int(math.ceil(pos))}:
+                states.setdefault((g, k), [g, k, lo, hi, k, n, None])
+
+    spark = df.sparkSession
+
+    def _active():
+        return [s for s in states.values() if s[6] is None and s[5] > collect_cap]
+
+    for _ in range(max_rounds):
+        act = _active()
+        if not act:
+            break
+        rows = []
+        stalled = []
+        for sid, s in enumerate(act):
+            g, k, lo, hi, kl, popn, _ = s
+            if lo == hi or (hi - lo) / bins <= 0.0:
+                stalled.append(s)
+            else:
+                rows.append((sid, g, float(lo), float(hi)))
+        for s in stalled:
+            # interval too narrow to subdivide in float64: count by
+            # distinct value (few representable doubles in [lo, hi])
+            g, k, lo, hi, kl, popn, _ = s
+            vals = (
+                base.filter(
+                    (F.col("g") == g) & F.col("v").between(lo, hi)
+                )
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy("v")
+                .collect()
+            )
+            cum = 0
+            for r in vals:
+                if kl < cum + r["c"]:
+                    s[6] = r["v"]
+                    break
+                cum += r["c"]
+        if not rows:
+            continue
+        st = spark.createDataFrame(
+            rows, "sid: int, g_s: string, lo: double, hi: double"
+        )
+        # one scan: histogram every active interval; a row can feed
+        # multiple (nested) intervals via the range join
+        hist = (
+            base.join(
+                F.broadcast(st),
+                (F.col("g") == F.col("g_s"))
+                & F.col("v").between(F.col("lo"), F.col("hi")),
+            )
+            .select(
+                "sid",
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / bins)
+                    ).cast("int"),
+                    F.lit(bins - 1),
+                ).alias("b"),
+            )
+            .groupBy("sid", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_sid: dict[int, dict[int, int]] = {}
+        for r in hist:
+            by_sid.setdefault(r["sid"], {})[r["b"]] = r["c"]
+        for sid, s in enumerate(act):
+            if s[6] is not None or (s[2] == s[3]):
+                continue
+            g, k, lo, hi, kl, popn, _ = s
+            if sid not in by_sid:
+                continue
+            w = (hi - lo) / bins
+            cum = 0
+            for b in sorted(by_sid[sid]):
+                c = by_sid[sid][b]
+                if kl < cum + c:
+                    s[2] = lo + b * w
+                    s[3] = min(hi, lo + (b + 1) * w)
+                    s[4] = kl - cum
+                    s[5] = c
+                    break
+                cum += c
+
+    # final: fetch the few remaining candidates per state in one scan
+    rest = [s for s in states.values() if s[6] is None]
+    if rest:
+        rows = [
+            (sid, s[0], float(s[2]), float(s[3])) for sid, s in enumerate(rest)
+        ]
+        st = spark.createDataFrame(
+            rows, "sid: int, g_s: string, lo: double, hi: double"
+        )
+        got = (
+            base.join(
+                F.broadcast(st),
+                (F.col("g") == F.col("g_s"))
+                & F.col("v").between(F.col("lo"), F.col("hi")),
+            )
+            .groupBy("sid", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("sid", "v")
+            .collect()
+        )
+        by_sid2: dict[int, list] = {}
+        for r in got:
+            by_sid2.setdefault(r["sid"], []).append((r["v"], r["c"]))
+        for sid, s in enumerate(rest):
+            cum = 0
+            for v, c in by_sid2.get(sid, []):
+                if s[4] < cum + c:
+                    s[6] = v
+                    break
+                cum += c
+
+    out: dict = {}
+    for g, (n, lo, hi) in stats.items():
+        out[g] = {}
+        for p in ps:
+            pos = p * (n - 1)
+            k1, k2 = int(math.floor(pos)), int(math.ceil(pos))
+            v1, v2 = states[(g, k1)][6], states[(g, k2)][6]
+            # Spark Percentile.getPercentile / DuckDB quantile_cont form
+            out[g][p] = v1 + (pos - k1) * (v2 - v1)
+    return out
+
+
+@register("q_agg_percentiles_binned", oracle=_PCT_ORACLE)
+def q_agg_percentiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100×-scale exact-percentile path: same oracle (and the same
+    answers, to the bit) as q_agg_percentiles, computed by iterative
+    histogram refinement — per-round executor state is bins×states
+    longs, never a group's full value multiset. This is the query to
+    run when guard_exact_percentile refuses the plain aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    price = binned_exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.95]
+    )
+    qty = binned_exact_percentiles(li, "l_returnflag", "l_quantity", [0.25])
+    mm = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in li.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    rows = [
+        (
+            g,
+            price[g][0.5],
+            price[g][0.95],
+            qty[g][0.25],
+            mm[g][0],
+            mm[g][1],
+        )
+        for g in sorted(price)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "l_returnflag: string, median_price: double, p95_price: double, "
+        "q1_qty: double, min_price: double, max_price: double",
+    )
+    # round through Spark expressions (HALF_UP), matching the plain
+    # exact query's rounding exactly
+    return raw.select(
+        "l_returnflag",
+        F.round("median_price", 6).alias("median_price"),
+        F.round("p95_price", 6).alias("p95_price"),
+        F.round("q1_qty", 6).alias("q1_qty"),
+        F.round("min_price", 6).alias("min_price"),
+        F.round("max_price", 6).alias("max_price"),
     )
 
 

@@ -4,6 +4,7 @@ twins on the same data."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
@@ -26,3 +27,59 @@ def test_percentile_approx_close_to_exact(spark):
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) <= 0.02 * row.exact
+
+
+def test_guard_exact_percentile_refuses_big_groups(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        guard_exact_percentile,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    guard_exact_percentile(li, "l_returnflag")  # under default cap: fine
+    with pytest.raises(ValueError, match="binned_exact_percentiles"):
+        guard_exact_percentile(li, "l_returnflag", max_rows=100)
+
+
+def test_binned_exact_matches_builtin_percentile(spark):
+    """Tiny bins/cap force several histogram-refinement rounds; the
+    result must still equal Spark's buffer-materializing exact
+    percentile to the bit."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        binned_exact_percentiles,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    ps = [0.25, 0.5, 0.95]
+    got = binned_exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", ps, bins=8, collect_cap=16
+    )
+    want_rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.95))"
+            ).alias("p")
+        )
+        .collect()
+    )
+    for r in want_rows:
+        for p, w in zip(ps, r["p"]):
+            assert got[r["l_returnflag"]][p] == w, (r["l_returnflag"], p)
+
+
+def test_binned_exact_constant_and_duplicate_heavy(spark):
+    """Stall fallback: intervals that cannot subdivide (constant values,
+    two adjacent values) resolve by value-level counting."""
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        binned_exact_percentiles,
+    )
+
+    rows = [("a", 5.0)] * 100 + [("b", 1.0)] * 50 + [("b", 2.0)] * 50
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    got = binned_exact_percentiles(df, "g", "v", [0.0, 0.5, 1.0],
+                                   bins=4, collect_cap=8)
+    assert got["a"] == {0.0: 5.0, 0.5: 5.0, 1.0: 5.0}
+    assert got["b"][0.0] == 1.0 and got["b"][1.0] == 2.0
+    assert got["b"][0.5] == 1.5  # interpolated across ranks 49/50
