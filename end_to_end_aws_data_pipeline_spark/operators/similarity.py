@@ -232,6 +232,44 @@ def q_ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assigned(spark: SparkSession, sf_dir: str):
+    """Shared IVF build: quantized vectors + their nearest-centroid
+    assignment (one N×C exact int64 matmul pass in Arrow batches).
+
+    Returns (v, assign, cent_ids, cent_mat); `assign` carries each
+    vector's quantized array so probe scoring needs no second join back
+    to the corpus.
+    """
+    import numpy as np
+
+    v = _quantized(spark, sf_dir)
+    n_cent = n_centroids_for(v.count())  # parquet-metadata count: cheap
+    cent_ids, cent_mat = _query_matrix(
+        v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
+    )
+
+    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            s = m @ cent_mat.T  # B×C exact int64 dots
+            # argmax takes the FIRST max; cent_ids ascend, so ties
+            # resolve to the lowest cent_id — same as the oracle's
+            # (dot DESC, cent_id) ranking
+            best = s.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cent_id": pd.Series(cent_ids[best], dtype="int64"),
+                    "q": pdf["q"],
+                }
+            )
+
+    assign = v.mapInPandas(_assign, schema="vec_id long, cent_id long, q array<long>")
+    return v, assign, cent_ids, cent_mat
+
+
 _IVF_ORACLE = f"""
 WITH v AS ({_QV_SQL}
 ), c AS (
@@ -285,33 +323,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear and never the bottleneck. Recall vs brute force is
     asserted in tests; raising nprobe trades cost for recall.
     """
-    import numpy as np
-
-    v = _quantized(spark, sf_dir)
-    n_cent = n_centroids_for(v.count())  # parquet-metadata count: cheap
-    cent_ids, cent_mat = _query_matrix(
-        v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
-    )
-
-    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            m = np.array(list(pdf["q"]), dtype=np.int64)
-            s = m @ cent_mat.T  # B×C exact int64 dots
-            # argmax takes the FIRST max; cent_ids ascend, so ties
-            # resolve to the lowest cent_id — same as the oracle's
-            # (dot DESC, cent_id) ranking
-            best = s.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "cent_id": pd.Series(cent_ids[best], dtype="int64"),
-                    "q": pdf["q"],
-                }
-            )
-
-    assign = v.mapInPandas(_assign, schema="vec_id long, cent_id long, q array<long>")
+    v, assign, cent_ids, cent_mat = _ivf_assigned(spark, sf_dir)
     # assign the (bounded) query set on the driver with the identical
     # int64 argmax — otherwise deriving it from `assign` would run the
     # corpus-wide assignment pass twice (once for 64 rows)
@@ -346,4 +358,124 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _IVF_K)
         .select("query_id", "neighbor_id", "probed_centroid", "rank", _cosine_out())
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF multi-probe: nprobe>1 trades probe cost for recall
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 3  # per-query probed buckets; cost ≈ nprobe·√N rows/query
+
+_IVF_NPROBE_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v
+  WHERE vec_id < {_CENTROIDS_SQL}
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq FROM v
+  WHERE vec_id % {_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_MAX_QUERIES}
+), probes AS (
+  SELECT query_id, cent_id, probe_rank FROM (
+    SELECT qs.query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY qs.query_id
+             ORDER BY list_sum(list_transform(range(1, len(qq)+1),
+                      i -> qq[i] * cq[i])) DESC, c.cent_id) AS probe_rank
+    FROM qs CROSS JOIN c
+  ) WHERE probe_rank <= {_IVF_NPROBE}
+), scored AS (
+  SELECT qs.query_id, v.vec_id AS neighbor_id, p.cent_id, p.probe_rank,
+         list_sum(list_transform(range(1, len(qq)+1), i -> qq[i] * v.q[i]))
+           AS dot_q
+  FROM qs
+  JOIN probes p USING (query_id)
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> qs.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cent_id, probe_rank, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
+       CAST(probe_rank AS INT) AS probe_rank,
+       CAST(rank AS INT) AS rank,
+       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+@register("q_ann_ivf_nprobe", oracle=_IVF_NPROBE_ORACLE)
+def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with multi-probe: each query searches its nprobe=3
+    nearest centroid buckets instead of 1 — the standard runtime knob
+    for recall near bucket boundaries (a query that lands close to a
+    Voronoi edge has true neighbors in the adjacent cell; nprobe=1
+    never sees them).
+
+    Probe set = per-query top-3 centroids by the same deterministic
+    int64 ranking as the assignment (dot DESC, cent_id ASC), so the
+    oracle expresses it as a rank-over-centroids window. Cost scales
+    linearly in nprobe (≈ nprobe·√N candidate rows per query); recall
+    improvement vs nprobe=1 is asserted against brute force in
+    tests/test_llm_ops.py.
+    """
+    import numpy as np
+
+    v, assign, cent_ids, cent_mat = _ivf_assigned(spark, sf_dir)
+    q_ids, q_mat = _query_matrix(
+        v.filter(F.col("vec_id") % _QUERY_MOD == 0).orderBy("vec_id").limit(_MAX_QUERIES)
+    )
+    # per-query top-P centroids, driver-side (|Q|×C dots on a bounded
+    # query set), ties to the lowest cent_id
+    dots = q_mat @ cent_mat.T
+    rows = []
+    for i, qid in enumerate(q_ids):
+        order = np.lexsort((cent_ids, -dots[i]))[:_IVF_NPROBE]
+        for pr, j in enumerate(order, start=1):
+            rows.append(
+                (int(qid), [int(x) for x in q_mat[i]], int(cent_ids[j]), pr)
+            )
+    qs = spark.createDataFrame(
+        rows, schema="query_id long, qq array<long>, cent_id long, probe_rank int"
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        assign.join(F.broadcast(qs), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cent_id").cast("long").alias("probed_centroid"),
+            "probe_rank",
+            dot_q.alias("dot_q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probed_centroid",
+            "probe_rank",
+            "rank",
+            _cosine_out(),
+        )
     )

@@ -89,6 +89,34 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert overlap >= 0.2
 
 
+def test_ivf_nprobe_improves_recall(spark):
+    """Multi-probe must dominate single-probe: per query, the nprobe=3
+    candidate pool is a superset of the nprobe=1 pool (probe_rank 1 is
+    the same bucket), so top-k recall vs brute force can only go up."""
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        q_ann_ivf_nprobe,
+    )
+
+    brute_rows = q_ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    brute = {
+        (r.query_id, r.neighbor_id) for r in brute_rows if r.rank <= _IVF_K
+    }
+    one = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    multi_rows = q_ann_ivf_nprobe(spark, SF_SMOKE).collect()
+    multi = {(r.query_id, r.neighbor_id) for r in multi_rows}
+    assert len(multi) > 0
+    recall_one = len(brute & one) / len(brute)
+    recall_multi = len(brute & multi) / len(brute)
+    assert recall_multi >= recall_one
+    # some neighbor must come from a probe_rank>1 bucket, or nprobe
+    # isn't actually widening the search
+    assert any(r.probe_rank > 1 for r in multi_rows)
+
+
 def test_lsh_projection_recall_vs_exact(spark):
     from end_to_end_aws_data_pipeline_spark.operators.dedup import (
         q_dedup_embedding_cosine,
