@@ -257,3 +257,33 @@ def test_pipeline_ingest_root_ordering(spark, tmp_path):
     tbl = spark.read.parquet(pipe.table_dir("T"))
     got = {(r.K, r.V) for r in tbl.collect()}
     assert got == {(1, "b"), (2, "a")}  # newest version won for K=1
+
+
+def test_upsert_sql_dialect_goldens():
+    """Pin the EXACT generated upsert statement per dialect: no real
+    mysql/postgres server exists in this sandbox, so the generated SQL
+    string is the contract a real engine would receive — any drift is a
+    visible diff here, not a silent production surprise."""
+    from end_to_end_aws_data_pipeline_spark.ingest.jdbc import upsert_sql
+
+    cols = ["id", "name", "qty"]
+    assert upsert_sql("tgt", cols, "mysql") == (
+        "INSERT INTO `tgt` (`id`, `name`, `qty`) VALUES (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE `id`=VALUES(`id`), `name`=VALUES(`name`), "
+        "`qty`=VALUES(`qty`)"
+    )
+    assert upsert_sql("tgt", cols, "postgresql", key_columns=["id"]) == (
+        'INSERT INTO "tgt" ("id", "name", "qty") VALUES (%s, %s, %s) '
+        'ON CONFLICT ("id") DO UPDATE SET "name"=EXCLUDED."name", '
+        '"qty"=EXCLUDED."qty"'
+    )
+    assert upsert_sql("tgt", cols, "sqlite", key_columns=["id"]) == (
+        'INSERT INTO "tgt" ("id", "name", "qty") VALUES (?, ?, ?) '
+        'ON CONFLICT ("id") DO UPDATE SET "name"=EXCLUDED."name", '
+        '"qty"=EXCLUDED."qty"'
+    )
+    # composite key, pure-key row: conflict degrades to DO NOTHING
+    assert upsert_sql("tgt", ["a", "b"], "sqlite", key_columns=["a", "b"]) == (
+        'INSERT INTO "tgt" ("a", "b") VALUES (?, ?) '
+        'ON CONFLICT ("a", "b") DO NOTHING'
+    )

@@ -107,3 +107,58 @@ def test_salted_agg_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE skew-join handling, evidenced in the FINAL adaptive plan: a
+    deliberately skewed sort-merge join (one key owns ~90% of rows) must
+    be marked skew=true after execution when
+    spark.sql.adaptive.skewJoin.enabled is on with thresholds scaled
+    down to smoke-test data volume. At 100 TB this is the conf set that
+    keeps one hot key from pinning a straggler task."""
+    skew_confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale the skew detector to ~MB test data (defaults are 256MB)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # forbid broadcast so the join stays sort-merge (skew split
+        # only applies to shuffle joins)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        # ~90% of left rows share key 0, with a wide payload so the hot
+        # partition trips the (lowered) byte threshold
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 120), F.col("id").cast("string")).alias(
+                "pad"
+            ),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag")
+        )
+        joined = left.join(right, "k")
+        assert joined.count() > 0
+        # AQE finalizes the plan only after an action on THIS DataFrame
+        joined.collect()
+        from end_to_end_aws_data_pipeline_spark.plans.explain import (
+            physical_plan,
+        )
+
+        plan = physical_plan(joined)
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
