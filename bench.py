@@ -89,14 +89,22 @@ def main() -> None:
     if first is not None:
         _execute(first(spark, sf_dir))
 
+    # SPARK_GRAFT_BENCH_REPS>1: run each query N times and report the
+    # MIN (steady-state) — separates plan cost from JIT/GC noise when
+    # chasing regressions. Default 1 rep = the driver contract.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        _execute(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _execute(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -88,6 +88,160 @@ def encode_ppm(pixels) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode("ascii") + pix.tobytes()
 
 
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (zlib-compressed IDAT; ``filter_type`` applies one scanline filter
+    0-4 to every row — useful for exercising every unfilter path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pix = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = pix.shape
+    bpp = 3
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        line = pix[y].reshape(-1)
+        if filter_type == 0:
+            filt = line
+        else:
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            if filter_type == 1:  # Sub
+                filt = (line.astype(np.int16) - left) % 256
+            elif filter_type == 2:  # Up
+                filt = (line.astype(np.int16) - prev) % 256
+            elif filter_type == 3:  # Average
+                filt = (
+                    line.astype(np.int16)
+                    - (left.astype(np.int16) + prev.astype(np.int16)) // 2
+                ) % 256
+            elif filter_type == 4:  # Paeth
+                a = left.astype(np.int16)
+                b = prev.astype(np.int16)
+                c = upleft.astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                filt = (line.astype(np.int16) - pred) % 256
+            else:
+                raise ValueError(f"bad filter {filter_type}")
+            filt = filt.astype(np.uint8)
+        raw += bytes([filter_type]) + filt.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes):
+    """Pure-python PNG decode via stdlib zlib: 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 6 (RGBA→RGB, alpha dropped),
+    non-interlaced; all five scanline filters per the PNG spec §9."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, idat, ihdr, plte = 8, bytearray(), None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt_m, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_m != 0:
+        raise NotImplementedError(
+            f"only 8-bit depth supported (depth={depth})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up: fully vectorized
+            cur = (line + prev) % 256
+        else:
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                elif ft == 4:
+                    pred = _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad PNG filter {ft}")
+                cur[i] = (line[i] + pred) % 256
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 2:
+        return img
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[img[:, :, 0]]
+    if ctype == 4:  # gray+alpha: drop alpha, replicate gray
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGBA: drop alpha
+
+
 def _decode_bmp(payload: bytes):
     import struct
 
@@ -146,19 +300,21 @@ def _decode_ppm(payload: bytes):
 def decode_image(payload: bytes):
     """Decode an image payload to an (h, w, 3) uint8 RGB numpy array.
 
-    Real, dependency-free decoders for uncompressed formats: 24-bit BMP
-    and binary PPM (P6). Compressed codecs (PNG/JPEG/...) are not
-    shipped in this environment and raise ``NotImplementedError`` —
-    plug in a codec library (e.g. PIL) to extend this dispatch.
+    Real, dependency-free decoders: 24-bit BMP, binary PPM (P6), and
+    PNG (8-bit gray/RGB/palette/RGBA, all five scanline filters, via
+    stdlib zlib). DCT codecs (JPEG/WebP/...) raise
+    ``NotImplementedError`` — plug in a codec library (e.g. PIL) to
+    extend this dispatch.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "unsupported image codec (only 24-bit BMP and P6 PPM decode "
-        "without a codec library; install one, e.g. pillow, for "
-        "PNG/JPEG)"
+        "unsupported image codec (BMP, P6 PPM and PNG decode without a "
+        "codec library; install one, e.g. pillow, for JPEG)"
     )
 
 
@@ -251,7 +407,8 @@ _DEC_H = "(4 + (doc_id // 7) % 23)"
 
 _DECODE_ORACLE = f"""
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'png' END AS format,
        CAST({_DEC_W} AS INT) AS width,
        CAST({_DEC_H} AS INT) AS height,
        CAST(3 AS INT) AS channels,
@@ -269,12 +426,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per document a deterministic gradient image (pixel = (x+y+doc_id)
     mod 256 on all 3 channels, size derived from doc_id) is *encoded*
-    to actual BMP (even ids — padded bottom-up BGR rows) or PPM (odd
-    ids) bytes, then *decoded* back by the pure-python parsers in
+    to actual BMP (doc_id%3==0 — padded bottom-up BGR rows), PPM (==1)
+    or PNG (==2, zlib IDAT, scanline filter doc_id%5 so every unfilter
+    path runs) bytes, then *decoded* back by the pure-python parsers in
     ``decode_image``, all inside one Arrow-batched mapInPandas pass.
     The oracle recomputes width/height/channels/pixel_sum arithmetically
-    — any header-parse, stride, row-order or channel-order bug in the
-    codec shows up as a hash mismatch.
+    — any header-parse, stride, row-order, channel-order or unfilter
+    bug in the codecs shows up as a hash mismatch.
     """
     import numpy as np
 
@@ -292,10 +450,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yy, xx = np.mgrid[0:h, 0:w]
                 val = ((xx + yy + doc_id) % 256).astype(np.uint8)
                 pix = np.repeat(val[:, :, None], 3, axis=2)
-                payload = encode_bmp(pix) if doc_id % 2 == 0 else encode_ppm(pix)
+                fmt = ("bmp", "ppm", "png")[doc_id % 3]
+                if fmt == "bmp":
+                    payload = encode_bmp(pix)
+                elif fmt == "ppm":
+                    payload = encode_ppm(pix)
+                else:
+                    payload = encode_png(pix, filter_type=doc_id % 5)
                 img = decode_image(payload)
                 out["doc_id"].append(doc_id)
-                out["format"].append("bmp" if doc_id % 2 == 0 else "ppm")
+                out["format"].append(fmt)
                 out["width"].append(img.shape[1])
                 out["height"].append(img.shape[0])
                 out["channels"].append(img.shape[2])

@@ -47,7 +47,13 @@ def guard_exact_percentile(
     """Refuse the buffer-materializing exact percentile when any group
     exceeds ``max_rows`` (mirrors the exact-cosine guard in dedup.py:
     exactness baselines are allowed, silently OOM-prone plans are not).
-    One cheap count-aggregate pass (map-side combinable)."""
+
+    Fast path: if the TOTAL row count (parquet-footer metadata for a
+    bare scan — no data read) is under the cap, no group can exceed it
+    and the per-group count is skipped; only genuinely large inputs pay
+    one map-side-combinable count pass before the refusal decision."""
+    if df.count() <= max_rows:
+        return
     top = (
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -206,9 +206,10 @@ def test_cosine_pandas_matches_expression(spark):
         assert abs(r.expr_cos - r.udf_cos) < 1e-9
 
 
-def test_multimodal_decode_compressed_formats_stubbed():
+def test_multimodal_decode_dct_formats_stubbed():
+    # PNG is now a real decoder; DCT codecs (JPEG) remain stubbed
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0jpeg")
 
 
 def test_bmp_roundtrip_all_paddings():
@@ -244,3 +245,101 @@ def test_multimodal_feature_schema_and_partitions(spark):
     assert feats.rdd.getNumPartitions() == 4  # mapInPandas preserves partitioning
     row = feats.first()
     assert row.n_bytes > 0 and 16 <= row.fake_width < 80
+
+
+def test_png_roundtrip_all_filters():
+    """PNG codec: encode with each scanline filter 0-4, decode, and
+    compare to the source array bit-for-bit (spec §9 unfilter paths)."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        got = decode_image(encode_png(pix, filter_type=ft))
+        assert got.shape == (13, 17, 3)
+        assert (got == pix).all(), f"filter {ft} mismatch"
+
+
+def test_png_color_types():
+    """Gray (0), palette (3) and RGBA (6) decode to (h, w, 3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, ctype, raster, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + extra
+            + chunk(b"IDAT", zlib.compress(raster))
+            + chunk(b"IEND", b"")
+        )
+
+    # grayscale 2x2: values 0,10,20,30 (filter 0 rows)
+    gray = png(2, 2, 0, b"\x00\x00\x0a\x00\x14\x1e")
+    g = decode_image(gray)
+    assert g.shape == (2, 2, 3) and (g[:, :, 0] == g[:, :, 2]).all()
+    assert g[0, 1, 0] == 10 and g[1, 1, 1] == 30
+
+    # palette 2x1: indices 1,0 into a 2-entry palette
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    p = decode_image(png(2, 1, 3, b"\x00\x01\x00", extra=plte))
+    assert p.shape == (1, 2, 3)
+    assert list(p[0, 0]) == [0, 255, 0] and list(p[0, 1]) == [255, 0, 0]
+
+    # RGBA 1x1: alpha dropped
+    rgba = png(1, 1, 6, b"\x00\x07\x08\x09\x80")
+    r = decode_image(rgba)
+    assert r.shape == (1, 1, 3) and list(r[0, 0]) == [7, 8, 9]
+
+
+def test_png_unsupported_raises():
+    import struct
+    import zlib
+
+    import pytest
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth refused
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_image(bad)
+    # interlaced refused
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    bad_i = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_image(bad_i)
+    # JPEG still refused with a pointer to a codec lib
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\xff\xd8\xff\xe0nope")
