@@ -56,6 +56,11 @@ HEADLINE = (
     "q_multimodal_decode",
     "q_dedup_clusters",
     "q_sql_pricing_summary",
+    # round-3 additions
+    "q_agg_percentiles_binned",
+    "q_ann_ivf_nprobe",
+    "q_dedup_clusters_star",
+    "q_source_orc_scan",
 )
 
 
