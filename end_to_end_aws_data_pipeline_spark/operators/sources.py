@@ -213,3 +213,109 @@ def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select("path", "length", "content").mapInPandas(
         _decode, schema="doc_id long, n_bytes long, pixel_sum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python DataSource (PySpark 4 datasource API)
+# ---------------------------------------------------------------------------
+
+_PYDS_ROWS = 50_000
+_PYDS_PARTS = 16
+_PYDS_KINDS = ("view", "click", "purchase", "refund", "idle")
+
+try:  # PySpark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _EventRange(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class SyntheticEventsReader(DataSourceReader):
+        """Deterministic synthetic telemetry: every field is pure
+        arithmetic on event_id, so a SQL oracle over generate_series
+        reproduces the source exactly."""
+
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", _PYDS_ROWS))
+            self.n_parts = int(options.get("n_parts", _PYDS_PARTS))
+
+        def partitions(self):
+            step = max(1, -(-self.n_rows // self.n_parts))
+            return [
+                _EventRange(i, min(i + step, self.n_rows))
+                for i in range(0, self.n_rows, step)
+            ]
+
+        def read(self, partition):
+            for eid in range(partition.start, partition.end):
+                yield (
+                    eid,
+                    (eid * 48271) % 9973,
+                    _PYDS_KINDS[eid % 5],
+                    1_700_000_000 + (eid * 37) % 604_800,
+                    (eid * eid) % 10_000,
+                )
+
+    class SyntheticEventsDataSource(DataSource):
+        """PySpark-4 custom Python data source: the extension point for
+        feeds Spark has no native connector for (internal APIs, bespoke
+        binary logs). Partition planning happens in `partitions()` —
+        each InputPartition becomes one Spark task, so reads
+        parallelize across executors like any native source."""
+
+        @classmethod
+        def name(cls):
+            return "synthetic_events"
+
+        def schema(self):
+            return (
+                "event_id long, user_id long, kind string, "
+                "ts_epoch long, value_cents long"
+            )
+
+        def reader(self, schema):
+            return SyntheticEventsReader(self.options)
+
+except ImportError:  # pragma: no cover — pre-4.0 PySpark
+    SyntheticEventsDataSource = None
+
+
+_PYDS_ORACLE = f"""
+WITH ev AS (
+  SELECT range AS event_id,
+         (range * 48271) % 9973 AS user_id,
+         ['view','click','purchase','refund','idle'][range % 5 + 1] AS kind,
+         1700000000 + (range * 37) % 604800 AS ts_epoch,
+         (range * range) % 10000 AS value_cents
+  FROM range(0, {_PYDS_ROWS})
+)
+SELECT kind,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(value_cents) AS BIGINT) AS cents_checksum,
+       CAST(max(ts_epoch) AS BIGINT) AS max_epoch
+FROM ev GROUP BY kind
+"""
+
+
+@register("q_source_python_datasource", oracle=_PYDS_ORACLE)
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end-to-end: register → read → aggregate.
+    One Spark task per InputPartition (16-way parallel read); the
+    oracle regenerates the same rows from generate_series, so the whole
+    partition-planning + reader path is value-checked, not just smoke-
+    tested."""
+    if SyntheticEventsDataSource is None:
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4+")
+    spark.dataSource.register(SyntheticEventsDataSource)
+    ev = spark.read.format("synthetic_events").load()
+    return ev.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("cents_checksum"),
+        F.max("ts_epoch").alias("max_epoch"),
+    )
