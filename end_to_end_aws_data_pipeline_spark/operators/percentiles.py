@@ -108,6 +108,7 @@ def binned_exact_percentiles(
     bins: int = 4096,
     collect_cap: int = 8192,
     max_rounds: int = 16,
+    max_groups: int = 10_000,
 ) -> dict:
     """EXACT interpolated percentiles with bounded memory at any scale:
     iterative histogram refinement instead of materializing each group's
@@ -135,6 +136,13 @@ def binned_exact_percentiles(
     """
     import math
 
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     base = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
     ).filter(F.col("v").isNotNull())
@@ -148,6 +156,24 @@ def binned_exact_percentiles(
         )
         .collect()
     }
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"{len(stats)} groups (> {max_groups}): binned refinement "
+            "keeps per-GROUP search state on the driver, so it targets "
+            "low-cardinality groupings (where per-group volume is the "
+            "hazard). High-cardinality groupings fit the plain "
+            "percentile aggregate — each group's multiset is small."
+        )
+    # state-table schema mirrors the group column's actual type (a
+    # hardcoded string type would break long/int group keys)
+    _state_schema = StructType(
+        [
+            StructField("sid", IntegerType()),
+            StructField("g_s", df.schema[group_col].dataType),
+            StructField("lo", DoubleType()),
+            StructField("hi", DoubleType()),
+        ]
+    )
     # search states: one per needed order statistic
     # state: [g, rank, lo, hi, k_local, population, value_or_None]
     states: dict[tuple, list] = {}
@@ -195,9 +221,7 @@ def binned_exact_percentiles(
                 cum += r["c"]
         if not rows:
             continue
-        st = spark.createDataFrame(
-            rows, "sid: int, g_s: string, lo: double, hi: double"
-        )
+        st = spark.createDataFrame(rows, _state_schema)
         # one scan: histogram every active interval; a row can feed
         # multiple (nested) intervals via the range join
         hist = (
@@ -247,9 +271,7 @@ def binned_exact_percentiles(
         rows = [
             (sid, s[0], float(s[2]), float(s[3])) for sid, s in enumerate(rest)
         ]
-        st = spark.createDataFrame(
-            rows, "sid: int, g_s: string, lo: double, hi: double"
-        )
+        st = spark.createDataFrame(rows, _state_schema)
         got = (
             base.join(
                 F.broadcast(st),

@@ -83,3 +83,29 @@ def test_binned_exact_constant_and_duplicate_heavy(spark):
     assert got["a"] == {0.0: 5.0, 0.5: 5.0, 1.0: 5.0}
     assert got["b"][0.0] == 1.0 and got["b"][1.0] == 2.0
     assert got["b"][0.5] == 1.5  # interpolated across ranks 49/50
+
+
+def test_binned_exact_long_group_keys(spark):
+    """Group column type flows into the state-table schema — long keys
+    must work, not just strings."""
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        binned_exact_percentiles,
+    )
+
+    df = spark.range(0, 3000).selectExpr(
+        "id % 3 as g", "cast(id as double) as v"
+    )
+    got = binned_exact_percentiles(df, "g", "v", [0.5], bins=8, collect_cap=16)
+    # group g holds values g, g+3, ..., g+2997: median = g + 3*499.5
+    for g in (0, 1, 2):
+        assert got[g][0.5] == g + 3 * 499.5
+
+
+def test_binned_exact_group_cardinality_guard(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        binned_exact_percentiles,
+    )
+
+    df = spark.range(0, 100).selectExpr("id as g", "cast(id as double) as v")
+    with pytest.raises(ValueError, match="groups"):
+        binned_exact_percentiles(df, "g", "v", [0.5], max_groups=10)
