@@ -94,3 +94,45 @@ def bucketing_ddl(table: str, key: str, n_buckets: int, path: str) -> str:
         f"CLUSTERED BY ({key}) INTO {n_buckets} BUCKETS "
         f"LOCATION '{path}'"
     )
+
+
+def clustered_write(
+    df: DataFrame, path: str, key: str, n_files: int
+) -> None:
+    """Range-clustered parquet layout: rows are range-partitioned on
+    ``key`` and sorted within each output file, so per-file min/max
+    column statistics become DISJOINT intervals — a point or range
+    predicate on ``key`` then prunes to the few files whose interval
+    intersects it (file skipping), instead of sampling every file.
+
+    This is the layout step a 100 TB table needs before serving
+    selective queries: without it, parquet row-group stats on a randomly
+    distributed key span the whole domain in every file and prune
+    nothing. (Single-column range clustering; interleave a space-filling
+    curve key for the multi-column variant.)
+    """
+    (
+        df.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compacted_write(
+    df: DataFrame, path: str, target_rows_per_file: int
+) -> None:
+    """Small-files compaction: rewrite into ceil(n/target)-sized output
+    files. A streaming/incremental pipeline leaves thousands of tiny
+    files per partition; scan cost then goes per-FILE (driver listing,
+    task scheduling, footer reads), not per-byte. Compaction restores
+    per-byte economics. maxRecordsPerFile caps stragglers when the
+    repartition is uneven."""
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    (
+        df.repartition(files)
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )

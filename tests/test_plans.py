@@ -162,3 +162,53 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_clustered_write_disjoint_file_stats(spark, tmp_path):
+    """Range-clustered layout: per-file min/max of the cluster key are
+    disjoint intervals (verified from parquet footers via pyarrow), so
+    a selective predicate prunes to ~1 file instead of all of them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from end_to_end_aws_data_pipeline_spark.plans.scale import clustered_write
+
+    df = spark.range(0, 100_000).selectExpr(
+        "pmod(hash(id), 1000000) as k", "id as payload"
+    )
+    out = str(tmp_path / "clustered")
+    clustered_write(df, out, "k", n_files=8)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 6  # ~8 files (range partitioner may merge)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {hi1} >= {lo2}"
+    # round-trip completeness
+    assert spark.read.parquet(out).count() == 100_000
+
+
+def test_compacted_write_file_count(spark, tmp_path):
+    import glob
+
+    from end_to_end_aws_data_pipeline_spark.plans.scale import compacted_write
+
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 as v")
+    # simulate a small-files mess: 64 tiny files
+    messy = str(tmp_path / "messy")
+    df.repartition(64).write.parquet(messy)
+    assert len(glob.glob(messy + "/*.parquet")) == 64
+    out = str(tmp_path / "compact")
+    compacted_write(spark.read.parquet(messy), out, target_rows_per_file=4000)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 3  # ceil(10000/4000)
+    assert spark.read.parquet(out).count() == 10_000
