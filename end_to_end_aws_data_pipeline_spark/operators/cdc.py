@@ -1,0 +1,218 @@
+"""Change-data-capture application and SCD2 dimension building.
+
+The lakehouse ETL pair the reference's keyed upsert grows into at
+warehouse scale (generalizing ingest/merge.py's set-based MERGE,
+reference delta_load.py:169-202 row-by-row upserts):
+
+- ``apply_cdc``: merge-on-read — apply an (op, seq)-stamped change feed
+  (I/U upserts + D deletes, multiple changes per key) onto a snapshot,
+  keeping the latest change per key. One window over the feed + one
+  join against the snapshot: the snapshot is never rewritten per
+  change, and the feed-side shuffle is proportional to the DELTA, not
+  the table (the same delta-proportional posture as
+  merge_into_parquet).
+- ``scd2_build``: type-2 slowly-changing dimension — turn the same
+  feed into validity intervals [valid_from, valid_to) per key with an
+  is_current flag, via lead() over each key's change sequence.
+
+Both are pure expression plans (window + join), exact in any engine —
+the test feed is derived deterministically from `orders` so DuckDB
+recomputes identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change feed to a snapshot (merge-on-read semantics).
+
+    ``changes`` rows carry ``op`` ('U' upsert / 'D' delete) and a
+    monotone ``seq``; the LATEST change per key wins (ties broken by op
+    descending so a same-seq delete loses to an upsert,
+    deterministically). Keys present only in the feed are inserts;
+    snapshot rows with no change pass through untouched.
+    """
+    w = W.partitionBy(key).orderBy(F.col(seq_col).desc(), F.col(op_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    payload = [c for c in snapshot.columns if c != key]
+    merged = snapshot.alias("s").join(
+        latest.alias("c"), on=key, how="full_outer"
+    )
+    keep = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    pick = [
+        F.when(
+            F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{p}")
+        ).otherwise(F.col(f"s.{p}")).alias(p)
+        for p in payload
+    ]
+    return merged.filter(keep).select(F.col(key), *pick)
+
+
+def scd2_build(
+    changes: DataFrame, key: str, seq_col: str = "seq"
+) -> DataFrame:
+    """Type-2 SCD from a change feed: one row per (key, version) with
+    [valid_from, valid_to) validity and an is_current flag — the
+    standard warehouse shape for as-of dimension lookups (pairs with
+    the as-of join in operators/asof.py)."""
+    w = W.partitionBy(key).orderBy(seq_col)
+    return changes.select(
+        key,
+        F.col(seq_col).alias("valid_from"),
+        F.lead(seq_col).over(w).alias("valid_to"),
+        F.lead(seq_col).over(w).isNull().alias("is_current"),
+        *[c for c in changes.columns if c not in (key, seq_col, "op")],
+    )
+
+
+# deterministic change feed derived from orders: keys % 3 == 0 get a
+# seq-1 upsert; keys % 6 == 0 additionally a seq-2 change which is a
+# DELETE when key % 12 == 0. Prices floor()ed to integers (floor is
+# cross-engine safe; round() on doubles is not — see PLANS.md).
+_FEED_SQL = """
+  SELECT o_orderkey AS okey, 1 AS seq, 'U' AS op,
+         CAST(floor(o_totalprice) AS BIGINT) + 10 AS price_i,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 2,
+         CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END,
+         CAST(floor(o_totalprice) AS BIGINT) + 20,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 6 = 0
+"""
+
+_SNAP_SQL = """
+  SELECT o_orderkey AS okey,
+         CAST(floor(o_totalprice) AS BIGINT) AS price_i,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 4 <> 3
+"""
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor("o_totalprice").cast("long").alias("price_flr"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    c1 = base.filter(F.col("okey") % 3 == 0).select(
+        "okey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("price_flr") + 10).alias("price_i"),
+        "status",
+    )
+    c2 = base.filter(F.col("okey") % 6 == 0).select(
+        "okey",
+        F.lit(2).alias("seq"),
+        F.when(F.col("okey") % 12 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("price_flr") + 20).alias("price_i"),
+        "status",
+    )
+    return c1.unionByName(c2)
+
+
+_CDC_ORACLE = f"""
+WITH snap AS ({_SNAP_SQL}),
+feed AS ({_FEED_SQL}),
+latest AS (
+  SELECT okey, op, price_i, status FROM (
+    SELECT *, row_number() OVER (PARTITION BY okey
+                                 ORDER BY seq DESC, op) AS rn
+    FROM feed
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(s.okey, c.okey) AS okey,
+         CASE WHEN c.okey IS NOT NULL THEN c.price_i ELSE s.price_i END
+           AS price_i,
+         CASE WHEN c.okey IS NOT NULL THEN c.status ELSE s.status END
+           AS status,
+         c.op AS op
+  FROM snap s FULL OUTER JOIN latest c ON s.okey = c.okey
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(sum(okey) AS BIGINT) AS key_checksum,
+       CAST(sum(price_i) AS BIGINT) AS price_checksum
+FROM merged JOIN orders ON okey = o_orderkey
+WHERE op IS NULL OR op <> 'D'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_etl_cdc_apply", oracle=_CDC_ORACLE)
+def q_etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-on-read end-to-end: snapshot (75% of orders) + a
+    two-generation change feed (upserts, inserts, deletes, multiple
+    changes per key) → latest-per-key application → aggregate
+    checksums per priority class (keeps the compared output compact
+    while pinning exact row membership and applied values)."""
+    o = table(spark, sf_dir, "orders")
+    snap = o.filter(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor("o_totalprice").cast("long").alias("price_i"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    result = apply_cdc(snap, _feed(spark, sf_dir), key="okey")
+    pri = o.select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    return (
+        result.join(pri, "okey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("okey").cast("long").alias("key_checksum"),
+            F.sum("price_i").cast("long").alias("price_checksum"),
+        )
+    )
+
+
+_SCD2_ORACLE = f"""
+WITH feed AS ({_FEED_SQL})
+SELECT okey,
+       CAST(valid_from AS INT) AS valid_from,
+       CAST(valid_to AS INT) AS valid_to,
+       is_current, price_i, status
+FROM (
+  SELECT okey, seq AS valid_from,
+         lead(seq) OVER (PARTITION BY okey ORDER BY seq) AS valid_to,
+         lead(seq) OVER (PARTITION BY okey ORDER BY seq) IS NULL
+           AS is_current,
+         price_i, status
+  FROM feed
+)
+"""
+
+
+@register("q_etl_scd2_build", oracle=_SCD2_ORACLE)
+def q_etl_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from the change feed: validity intervals
+    per key version ([valid_from, valid_to), open-ended current row) —
+    the dimension shape the as-of join consumes."""
+    scd = scd2_build(_feed(spark, sf_dir), key="okey")
+    return scd.select(
+        "okey",
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.col("valid_to").cast("int").alias("valid_to"),
+        "is_current",
+        "price_i",
+        "status",
+    )

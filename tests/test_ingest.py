@@ -287,3 +287,45 @@ def test_upsert_sql_dialect_goldens():
         'INSERT INTO "tgt" ("a", "b") VALUES (?, ?) '
         'ON CONFLICT ("a", "b") DO NOTHING'
     )
+
+
+def test_apply_cdc_semantics(spark):
+    """Insert, update, delete, multi-change-per-key, and untouched
+    pass-through — the full merge-on-read contract."""
+    from end_to_end_aws_data_pipeline_spark.operators.cdc import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200), (3, "c", 300)],
+        "k: long, s: string, v: long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 1, "U", "b2", 201),   # update
+            (3, 1, "U", "c2", 301),   # superseded...
+            (3, 2, "D", "c3", 302),   # ...by delete
+            (9, 1, "U", "new", 900),  # insert (not in snapshot)
+            (9, 2, "U", "new2", 901),  # latest insert wins
+        ],
+        "k: long, seq: int, op: string, s: string, v: long",
+    )
+    got = {r.k: (r.s, r.v) for r in apply_cdc(snap, changes, key="k").collect()}
+    assert got == {1: ("a", 100), 2: ("b2", 201), 9: ("new2", 901)}
+
+
+def test_scd2_build_intervals(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.cdc import scd2_build
+
+    changes = spark.createDataFrame(
+        [(1, 10, "U", 5), (1, 20, "U", 6), (1, 30, "U", 7), (2, 15, "U", 9)],
+        "k: long, seq: int, op: string, v: long",
+    )
+    rows = {
+        (r.k, r.valid_from): (r.valid_to, r.is_current, r.v)
+        for r in scd2_build(changes, key="k").collect()
+    }
+    assert rows == {
+        (1, 10): (20, False, 5),
+        (1, 20): (30, False, 6),
+        (1, 30): (None, True, 7),
+        (2, 15): (None, True, 9),
+    }
