@@ -212,3 +212,29 @@ def test_compacted_write_file_count(spark, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) == 3  # ceil(10000/4000)
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_cdc_and_nprobe_plans(spark):
+    """New round-3 operators keep the plan shapes that scale: no
+    cartesian products; the nprobe probe-set join is a broadcast (the
+    query side is bounded); CDC is window + joins with a bounded
+    shuffle count."""
+    from end_to_end_aws_data_pipeline_spark.operators.cdc import (
+        q_etl_cdc_apply,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_ann_ivf_nprobe,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import (
+        count_broadcast_joins,
+        count_shuffles,
+        formatted_plan,
+    )
+
+    cdc = q_etl_cdc_apply(spark, SF_SMOKE)
+    assert "Cartesian" not in formatted_plan(cdc)
+    assert count_shuffles(cdc) <= 4  # feed window + full-outer + agg
+    npb = q_ann_ivf_nprobe(spark, SF_SMOKE)
+    assert "Cartesian" not in formatted_plan(npb)
+    assert count_broadcast_joins(npb) >= 1  # bounded probe set rides broadcast
+    assert count_shuffles(npb) <= 2  # assignment scan + rank window
