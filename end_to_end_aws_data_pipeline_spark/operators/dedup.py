@@ -645,9 +645,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     tiny components (a duplicate family), so the diameter is small and
     this beats the O(log n)-round star-contraction algorithms
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) in constant factors; swap in large-star/small-star if a
-    corpus ever shows giant components. ``localCheckpoint`` truncates
-    the lineage each round so the plan does not grow unboundedly.
+    SoCC'14) in constant factors; ``connected_components_star`` below
+    is that variant, for corpora with large-diameter components (and
+    the documented fallback this function's non-convergence error
+    points at). ``localCheckpoint`` truncates the lineage each round so
+    the plan does not grow unboundedly.
     """
     both = edges.toDF("src", "dst")
     # materialize the symmetrized edge list ONCE: without this every
