@@ -635,7 +635,53 @@ FROM labeled
 """
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+# Below this many (symmetrized) edges, connected components is a
+# single-node problem: O(E α(E)) union-find on the driver finishes in
+# milliseconds, while even ONE distributed label-propagation round costs
+# several shuffle stages. Mirrors the exact-cosine guard philosophy:
+# adaptive routing with the scale-safe path above the cap. 200k edges
+# ≈ a few MB collected — far below driver heap at any configuration.
+_LOCAL_CC_MAX_EDGES = 200_000
+
+
+def _driver_union_find(fwd: DataFrame) -> DataFrame:
+    """Union-find (path halving + union by min-root) over a collected
+    edge list; returns (node, label=min reachable id) with the input's
+    node type. Caller guarantees the edge count is bounded."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in fwd.collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id wins the root so labels match the distributed
+            # algorithms' min-label contract without a second pass
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = fwd.schema["src"].dataType
+    schema = StructType(
+        [StructField("node", node_t), StructField("label", node_t)]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return fwd.sparkSession.createDataFrame(rows, schema)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    local_max_edges: int = _LOCAL_CC_MAX_EDGES,
+) -> DataFrame:
     """Label every node of an undirected edge list ``(src, dst)`` with
     the minimum node id reachable from it (its connected component).
 
@@ -650,6 +696,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
     the documented fallback this function's non-convergence error
     points at). ``localCheckpoint`` truncates the lineage each round so
     the plan does not grow unboundedly.
+
+    Graphs at or under ``local_max_edges`` symmetrized edges short-cut
+    to a driver-side union-find (``_driver_union_find``): at that size
+    the problem is single-node and one distributed round costs more
+    than the whole exact answer. Set ``local_max_edges=0`` to force the
+    distributed path regardless of size.
     """
     both = edges.toDF("src", "dst")
     # materialize the symmetrized edge list ONCE: without this every
@@ -661,6 +713,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
+    # adaptive routing: a graph this small is a driver problem, not a
+    # cluster problem (the checkpoint count is already materialized, so
+    # this probe is cheap); pass local_max_edges=0 to force the
+    # distributed path (tests do, to exercise it at any size)
+    if local_max_edges and fwd.count() <= local_max_edges:
+        return _driver_union_find(fwd)
     labels = (
         fwd.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -728,6 +786,7 @@ def connected_components_star(
 
     e0 = edges.toDF("src", "dst")
     e = sym(e0).localCheckpoint(eager=True)
+    e_cnt = e.count()
     # every input node must appear in the output even if its edges
     # contract away mid-run (they don't, but cheap insurance)
     all_nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
@@ -765,15 +824,15 @@ def connected_components_star(
         )
         new_e = sym(small).localCheckpoint(eager=True)
         # fixpoint = identical edge set (both sides are distinct sets,
-        # so equal counts + empty difference ⇒ equality)
-        if (
-            new_e.count() == e.count()
-            and new_e.subtract(e).limit(1).count() == 0
-        ):
+        # so equal counts + empty difference ⇒ equality); the previous
+        # round's count is remembered, and the subtract job only runs
+        # on a count tie — most rounds cost ONE count job here
+        new_cnt = new_e.count()
+        if new_cnt == e_cnt and new_e.subtract(e).limit(1).count() == 0:
             e = new_e
             converged = True
             break
-        e = new_e
+        e, e_cnt = new_e, new_cnt
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in "

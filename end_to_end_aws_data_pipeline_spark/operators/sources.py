@@ -104,10 +104,17 @@ def _ensure_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
     out = _derived_dir(sf_dir, "orc")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         # partitioned sink: one directory per l_returnflag value, so the
-        # scan side can show partition pruning on an ORC source too
+        # scan side can show partition pruning on an ORC source too.
+        # repartition on the partition column first: each task then owns
+        # whole partition values and writes ONE file, instead of every
+        # task opening a writer per value (3×32 small files + the
+        # dynamic-partition sort) — the standard pre-shuffle for
+        # partitioned sinks
         table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
-        ).write.mode("overwrite").partitionBy("l_returnflag").orc(out)
+        ).repartition("l_returnflag").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).orc(out)
     return out
 
 

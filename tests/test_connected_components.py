@@ -33,19 +33,36 @@ GRAPHS = {
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_star_matches_propagation(spark, name):
     e = _edges(spark, GRAPHS[name])
+    # force the distributed propagation path; the adaptive default
+    # routes graphs this small to the driver union-find
     assert _labels(connected_components_star(e)) == _labels(
-        connected_components(e)
+        connected_components(e, local_max_edges=0)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_local_union_find_matches_distributed(spark, name):
+    """The adaptive driver fast path (graphs under the edge cap) must
+    produce byte-identical labels to the forced distributed path."""
+    e = _edges(spark, GRAPHS[name])
+    assert _labels(connected_components(e)) == _labels(
+        connected_components(e, local_max_edges=0)
     )
 
 
 def test_star_handles_long_path_propagation_raises(spark):
-    """A 200-node path has diameter 199: propagation cannot finish in 10
-    rounds (and must say so loudly, not return split components); the
-    star variant finishes well within 10 rounds."""
+    """A 200-node path has diameter 199: DISTRIBUTED propagation cannot
+    finish in 10 rounds (and must say so loudly, not return split
+    components); the star variant finishes well within 10 rounds. The
+    adaptive default instead routes this sub-cap graph to the driver
+    union-find, which is exact at any diameter."""
     path = [(i, i + 1) for i in range(200)]
     e = _edges(spark, path)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, max_iterations=10)
+        connected_components(e, max_iterations=10, local_max_edges=0)
+    assert _labels(connected_components(e, max_iterations=10)) == {
+        i: 0 for i in range(201)
+    }
     got = _labels(connected_components_star(e, max_iterations=10))
     assert got == {i: 0 for i in range(201)}
 
@@ -69,7 +86,9 @@ def test_propagation_converged_path_unchanged(spark):
     """Small-diameter graphs still converge under propagation (the
     raise only fires on genuine exhaustion)."""
     e = _edges(spark, [(1, 2), (3, 4), (2, 3)])
-    assert _labels(connected_components(e, max_iterations=50)) == {
+    assert _labels(
+        connected_components(e, max_iterations=50, local_max_edges=0)
+    ) == {
         1: 1,
         2: 1,
         3: 1,
