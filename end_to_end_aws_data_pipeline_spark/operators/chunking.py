@@ -1,0 +1,140 @@
+"""Context-window chunking and deterministic sampling — the two
+corpus-preparation steps between curation and tokenization in an LLM
+data pipeline (companions to operators/curation.py's packing: packing
+COMBINES short docs into windows, chunking SPLITS long docs into them).
+
+Both are single-pass, expression-only, shuffle-free per row — the plans
+are a parquet scan + generate/project, which is exactly what you want
+for a 100 TB pass: no Python, no state, trivially partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk (context window)
+_CHUNK_S = 48  # stride; W - S = 16 tokens of overlap between chunks
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), starts AS (
+  -- chunk starts 0, S, 2S, ... < n  (ceil(n/S) chunks; every token is
+  -- covered, consecutive chunks share W-S tokens)
+  SELECT doc_id, n, unnest(range(0, greatest(n, 1), {_CHUNK_S})) AS start
+  FROM t
+)
+SELECT s.doc_id,
+       CAST(start / {_CHUNK_S} AS INT) AS chunk_idx,
+       CAST(least({_CHUNK_W}, s.n - start) AS INT) AS n_tokens,
+       array_to_string(list_slice(t.words, start + 1,
+                                  least(start + {_CHUNK_W}, s.n)), ' ')
+         AS chunk
+FROM starts s JOIN t ON t.doc_id = s.doc_id
+"""
+
+
+@register("q_chunk_documents", oracle=_CHUNK_ORACLE)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into {W}-token
+    chunks at stride {S} (overlap W-S), the standard long-document →
+    context-window shard step before tokenization.
+
+    Expression-only: split → sequence of starts → posexplode → slice.
+    One generate per row, no shuffle, no Python — at 100 TB this runs
+    at scan speed and the output is written partition-local. The
+    chunk_idx is derived from the start offset, so chunk identity is
+    reproducible under any partitioning / retry."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # starts: 0, S, ..., last < n (sequence's upper bound is inclusive,
+    # so greatest(n-1, 0) yields exactly ceil(n/S) starts for n >= 1)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_S))
+    return (
+        d.select("doc_id", words.alias("words"), n.alias("n"), starts.alias("st"))
+        .select(
+            "doc_id",
+            "words",
+            "n",
+            F.posexplode("st").alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(_CHUNK_W), F.col("n") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("words"), F.col("start") + 1, _CHUNK_W)
+            ).alias("chunk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic uniform sampling (hash-rank top-k)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 200
+# Knuth multiplicative hash over a reduced key (see curation.py:31 for
+# the overflow analysis) ranked modulo a prime: a uniform, seedless,
+# engine-neutral permutation of doc ids. rand(seed) would be
+# engine-specific; this is bit-identical anywhere int64 arithmetic is.
+_KNUTH = 2654435761
+_KEY_MOD = 2147483647
+_RANK_P = 1_000_003
+
+_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ((doc_id % CAST({_KEY_MOD} AS BIGINT)) * {_KNUTH}) % {_RANK_P}
+           AS h_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(h_rank AS BIGINT) AS h_rank
+FROM ranked
+ORDER BY h_rank, doc_id
+LIMIT {_SAMPLE_K}
+"""
+
+
+@register("q_sample_uniform_hash", oracle=_SAMPLE_ORACLE)
+def q_sample_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-sample without replacement, deterministically: rank
+    every doc by a Knuth multiplicative hash of its id and take the k
+    smallest — the reproducible substitute for ``ORDER BY random()
+    LIMIT k`` (rerunning, re-partitioning, or switching engines yields
+    the SAME sample, which is what eval-set construction needs).
+
+    Plan shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on one reducer; never a full
+    sort, never more than k rows off any executor, at any corpus size.
+    doc_id tie-break makes the cut exact when two ids collide mod the
+    rank prime."""
+    d = table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(_KEY_MOD)) * F.lit(_KNUTH),
+        F.lit(_RANK_P),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            h.cast("long").alias("h_rank"),
+        )
+        .orderBy("h_rank", "doc_id")
+        .limit(_SAMPLE_K)
+    )

@@ -935,3 +935,72 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     (paraphrase cascades), where propagation's round count equals the
     chain length."""
     return _cluster_docs(spark, sf_dir, connected_components_star)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+# deterministic batch split: docs with doc_id % 10 >= 8 play the "newly
+# arrived batch"; the rest are the already-ingested corpus
+_BATCH_MOD, _BATCH_MIN = 10, 8
+
+_INCR_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT sha256(text) AS digest FROM documents
+  WHERE doc_id % {_BATCH_MOD} < {_BATCH_MIN}
+), batch AS (
+  -- batch-internal exact dedup first: keep the min doc_id per digest
+  SELECT min(doc_id) AS doc_id, min(source) AS source,
+         min(n_chars) AS n_chars, sha256(text) AS digest
+  FROM documents
+  WHERE doc_id % {_BATCH_MOD} >= {_BATCH_MIN}
+  GROUP BY text
+)
+SELECT source,
+       count(*) AS n_new_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM batch
+WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.digest = batch.digest)
+GROUP BY source
+"""
+
+
+@register("q_dedup_incremental", oracle=_INCR_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a newly-arrived batch is deduplicated
+    internally, then anti-joined against the digests of the existing
+    corpus — only genuinely-new documents survive. This is the daily
+    operation of a production corpus (reference repo's whole premise of
+    delta loads — delta_load.py:104 — re-expressed for content
+    identity): NEVER re-dedup the accumulated corpus per batch, only
+    join the delta against its digest index.
+
+    Scale shape: both sides shuffle 32-byte sha256 digests, not text
+    (the same digest-vs-text choice as q_dedup_exact); the corpus side
+    projects exactly one column, so at 100 TB the anti-join reads a
+    digest index, and the work is proportional to the BATCH, not the
+    corpus. With the corpus digest set bucketed/persisted by digest
+    (ingest/merge.py layout ops), the per-batch cost is one
+    partition-local probe."""
+    docs = table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(_BATCH_MOD)) >= _BATCH_MIN
+    corpus_digests = (
+        docs.filter(~is_batch).select(F.sha2("text", 256).alias("digest")).distinct()
+    )
+    batch = (
+        docs.filter(is_batch)
+        .groupBy(F.sha2("text", 256).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    fresh = batch.join(corpus_digests, "digest", "left_anti")
+    return fresh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

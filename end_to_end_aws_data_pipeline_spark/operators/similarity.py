@@ -479,3 +479,97 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine_out(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic deduplication
+# ---------------------------------------------------------------------------
+
+# cosine threshold for "semantic duplicate" WITHIN a centroid bucket.
+# Real text embeddings cluster tightly (SemDeDup, Abbas et al. 2023,
+# uses ~0.95+); this synthetic corpus's embeddings are near-orthogonal,
+# so the demonstration threshold sits at the top of ITS similarity
+# range. Compared in exact integer space: dot_q >= _SEMDEDUP_DOT.
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_DOT = int(_SEMDEDUP_TAU * _SCALE_SQ)  # exact: 0.35*1e16 is integral
+
+_SEMDEDUP_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v WHERE vec_id < {_CENTROIDS_SQL}
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a
+  JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(range(1, len(va.q)+1),
+                 i -> va.q[i] * vb.q[i])) >= {_SEMDEDUP_DOT}
+)
+SELECT cent_id,
+       count(*) AS n_vectors,
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN assign.vec_id ELSE 0 END)
+         AS BIGINT) AS kept_id_checksum
+FROM assign LEFT JOIN dropped d ON d.vec_id = assign.vec_id
+GROUP BY cent_id
+"""
+
+
+@register("q_semdedup", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    deduplication — cluster the corpus, then drop all but one of any
+    within-cluster group of near-identical embeddings. A vector is
+    dropped iff a LOWER-id vector in the same bucket has cosine ≥ τ
+    (the deterministic variant of the paper's keep-one rule). Returns
+    per-cluster (n_vectors, n_dropped, kept_id_checksum).
+
+    Scale shape: candidate pairs come from a bucket-key equi-join of
+    the assignment against itself — never a corpus cross join. Bucket
+    sizes are the knob: with C=√N centroids the within-bucket pairwise
+    work is O(N·√N); production SemDeDup picks C ∝ N/const so buckets
+    stay constant-size and the total is O(N). The dot comparison is
+    exact int64 (quantized) against an integral threshold — no float
+    epsilon to disagree across engines. Assignment reuses the IVF
+    build's one-matmul-per-batch pass (_ivf_assigned)."""
+    _, assign, _, _ = _ivf_assigned(spark, sf_dir)
+    a = assign.select(
+        F.col("cent_id"), F.col("vec_id").alias("id_a"), F.col("q").alias("q_a")
+    )
+    b = assign.select(
+        F.col("cent_id"), F.col("vec_id").alias("id_b"), F.col("q").alias("q_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_a"), F.col("q_b"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, (a.cent_id == b.cent_id) & (F.col("id_a") < F.col("id_b")))
+        .filter(dot >= _SEMDEDUP_DOT)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    flagged = assign.select("cent_id", "vec_id").join(
+        dropped.withColumn("__dropped", F.lit(1)), "vec_id", "left_outer"
+    )
+    return flagged.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("__dropped").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("__dropped").isNull(), F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_id_checksum"),
+    )

@@ -1,0 +1,130 @@
+"""Chunking / sampling / incremental-dedup / SemDeDup properties —
+python-reference checks independent of the DuckDB oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Chunk slices must tile each document: chunk i holds tokens
+    [i*S, i*S+W); stitching chunk 0 plus each later chunk's tail past
+    the W-S overlap reproduces the exact token stream."""
+    from end_to_end_aws_data_pipeline_spark.operators.chunking import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_chunk_documents,
+    )
+
+    rows = q_chunk_documents(spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    texts = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        words = texts[doc_id].split(" ")
+        assert sorted(chunks) == list(range(len(chunks)))
+        for i in range(len(chunks)):
+            toks = chunks[i]["chunk"].split(" ") if chunks[i]["chunk"] else []
+            assert chunks[i]["n_tokens"] == len(toks)
+            assert toks == words[i * _CHUNK_S : i * _CHUNK_S + _CHUNK_W]
+        covered = set()
+        for i in range(len(chunks)):
+            covered.update(range(i * _CHUNK_S, min(i * _CHUNK_S + _CHUNK_W, len(words))))
+        assert covered == set(range(len(words)))
+
+
+def test_uniform_hash_sample_is_deterministic_subset(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.chunking import (
+        _SAMPLE_K,
+        q_sample_uniform_hash,
+    )
+
+    a = q_sample_uniform_hash(spark, SF).collect()
+    b = q_sample_uniform_hash(spark, SF).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    n_docs = _docs(spark).count()
+    assert len(a) == min(_SAMPLE_K, n_docs)
+    all_ids = {r["doc_id"] for r in _docs(spark).select("doc_id").collect()}
+    assert {r["doc_id"] for r in a} <= all_ids
+    ranks = [r["h_rank"] for r in a]
+    assert ranks == sorted(ranks)
+
+
+def test_incremental_dedup_matches_python_reference(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _BATCH_MIN,
+        _BATCH_MOD,
+        q_dedup_incremental,
+    )
+
+    docs = _docs(spark).collect()
+    corpus_digests = {
+        hashlib.sha256(r["text"].encode()).hexdigest()
+        for r in docs
+        if r["doc_id"] % _BATCH_MOD < _BATCH_MIN
+    }
+    best: dict = {}
+    for r in docs:
+        if r["doc_id"] % _BATCH_MOD < _BATCH_MIN:
+            continue
+        d = hashlib.sha256(r["text"].encode()).hexdigest()
+        if d not in best or r["doc_id"] < best[d]["doc_id"]:
+            best[d] = r
+    expected: dict = {}
+    for d, r in best.items():
+        if d in corpus_digests:
+            continue
+        e = expected.setdefault(r["source"], [0, 0, 0])
+        e[0] += 1
+        e[1] += r["doc_id"]
+        e[2] += r["n_chars"]
+    got = {
+        r["source"]: [r["n_new_docs"], r["id_checksum"], r["sum_chars"]]
+        for r in q_dedup_incremental(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_semdedup_drop_rule_matches_numpy(spark):
+    """Within each centroid bucket, a vector is dropped iff a lower-id
+    bucket-mate has quantized dot >= the integer threshold."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _SEMDEDUP_DOT,
+        _ivf_assigned,
+        q_semdedup,
+    )
+
+    _, assign, _, _ = _ivf_assigned(spark, SF)
+    rows = assign.collect()
+    by_cent: dict = {}
+    for r in rows:
+        by_cent.setdefault(r["cent_id"], []).append(
+            (r["vec_id"], np.array(r["q"], dtype=np.int64))
+        )
+    exp: dict = {}
+    for cent, vs in by_cent.items():
+        vs.sort()
+        dropped = set()
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                if int(vs[i][1] @ vs[j][1]) >= _SEMDEDUP_DOT:
+                    dropped.add(vs[j][0])
+        kept_sum = sum(v for v, _ in vs if v not in dropped)
+        exp[cent] = (len(vs), len(dropped), kept_sum)
+    got = {
+        r["cent_id"]: (r["n_vectors"], r["n_dropped"], r["kept_id_checksum"])
+        for r in q_semdedup(spark, SF).collect()
+    }
+    assert got == exp
