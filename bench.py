@@ -61,6 +61,12 @@ HEADLINE = (
     "q_ann_ivf_nprobe",
     "q_dedup_clusters_star",
     "q_source_orc_scan",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q_chunk_documents",
+    "q_sample_uniform_hash",
+    "q_dedup_incremental",
+    "q_semdedup",
 )
 
 

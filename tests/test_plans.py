@@ -21,6 +21,7 @@ from end_to_end_aws_data_pipeline_spark.plans.explain import (
     forced_broadcast_count,
     has_pushed_filters,
     has_wholestage_codegen,
+    physical_plan,
     scan_read_schema,
     uses_take_ordered,
 )
@@ -238,3 +239,58 @@ def test_cdc_and_nprobe_plans(spark):
     assert "Cartesian" not in formatted_plan(npb)
     assert count_broadcast_joins(npb) >= 1  # bounded probe set rides broadcast
     assert count_shuffles(npb) <= 2  # assignment scan + rank window
+
+
+def test_tpch_deep_plan_posture(spark):
+    """Round-3 deep-cut TPC-H queries: pushdown, hint discipline, and
+    top-N shapes hold at any SF."""
+    from end_to_end_aws_data_pipeline_spark.operators.tpch_deep import (
+        q5_local_supplier_volume,
+        q10_returned_items,
+        q19_discounted_revenue,
+        q22_global_sales_opportunity,
+    )
+
+    # Q5: forced hints only on nation(25) + region(5)
+    assert forced_broadcast_count(q5_local_supplier_volume(spark, SF_SMOKE)) == 2
+    # Q10: returnflag filter reaches the lineitem scan; top-20 is a
+    # TakeOrdered, never a global sort
+    q10 = q10_returned_items(spark, SF_SMOKE)
+    assert has_pushed_filters(q10, "l_returnflag")
+    assert uses_take_ordered(q10)
+    assert forced_broadcast_count(q10) == 1  # nation only
+    # Q19: Catalyst factors the single-side conjuncts out of the
+    # OR-of-ANDs — brand and quantity bounds appear as pushed filters
+    q19 = q19_discounted_revenue(spark, SF_SMOKE)
+    assert has_pushed_filters(q19, "p_brand")
+    assert has_pushed_filters(q19, "l_quantity")
+    # Q22: the no-recent-orders NOT EXISTS stays an anti join (no
+    # cartesian anywhere); the 1-row average is the only forced hint
+    q22 = q22_global_sales_opportunity(spark, SF_SMOKE)
+    plan = physical_plan(q22)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_and_sampling_plan_posture(spark):
+    """Chunking is shuffle-free (scan + generate only); hash sampling
+    compiles to TakeOrdered (per-partition top-k, no full sort)."""
+    from end_to_end_aws_data_pipeline_spark.operators.chunking import (
+        q_chunk_documents,
+        q_sample_uniform_hash,
+    )
+
+    assert count_shuffles(q_chunk_documents(spark, SF_SMOKE)) == 0
+    assert uses_take_ordered(q_sample_uniform_hash(spark, SF_SMOKE))
+
+
+def test_incremental_dedup_plan_posture(spark):
+    """The batch-vs-corpus probe is an anti join on digests, and the
+    corpus side's scan is pruned to the text column it hashes."""
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_dedup_incremental,
+    )
+
+    plan = physical_plan(q_dedup_incremental(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
