@@ -272,6 +272,25 @@ def test_tpch_deep_plan_posture(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q8_q9_plan_posture(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.tpch_deep import (
+        q8_national_market_share,
+        q9_product_type_profit,
+    )
+
+    # Q8: forced hints only on the two nation roles + region
+    q8 = q8_national_market_share(spark, SF_SMOKE)
+    assert forced_broadcast_count(q8) == 3
+    assert has_pushed_filters(q8, "p_type")
+    assert "CartesianProduct" not in physical_plan(q8)
+    # Q9: the substring filter can't prune row groups (leading
+    # wildcard) but must still sit in the part scan's data filters,
+    # before the first join; nation is the only forced hint
+    q9 = q9_product_type_profit(spark, SF_SMOKE)
+    assert forced_broadcast_count(q9) == 1
+    assert "CartesianProduct" not in physical_plan(q9)
+
+
 def test_chunking_and_sampling_plan_posture(spark):
     """Chunking is shuffle-free (scan + generate only); hash sampling
     compiles to TakeOrdered (per-partition top-k, no full sort)."""
