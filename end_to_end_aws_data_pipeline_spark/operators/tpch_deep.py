@@ -1,13 +1,15 @@
-"""Deep-cut TPC-H-shaped analytics (Q5/Q7/Q10/Q13/Q15/Q17/Q19/Q22
-shapes) adapted to the testdata schema — the multiway-join, correlated-
-aggregate, and anti-join patterns that stress a planner hardest.
+"""Deep-cut TPC-H-shaped analytics (Q5/Q7/Q8/Q9/Q10/Q11/Q13/Q15/Q17/
+Q19/Q20/Q21/Q22 shapes) adapted to the testdata schema — the multiway-
+join, correlated-aggregate, and anti-join patterns that stress a
+planner hardest.
 
 Together with operators/tpch.py (Q1/Q4/Q6/Q12/Q14/Q18) this gives the
 OLAP suite the full spread of classic plan shapes: snowflake joins over
-4-6 tables (Q5/Q7), fact→dim enrich + top-k (Q10), outer-join histogram
-(Q13), aggregate-vs-its-own-max (Q15), correlated per-group average
-(Q17), disjunctive pushdown (Q19), and NOT EXISTS + scalar subquery
-(Q22).
+4-8 tables (Q5/Q7/Q8/Q9), fact→dim enrich + top-k (Q10), grouped agg
+gated by a scalar subquery (Q11), outer-join histogram (Q13),
+aggregate-vs-its-own-max (Q15), correlated per-group average (Q17),
+disjunctive pushdown (Q19), nested-IN semi-join chain (Q20), paired
+EXISTS/NOT EXISTS (Q21), and NOT EXISTS + scalar subquery (Q22).
 
 Scale notes (100 TB discipline, same conventions as tpch.py):
 - Only fixed-cardinality dims (region: 5, nation: 25) get an explicit
@@ -620,4 +622,185 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who kept orders waiting (EXISTS + NOT EXISTS pair)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the paired correlated EXISTS / NOT EXISTS —
+    suppliers who were the SOLE late shipper on a finalized
+    multi-supplier order. Adapted late predicate: the schema has no
+    commit/receipt dates, so "late" = shipped >100 days after the order
+    date (same join shape: the flag needs lineitem ⋈ orders).
+
+    Spark expresses the two correlated subqueries as a LEFT SEMI and a
+    LEFT ANTI join, each an equi-join on the order key with a
+    supplier-key inequality as residual condition — the exact
+    decorrelation Catalyst would produce from the SQL, but stated
+    directly. The nation gate filters supplier BEFORE the semi/anti
+    pair, cutting l1 ~25x ahead of both shuffles; at 100 TB all three
+    joins co-partition on l_orderkey so AQE can collapse adjacent
+    shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    l1 = late.join(s, F.col("l_suppkey") == F.col("s_suppkey")).join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important parts (HAVING vs a scalar subquery over the same fact)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = f"""
+SELECT l_partkey AS partkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 1500
+       > (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+          FROM lineitem)
+ORDER BY part_value DESC, partkey
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: keep the groups whose share of TOTAL value
+    exceeds a threshold — a grouped aggregate gated by a scalar
+    subquery over the same fact table (share > 1/1500 of the corpus).
+
+    The scalar side is a 1-row aggregate joined in with an explicit
+    broadcast (a 1-row broadcast is free at any scale; the fact table
+    is scanned twice, which AQE cannot avoid but columnar pruning makes
+    each scan 3-column). The HAVING comparison runs on UNROUNDED exact
+    decimals times an integer — bit-identical keep set in any engine
+    and under any partitioning; the displayed value rounds only in the
+    output projection."""
+    li = table(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(val).alias("_exact"),
+        F.round(F.sum(val).cast("double"), 4).alias("part_value"),
+    )
+    total = li.agg(F.sum(val).alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_exact") * 1500 > F.col("_total"))
+        .select("partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers with excess stock (nested IN chain -> semi-join chain)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 100
+)
+ORDER BY s_name
+"""
+
+
+@register("q20_excess_stock_suppliers", oracle=_Q20_ORACLE)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-IN chain — suppliers who shipped
+    more than a threshold quantity of any one product from a
+    name-filtered part family (partsupp's availqty gate becomes a
+    shipped-quantity gate; the plan shape is identical: filtered dim →
+    fact agg → IN → outer semi-join).
+
+    Spark states it as a semi-join chain: part (prefix LIKE, prunable
+    at the scan) inner-joins lineitem, a two-key aggregate applies the
+    threshold, and supplier LEFT SEMI joins the surviving supplier
+    keys. Quantities are integer-valued doubles, so the HAVING sum is
+    exact in both engines. At scale every step shuffles on a key it
+    already needs for its own aggregate — no extra exchanges."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = table(spark, sf_dir, "lineitem")
+    excess = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select(F.col("l_suppkey").alias("xs_key"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("xs_key"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

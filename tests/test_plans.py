@@ -291,6 +291,35 @@ def test_q8_q9_plan_posture(spark):
     assert "CartesianProduct" not in physical_plan(q9)
 
 
+def test_q21_q11_q20_plan_posture(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.tpch_deep import (
+        q11_important_parts,
+        q20_excess_stock_suppliers,
+        q21_waiting_suppliers,
+    )
+
+    # Q21: the EXISTS/NOT EXISTS pair must compile to semi + anti joins
+    # (never a subquery re-execution per row); nation is the only hint
+    q21 = q21_waiting_suppliers(spark, SF_SMOKE)
+    plan21 = physical_plan(q21)
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21
+    assert forced_broadcast_count(q21) == 1
+    assert "CartesianProduct" not in plan21
+    # Q11: the scalar-subquery gate is a 1-row broadcast (nested-loop
+    # join against one row is free at any scale), not a cartesian
+    q11 = q11_important_parts(spark, SF_SMOKE)
+    plan11 = physical_plan(q11)
+    assert forced_broadcast_count(q11) == 1
+    assert "CartesianProduct" not in plan11
+    # Q20: prefix LIKE prunes at the part scan; supplier gate is a
+    # semi join (IN-subquery decorrelation), no duplicate-producing inner
+    q20 = q20_excess_stock_suppliers(spark, SF_SMOKE)
+    plan20 = physical_plan(q20)
+    assert has_pushed_filters(q20, "p_name")
+    assert "LeftSemi" in plan20
+    assert "CartesianProduct" not in plan20
+
+
 def test_chunking_and_sampling_plan_posture(spark):
     """Chunking is shuffle-free (scan + generate only); hash sampling
     compiles to TakeOrdered (per-partition top-k, no full sort)."""
