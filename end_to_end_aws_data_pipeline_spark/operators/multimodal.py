@@ -151,14 +151,6 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
     )
 
 
-def _paeth(a, b, c):
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def _decode_png(payload: bytes):
     """Pure-python PNG decode via stdlib zlib: 8-bit depth, color types
     0 (gray), 2 (RGB), 3 (palette), 6 (RGBA→RGB, alpha dropped),
@@ -201,33 +193,52 @@ def _decode_png(payload: bytes):
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    ch = channels
+    prev_np = np.zeros(stride, dtype=np.uint8)
+    prev_b = bytes(stride)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=base + 1)
         if ft == 0:
-            cur = line
-        elif ft == 2:  # Up: fully vectorized
-            cur = (line + prev) % 256
+            cur_np = line
+        elif ft == 2:  # Up: uint8 addition wraps mod 256 by itself
+            cur_np = line + prev_np
+        elif ft == 1:  # Sub: per-channel-lane prefix sum, exact mod 256
+            lanes = line.reshape(-1, ch).astype(np.int64)
+            cur_np = (
+                (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+            )
+        elif ft in (3, 4):
+            # sequential pixel dependency (floor-avg / Paeth can't be
+            # re-associated); bytearray int indexing is ~10x numpy
+            # scalar indexing in this loop
+            cur = bytearray(line.tobytes())
+            if ft == 3:
+                for i in range(stride):
+                    a = cur[i - ch] if i >= ch else 0
+                    cur[i] = (cur[i] + ((a + prev_b[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = cur[i - ch] if i >= ch else 0
+                    c = prev_b[i - ch] if i >= ch else 0
+                    b = prev_b[i]
+                    pa = b - c if b >= c else c - b
+                    pb = a - c if a >= c else c - a
+                    pc_ = a + b - 2 * c
+                    pc_ = -pc_ if pc_ < 0 else pc_
+                    pred = (
+                        a
+                        if (pa <= pb and pa <= pc_)
+                        else (b if pb <= pc_ else c)
+                    )
+                    cur[i] = (cur[i] + pred) & 0xFF
+            cur_np = np.frombuffer(bytes(cur), np.uint8)
         else:
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                elif ft == 4:
-                    pred = _paeth(a, b, c)
-                else:
-                    raise ValueError(f"bad PNG filter {ft}")
-                cur[i] = (line[i] + pred) % 256
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = cur_np
+        prev_np = cur_np
+        prev_b = cur_np.tobytes()
     img = out.reshape(h, w, channels)
     if ctype == 0:
         return np.repeat(img, 3, axis=2)
@@ -436,7 +447,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # the sf corpora are single parquet files → a 1-partition scan would
+    # serialize the (CPU-bound) codec work; spreading the 8-byte ids is
+    # ~free and buys full-core decode. At real scale the source has many
+    # files/row-groups and this coalesces/keeps parallelism the same way.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
