@@ -65,6 +65,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism —
+    use before CPU-bound per-row stages (codecs, matmul batches,
+    shingle/token explodes) whose input may be an unsplittable scan.
+
+    The sf test corpora are single parquet files with ONE row group, so
+    their scans cannot split below one task no matter what
+    ``maxPartitionBytes`` says — without this, a Pandas-UDF or explode
+    stage runs on one core of 32. At production scale the source is
+    many splittable files and this becomes a cheap rebalance (and
+    protects against the same pathology from a skewed/compacted
+    upstream writer). Row-wise + keyed-aggregate consumers only:
+    round-robin placement is not deterministic, so anything
+    partition-order-sensitive must key its own repartition instead."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

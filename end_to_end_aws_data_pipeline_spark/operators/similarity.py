@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.catalog import spread, table
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _TOP_K = 5
@@ -174,7 +174,14 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    cand = v.mapInPandas(_score, schema="query_id long, neighbor_id long, dot_q long")
+    # spread ONLY the matmul input: the sf embeddings file scans as one
+    # unsplittable partition, which would serialize the CPU-bound batch
+    # matmuls on a single core. The query-set branch above stays on the
+    # plain scan so its filter+limit still push down (a spread there
+    # would force a full shuffle just to collect 64 rows).
+    cand = spread(v).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, dot_q long"
+    )
     w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -266,7 +273,11 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str):
                 }
             )
 
-    assign = v.mapInPandas(_assign, schema="vec_id long, cent_id long, q array<long>")
+    # spread the assignment matmul across cores (see q_ann_bruteforce);
+    # the centroid-collect branch keeps the plain pushdown-friendly scan
+    assign = spread(v).mapInPandas(
+        _assign, schema="vec_id long, cent_id long, q array<long>"
+    )
     return v, assign, cent_ids, cent_mat
 
 
