@@ -2,11 +2,12 @@
 payloads + typed metadata structs, with decode / feature-extraction /
 frame-sampling as Arrow-batched ``mapInPandas`` operators.
 
-Decode is REAL for the uncompressed formats a dependency-free engine
-can own: 24-bit BMP (BITMAPINFOHEADER, padded bottom-up rows) and
-binary PPM (P6), both parsed byte-by-byte in ``decode_image`` — no
-codec library involved. Compressed formats (PNG/JPEG/...) still raise
-``NotImplementedError`` until a codec library is plugged in; the rest
+Decode is REAL for the formats a dependency-free engine can own:
+24-bit BMP (BITMAPINFOHEADER, padded bottom-up rows), binary PPM (P6),
+PNG (stdlib zlib inflate + all five scanline unfilters) and baseline
+JFIF JPEG (operators/jpeg.py: huffman, zigzag, dequant, IDCT) — no
+codec library involved. The remaining boundaries (progressive JPEG,
+WebP, ...) raise ``NotImplementedError`` naming the feature; the rest
 of the pipeline — binary schema convention, partition-count
 preservation, the mapInPandas batch iterator signature, deterministic
 feature extraction — is independent of the codec and oracle-checked.
@@ -311,11 +312,12 @@ def _decode_ppm(payload: bytes):
 def decode_image(payload: bytes):
     """Decode an image payload to an (h, w, 3) uint8 RGB numpy array.
 
-    Real, dependency-free decoders: 24-bit BMP, binary PPM (P6), and
-    PNG (8-bit gray/RGB/palette/RGBA, all five scanline filters, via
-    stdlib zlib). DCT codecs (JPEG/WebP/...) raise
-    ``NotImplementedError`` — plug in a codec library (e.g. PIL) to
-    extend this dispatch.
+    Real, dependency-free decoders: 24-bit BMP, binary PPM (P6), PNG
+    (8-bit gray/RGB/palette/RGBA, all five scanline filters, via stdlib
+    zlib) and baseline JFIF JPEG (gray / 4:4:4 color — operators/
+    jpeg.py). Progressive/subsampled JPEG and other codecs (WebP/...)
+    raise ``NotImplementedError`` naming the missing feature — plug in
+    a codec library (e.g. PIL) to extend this dispatch.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -323,9 +325,16 @@ def decode_image(payload: bytes):
         return _decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from end_to_end_aws_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "unsupported image codec (BMP, P6 PPM and PNG decode without a "
-        "codec library; install one, e.g. pillow, for JPEG)"
+        "unsupported image codec (BMP, P6 PPM, PNG and baseline JPEG "
+        "decode without a codec library; install one, e.g. pillow, "
+        "for other formats)"
     )
 
 
@@ -517,3 +526,81 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per (doc, frame)."""
     docs = table(spark, sf_dir, "documents")
     return sample_frames(to_binary_docs(docs))
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode (compressed DCT codec through the same binary-column path)
+# ---------------------------------------------------------------------------
+
+# block-grid geometry derived from doc_id; every 8x8 block is constant,
+# so the flat-8 quant table round-trips bit-exactly (operators/jpeg.py
+# module docstring derives why) and the oracle can predict decoded
+# pixel sums arithmetically while the full huffman/zigzag/IDCT path runs
+_J_BW = "(1 + doc_id % 4)"   # blocks across → widths 8..32
+_J_BH = "(1 + (doc_id // 5) % 3)"  # blocks down → heights 8..24
+
+_DECODE_JPEG_ORACLE = f"""
+SELECT doc_id,
+       CAST(8 * {_J_BW} AS INT) AS width,
+       CAST(8 * {_J_BH} AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(3 * 64 * list_sum(list_transform(
+             range(0, {_J_BW} * {_J_BH}),
+             i -> (i % {_J_BW} + i // {_J_BW} + doc_id) % 256))
+            AS BIGINT) AS pixel_sum
+FROM documents
+"""
+
+
+@register("q_multimodal_decode_jpeg", oracle=_DECODE_JPEG_ORACLE)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG encode → decode through the binary-column
+    path: per document a block-constant grayscale image (8×8 block
+    (br,bc) has value (br+bc+doc_id) mod 256) is huffman-encoded to a
+    spec-conformant JFIF file and decoded back by operators/jpeg.py
+    inside one Arrow-batched mapInPandas pass. With the flat-8 quant
+    table the round trip is bit-exact, so any bitstream, huffman-table,
+    zigzag, dequant or IDCT bug shows up as a driver hash mismatch
+    against the arithmetic oracle."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, sums = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw = 1 + doc_id % 4
+                bh = 1 + (doc_id // 5) % 3
+                bc, br = np.meshgrid(np.arange(bw), np.arange(bh))
+                vals = ((br + bc + doc_id) % 256).astype(np.uint8)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                out = decode_jpeg(encode_jpeg(img))
+                ids.append(doc_id)
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+                sums.append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series([3] * len(ids), dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema="doc_id long, width int, height int, channels int, pixel_sum long",
+    )

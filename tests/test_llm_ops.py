@@ -343,3 +343,68 @@ def test_png_unsupported_raises():
     # JPEG still refused with a pointer to a codec lib
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(b"\xff\xd8\xff\xe0nope")
+
+
+def test_jpeg_block_constant_exact():
+    """Baseline JPEG with the flat-8 quant table round-trips
+    block-constant images BIT-EXACTLY (the oracle contract: DCT of a
+    constant block is one DC coefficient divisible by the quant step)."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for doc_id in (0, 3, 17, 42, 255, 1023):
+        bw, bh = 1 + doc_id % 4, 1 + (doc_id // 5) % 3
+        bc, br = np.meshgrid(np.arange(bw), np.arange(bh))
+        vals = ((br + bc + doc_id) % 256).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        got = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(got, np.repeat(img[:, :, None], 3, axis=2))
+
+
+def test_jpeg_lossy_tolerance_and_color():
+    """Arbitrary images: decode error bounded by the quantization step
+    (flat 8 → per-coefficient error ≤ 4, well under 16/channel after
+    the IDCT; color adds YCbCr rounding)."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(gray))
+    assert got.shape == (24, 32, 3)
+    assert np.abs(got[:, :, 0].astype(int) - gray.astype(int)).max() <= 16
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 24
+
+
+def test_jpeg_dispatch_and_unsupported_features():
+    """decode_image routes FFD8 payloads to the JPEG decoder; the
+    documented boundaries (progressive SOF2, restart intervals) raise
+    NotImplementedError naming the feature."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from end_to_end_aws_data_pipeline_spark.operators.jpeg import encode_jpeg
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    assert decode_image(encode_jpeg(img))[0, 0, 0] == 77
+
+    # minimal progressive header: SOI + SOF2
+    sof2_body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    sof2 = b"\xff\xc2" + struct.pack(">H", len(sof2_body) + 2) + sof2_body
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_image(b"\xff\xd8" + sof2 + b"\xff\xd9")
