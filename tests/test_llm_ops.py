@@ -206,10 +206,11 @@ def test_cosine_pandas_matches_expression(spark):
         assert abs(r.expr_cos - r.udf_cos) < 1e-9
 
 
-def test_multimodal_decode_dct_formats_stubbed():
-    # PNG is now a real decoder; DCT codecs (JPEG) remain stubbed
+def test_multimodal_decode_unowned_formats_stubbed():
+    # PNG and JPEG are real decoders now; codecs we don't own (WebP)
+    # still raise the documented NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0jpeg")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_bmp_roundtrip_all_paddings():
@@ -340,9 +341,9 @@ def test_png_unsupported_raises():
     bad_i = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
     with pytest.raises(NotImplementedError, match="Adam7"):
         decode_image(bad_i)
-    # JPEG still refused with a pointer to a codec lib
+    # a codec we don't own (WebP) still refused with a pointer to a lib
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_image(b"\xff\xd8\xff\xe0nope")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_jpeg_block_constant_exact():
@@ -388,7 +389,7 @@ def test_jpeg_lossy_tolerance_and_color():
 
 def test_jpeg_dispatch_and_unsupported_features():
     """decode_image routes FFD8 payloads to the JPEG decoder; the
-    documented boundaries (progressive SOF2, restart intervals) raise
+    documented boundaries (arithmetic coding, lossless) raise
     NotImplementedError naming the feature."""
     import struct
 
@@ -403,8 +404,53 @@ def test_jpeg_dispatch_and_unsupported_features():
     img = np.full((8, 8), 77, dtype=np.uint8)
     assert decode_image(encode_jpeg(img))[0, 0, 0] == 77
 
-    # minimal progressive header: SOI + SOF2
-    sof2_body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    sof2 = b"\xff\xc2" + struct.pack(">H", len(sof2_body) + 2) + sof2_body
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_image(b"\xff\xd8" + sof2 + b"\xff\xd9")
+    # SOF9 = arithmetic-coded sequential: out of scope, named error
+    sof9_body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    sof9 = b"\xff\xc9" + struct.pack(">H", len(sof9_body) + 2) + sof9_body
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_image(b"\xff\xd8" + sof9 + b"\xff\xd9")
+
+
+def test_jpeg_subsampled_roundtrip():
+    """4:2:0 encode → decode: luma survives within quantization error;
+    chroma within box-average + replication error on a smooth ramp."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_decodes_reference_progressive_screenshots():
+    """The reference repo ships real-world progressive 4:2:0 JPEGs
+    (console screenshots). Decode must produce full-resolution output
+    with sane image statistics — this exercises spectral selection,
+    successive approximation, EOB runs and subsampled MCU geometry on
+    files we did not author."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from end_to_end_aws_data_pipeline_spark.operators.jpeg import decode_jpeg
+
+    files = sorted(glob.glob("/root/reference/*.jpeg"))
+    if not files:
+        pytest.skip("reference JPEG assets not present")
+    data = open(files[0], "rb").read()
+    img = decode_jpeg(data)
+    h, w, c = img.shape
+    assert c == 3 and h >= 64 and w >= 64
+    # a real screenshot is neither constant nor noise-uniform
+    assert float(img.std()) > 5.0
+    assert 0 < float(img.mean()) < 255
