@@ -67,6 +67,11 @@ HEADLINE = (
     "q_sample_uniform_hash",
     "q_dedup_incremental",
     "q_semdedup",
+    # round-3 third wave
+    "q8_national_market_share",
+    "q21_waiting_suppliers",
+    "q_multimodal_decode_jpeg",
+    "q_multimodal_audio_features",
 )
 
 

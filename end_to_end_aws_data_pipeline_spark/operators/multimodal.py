@@ -4,13 +4,14 @@ frame-sampling as Arrow-batched ``mapInPandas`` operators.
 
 Decode is REAL for the formats a dependency-free engine can own:
 24-bit BMP (BITMAPINFOHEADER, padded bottom-up rows), binary PPM (P6),
-PNG (stdlib zlib inflate + all five scanline unfilters) and baseline
-JFIF JPEG (operators/jpeg.py: huffman, zigzag, dequant, IDCT) — no
-codec library involved. The remaining boundaries (progressive JPEG,
-WebP, ...) raise ``NotImplementedError`` naming the feature; the rest
-of the pipeline — binary schema convention, partition-count
-preservation, the mapInPandas batch iterator signature, deterministic
-feature extraction — is independent of the codec and oracle-checked.
+PNG (stdlib zlib inflate + all five scanline unfilters), sequential
+AND progressive JFIF JPEG with chroma subsampling (operators/jpeg.py),
+and PCM16 RIFF/WAVE audio — no codec library involved. The remaining
+boundaries (WebP, arithmetic-coded JPEG, compressed audio, ...) raise
+``NotImplementedError`` naming the feature; the rest of the pipeline —
+binary schema convention, partition-count preservation, the
+mapInPandas batch iterator signature, deterministic feature
+extraction — is independent of the codec and oracle-checked.
 
 Scale notes: binary payloads ride in parquet as byte arrays; metadata
 lives in a sibling struct so filters on media_type/size prune row
@@ -603,4 +604,153 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _batches,
         schema="doc_id long, width int, height int, channels int, pixel_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM codec + feature extraction
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """Encode an int16 numpy array — (n,) mono or (n, ch) interleaved —
+    as a PCM16 RIFF/WAVE file."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()  # row-major == interleaved frames
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+    )  # PCM, block align = ch*2, 16-bit
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM16 RIFF/WAVE payload → (rate, channels, samples)
+    where samples is an (n_frames, channels) int16 array. Walks chunks
+    per the RIFF spec (skips LIST/fact/...); compressed formats raise
+    ``NotImplementedError``."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE signature")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+            if fmt is not None:
+                break
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    s = np.frombuffer(data, dtype="<i2")
+    frames = len(s) // ch
+    return rate, ch, s[: frames * ch].reshape(frames, ch)
+
+
+# deterministic synthetic PCM mirrored by the oracle: integer triangle
+# ramp, so every feature is exact integer arithmetic in any engine
+_WAV_RATE = 16000
+_WAV_N = "(800 + (doc_id % 5) * 160)"  # 50-90 ms at 16 kHz
+_WAV_STEP = "(1 + doc_id % 7)"
+
+_AUDIO_ORACLE = f"""
+SELECT doc_id,
+       CAST({_WAV_N} AS BIGINT) AS n_frames,
+       CAST(1 AS INT) AS channels,
+       CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST({_WAV_N} * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
+       CAST(list_max(list_transform(range(0, {_WAV_N}),
+             i -> abs((i * {_WAV_STEP}) % 2048 - 1024))) AS BIGINT) AS peak,
+       CAST(list_sum(list_transform(range(0, {_WAV_N}),
+             i -> abs((i * {_WAV_STEP}) % 2048 - 1024))) AS BIGINT) AS sum_abs,
+       CAST(list_sum(list_transform(range(0, {_WAV_N}),
+             i -> CAST((i * {_WAV_STEP}) % 2048 - 1024 AS BIGINT)
+                  * ((i * {_WAV_STEP}) % 2048 - 1024))) AS BIGINT) AS sum_sq
+FROM documents
+"""
+
+
+@register("q_multimodal_audio_features", oracle=_AUDIO_ORACLE)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the binary-column path: per document a
+    deterministic int16 triangle wave (sample i = (i·step) mod 2048 −
+    1024) is encoded to an actual PCM16 RIFF/WAVE file and decoded back
+    by ``decode_wav`` inside one Arrow-batched mapInPandas pass;
+    features (frame count, duration, peak, |x|-sum, energy) are integer
+    arithmetic the oracle recomputes independently — any header,
+    chunk-walk, dtype or interleave bug shows up as a hash mismatch."""
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 800 + (doc_id % 5) * 160
+                step = 1 + doc_id % 7
+                i = np.arange(nf, dtype=np.int64)
+                pcm = ((i * step) % 2048 - 1024).astype(np.int16)
+                rate, ch, frames = decode_wav(encode_wav(pcm, _WAV_RATE))
+                x = frames[:, 0].astype(np.int64)
+                out.append(
+                    (
+                        doc_id,
+                        frames.shape[0],
+                        ch,
+                        rate,
+                        frames.shape[0] * 1000 // rate,
+                        int(np.abs(x).max()),
+                        int(np.abs(x).sum()),
+                        int((x * x).sum()),
+                    )
+                )
+            cols = (
+                "doc_id", "n_frames", "channels", "sample_rate",
+                "duration_ms", "peak", "sum_abs", "sum_sq",
+            )
+            yield pd.DataFrame(
+                {
+                    c: pd.Series(
+                        [r[j] for r in out],
+                        dtype="int32" if c in ("channels", "sample_rate") else "int64",
+                    )
+                    for j, c in enumerate(cols)
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, n_frames long, channels int, sample_rate int, "
+            "duration_ms long, peak long, sum_abs long, sum_sq long"
+        ),
     )

@@ -454,3 +454,39 @@ def test_jpeg_decodes_reference_progressive_screenshots():
     # a real screenshot is neither constant nor noise-uniform
     assert float(img.std()) > 5.0
     assert 0 < float(img.mean()) < 255
+
+
+def test_wav_roundtrip_and_boundaries():
+    """PCM16 WAV: mono and stereo round-trip bit-exactly through real
+    RIFF bytes (chunk walk, word alignment); compressed formats raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, 1001, dtype=np.int16)
+    rate, ch, frames = decode_wav(encode_wav(mono, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(frames[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (500, 2), dtype=np.int16)
+    rate, ch, frames = decode_wav(encode_wav(stereo, 44100))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(frames, stereo)
+    # unknown chunks before data are skipped (LIST), odd sizes padded
+    payload = bytearray(encode_wav(mono[:10], 8000))
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+    payload[12:12] = extra
+    payload[4:8] = struct.pack("<I", len(payload) - 8 + len(extra))
+    _, _, frames = decode_wav(bytes(payload))
+    assert np.array_equal(frames[:, 0], mono[:10])
+    # non-PCM (mu-law format code 7) refused by name
+    bad = bytearray(encode_wav(mono[:10], 8000))
+    bad[20:22] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_wav(bytes(bad))
