@@ -342,3 +342,46 @@ def test_incremental_dedup_plan_posture(spark):
     plan = physical_plan(q_dedup_incremental(spark, SF_SMOKE))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's InjectRuntimeFilter: a selective dimension side of a
+    shuffle join grows a bloom filter that pre-prunes the fact scan
+    BEFORE the shuffle (semi-join reduction) — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    only rows that can match. Assert the rewrite actually fires under
+    the documented confs: the fact side gains a might_contain filter
+    fed by a bloom_filter_agg subquery on the dim side."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = table(spark, SF_SMOKE, "lineitem")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
