@@ -224,55 +224,97 @@ def binned_exact_percentiles_multi(
         ]
     )
     # search states: one per needed order statistic
-    # state: [cidx, g, rank, lo, hi, k_local, population, value_or_None]
+    # state: [cidx, g, rank, lo, hi, k_local, population, value_or_None,
+    #         point_suspect]
     states: dict[tuple, list] = {}
     for (ci, g), (n, lo, hi) in all_stats.items():
         for p in specs[cols[ci]]:
             pos = p * (n - 1)
             for k in {int(math.floor(pos)), int(math.ceil(pos))}:
-                states.setdefault((ci, g, k), [ci, g, k, lo, hi, k, n, None])
+                states.setdefault(
+                    (ci, g, k), [ci, g, k, lo, hi, k, n, None, 0]
+                )
 
     spark = df.sparkSession
 
     def _active():
         return [s for s in states.values() if s[7] is None and s[6] > collect_cap]
 
+    def _value_count(stalled: list, bounded: bool) -> None:
+        """ONE batched scan resolving states by per-distinct-value
+        counts (instead of a scan per state). `bounded` limits the
+        fetch to collect_cap distinct values per state — used for
+        point-mass suspects, where a big result disproves the
+        suspicion and the state goes back to histogram refinement."""
+        from pyspark.sql import Window as W
+
+        rows = [
+            (sid, s[0], s[1], float(s[3]), float(s[4]))
+            for sid, s in enumerate(stalled)
+        ]
+        st = spark.createDataFrame(rows, _state_schema)
+        per_v = (
+            base.join(
+                F.broadcast(st),
+                (F.col("cidx") == F.col("c_s"))
+                & (F.col("g") == F.col("g_s"))
+                & F.col("v").between(F.col("lo"), F.col("hi")),
+            )
+            .groupBy("sid", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if bounded:
+            w = W.partitionBy("sid").orderBy("v")
+            per_v = (
+                per_v.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= collect_cap + 1)
+            )
+        got: dict[int, list] = {}
+        for r in per_v.orderBy("sid", "v").collect():
+            got.setdefault(r["sid"], []).append((r["v"], r["c"]))
+        for sid, s in enumerate(stalled):
+            vals = got.get(sid, [])
+            if bounded and len(vals) > collect_cap:
+                # not a point mass after all: resume refinement and
+                # never re-trigger the suspect path for this state
+                s[8] = -(10**9)
+                continue
+            cum, kl = 0, s[5]
+            for v, c in vals:
+                if kl < cum + c:
+                    s[7] = v
+                    break
+                cum += c
+
     for _ in range(max_rounds):
         act = _active()
         if not act:
             break
         rows = []
-        stalled = []
-        for sid, s in enumerate(act):
-            ci, g, k, lo, hi, kl, popn, _ = s
+        stalled, suspects = [], []
+        for s in act:
+            ci, g, k, lo, hi, kl, popn, _, susp = s
             if lo == hi or (hi - lo) / bins <= 0.0:
-                stalled.append(s)
+                stalled.append(s)  # float64 can't subdivide: few values
+            elif susp >= 1:
+                suspects.append(s)  # whole population in one bucket
             else:
-                rows.append((sid, ci, g, float(lo), float(hi)))
-        for s in stalled:
-            # interval too narrow to subdivide in float64: count by
-            # distinct value (few representable doubles in [lo, hi])
-            ci, g, k, lo, hi, kl, popn, _ = s
-            vals = (
-                base.filter(
-                    (F.col("cidx") == ci)
-                    & (F.col("g") == g)
-                    & F.col("v").between(lo, hi)
-                )
-                .groupBy("v")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .orderBy("v")
-                .collect()
-            )
-            cum = 0
-            for r in vals:
-                if kl < cum + r["c"]:
-                    s[7] = r["v"]
-                    break
-                cum += r["c"]
+                rows.append(s)
+        if stalled:
+            _value_count(stalled, bounded=False)
+        if suspects:
+            _value_count(suspects, bounded=True)
+            rows.extend(s for s in suspects if s[7] is None and s[8] < 0)
         if not rows:
             continue
-        st = spark.createDataFrame(rows, _state_schema)
+        hist_states = rows
+        st = spark.createDataFrame(
+            [
+                (sid, s[0], s[1], float(s[3]), float(s[4]))
+                for sid, s in enumerate(hist_states)
+            ],
+            _state_schema,
+        )
         # one scan: histogram every active interval; a row can feed
         # multiple (nested) intervals via the range join
         hist = (
@@ -299,10 +341,10 @@ def binned_exact_percentiles_multi(
         by_sid: dict[int, dict[int, int]] = {}
         for r in hist:
             by_sid.setdefault(r["sid"], {})[r["b"]] = r["c"]
-        for sid, s in enumerate(act):
+        for sid, s in enumerate(hist_states):
             if s[7] is not None or (s[3] == s[4]):
                 continue
-            ci, g, k, lo, hi, kl, popn, _ = s
+            ci, g, k, lo, hi, kl, popn, _, susp = s
             if sid not in by_sid:
                 continue
             w = (hi - lo) / bins
@@ -314,6 +356,13 @@ def binned_exact_percentiles_multi(
                     s[4] = min(hi, lo + (b + 1) * w)
                     s[5] = kl - cum
                     s[6] = c
+                    # the ENTIRE remaining population in one bucket is
+                    # the signature of a point mass (e.g. integer-valued
+                    # doubles): route to a bounded value-count next
+                    # round instead of shrinking the interval 4096x a
+                    # round until float64 underflows (~4 wasted scans)
+                    if susp >= 0:
+                        s[8] = susp + 1 if c == popn and len(by_sid[sid]) == 1 else 0
                     break
                 cum += c
 
