@@ -754,3 +754,84 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ms long, peak long, sum_abs long, sum_sq long"
         ),
     )
+
+
+_FRM = 256  # frame length in samples
+_HOP = 128  # hop (stride): 50% overlap
+
+_AUDIO_FRAMES_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, unnest(range(0,
+           ({_WAV_N} - {_FRM}) // {_HOP} + 1)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {_HOP} AS BIGINT) AS start_sample,
+       CAST(list_max(list_transform(
+             range(frame_idx * {_HOP}, frame_idx * {_HOP} + {_FRM}),
+             i -> abs((i * {_WAV_STEP}) % 2048 - 1024))) AS BIGINT) AS peak,
+       CAST(list_sum(list_transform(
+             range(frame_idx * {_HOP}, frame_idx * {_HOP} + {_FRM}),
+             i -> CAST((i * {_WAV_STEP}) % 2048 - 1024 AS BIGINT)
+                  * ((i * {_WAV_STEP}) % 2048 - 1024))) AS BIGINT) AS energy
+FROM f
+"""
+
+
+@register("q_multimodal_audio_frames", oracle=_AUDIO_FRAMES_ORACLE)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-frame feature extraction — the audio analogue of
+    sliding-window text chunking (frame 256 / hop 128, the standard
+    STFT windowing grid): decode real WAV bytes, frame the PCM with a
+    strided view, emit per-frame peak + energy. One row per (doc,
+    frame); all integer arithmetic, recomputed independently by the
+    oracle. Framing happens inside the SAME Arrow batch as the decode —
+    no shuffle between decode and window extraction."""
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fis, starts, peaks, energies = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 800 + (doc_id % 5) * 160
+                step = 1 + doc_id % 7
+                i = np.arange(nf, dtype=np.int64)
+                pcm = ((i * step) % 2048 - 1024).astype(np.int16)
+                _, _, frames = decode_wav(encode_wav(pcm, _WAV_RATE))
+                x = frames[:, 0].astype(np.int64)
+                n_frames = (len(x) - _FRM) // _HOP + 1
+                idx = (
+                    np.arange(n_frames)[:, None] * _HOP
+                    + np.arange(_FRM)[None, :]
+                )
+                w = x[idx]  # (n_frames, _FRM) strided frame matrix
+                ids.extend([doc_id] * n_frames)
+                fis.extend(range(n_frames))
+                starts.extend((np.arange(n_frames) * _HOP).tolist())
+                peaks.extend(np.abs(w).max(axis=1).tolist())
+                energies.extend((w * w).sum(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fis, dtype="int32"),
+                    "start_sample": pd.Series(starts, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, frame_idx int, start_sample long, "
+            "peak long, energy long"
+        ),
+    )
