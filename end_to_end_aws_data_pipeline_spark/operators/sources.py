@@ -235,6 +235,7 @@ try:  # PySpark >= 4.0
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class _EventRange(InputPartition):
@@ -259,20 +260,56 @@ try:  # PySpark >= 4.0
 
         def read(self, partition):
             for eid in range(partition.start, partition.end):
-                yield (
-                    eid,
-                    (eid * 48271) % 9973,
-                    _PYDS_KINDS[eid % 5],
-                    1_700_000_000 + (eid * 37) % 604_800,
-                    (eid * eid) % 10_000,
-                )
+                yield _event_row(eid)
+
+    def _event_row(eid: int):
+        return (
+            eid,
+            (eid * 48271) % 9973,
+            _PYDS_KINDS[eid % 5],
+            1_700_000_000 + (eid * 37) % 604_800,
+            (eid * eid) % 10_000,
+        )
+
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+        """Streaming face of the same source: a cursor offset advances
+        ``batch_rows`` per micro-batch until ``n_rows`` is exhausted,
+        after which empty batches signal caught-up (processAllAvailable
+        terminates). ``readBetweenOffsets`` replays any offset range
+        deterministically — exactly-once on failure recovery comes from
+        the offset log + deterministic regeneration, the same contract
+        a Kafka offset range gives a JVM source."""
+
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", _PYDS_ROWS))
+            self.batch_rows = int(options.get("batch_rows", 1000))
+
+        def initialOffset(self):
+            return {"cursor": 0}
+
+        def read(self, start):
+            cur = int(start["cursor"])
+            end = min(cur + self.batch_rows, self.n_rows)
+            return iter(
+                [_event_row(eid) for eid in range(cur, end)]
+            ), {"cursor": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [
+                    _event_row(eid)
+                    for eid in range(int(start["cursor"]), int(end["cursor"]))
+                ]
+            )
 
     class SyntheticEventsDataSource(DataSource):
         """PySpark-4 custom Python data source: the extension point for
         feeds Spark has no native connector for (internal APIs, bespoke
         binary logs). Partition planning happens in `partitions()` —
         each InputPartition becomes one Spark task, so reads
-        parallelize across executors like any native source."""
+        parallelize across executors like any native source. The SAME
+        registration serves batch (`spark.read`) and streaming
+        (`spark.readStream`) via reader()/simpleStreamReader()."""
 
         @classmethod
         def name(cls):
@@ -286,6 +323,9 @@ try:  # PySpark >= 4.0
 
         def reader(self, schema):
             return SyntheticEventsReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
 
 except ImportError:  # pragma: no cover — pre-4.0 PySpark
     SyntheticEventsDataSource = None

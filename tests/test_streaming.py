@@ -173,3 +173,54 @@ def test_stream_equals_batch_for_tumbling_windows(spark, tmp_path):
     q.awaitTermination()
     got = {tuple(r) for r in spark.table(sink).collect()}
     assert got == expected
+
+
+def test_python_datasource_streaming_exactly_once(spark, tmp_path):
+    """The custom Python DataSource's streaming face: micro-batches
+    advance a cursor offset until the bounded feed is exhausted;
+    processAllAvailable() drains it. Complete-mode counts must equal
+    the deterministic generator's arithmetic EXACTLY — any dropped or
+    duplicated micro-batch shows up as a count/checksum error."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.operators.sources import (
+        SyntheticEventsDataSource,
+    )
+
+    if SyntheticEventsDataSource is None:
+        import pytest
+
+        pytest.skip("pyspark.sql.datasource requires Spark 4+")
+    spark.dataSource.register(SyntheticEventsDataSource)
+    n = 5000
+    ev = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", n)
+        .option("batch_rows", 700)  # 8 uneven micro-batches
+        .load()
+    )
+    agg = ev.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("cents"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.kind: (r.n_events, r.cents)
+        for r in spark.sql("SELECT * FROM pyds_stream").collect()
+    }
+    kinds = ("view", "click", "purchase", "refund", "idle")
+    exp = {}
+    for i, kind in enumerate(kinds):
+        ids = range(i, n, 5)
+        exp[kind] = (len(ids), sum((e * e) % 10_000 for e in ids))
+    assert got == exp
