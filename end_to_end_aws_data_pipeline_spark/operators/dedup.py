@@ -231,6 +231,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     small SF). At 100 TB this is the only tractable shape: candidate
     count ≈ duplicate count, not n².
     """
+    from pyspark import StorageLevel
+
     r = _MINHASH_K // _LSH_BANDS
     d = table(spark, sf_dir, "documents").select(
         "doc_id", shingles(F.col("text")).alias("s")
@@ -243,7 +245,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(_MINHASH_K)]
         ).alias("sig")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds bands + both screen sides
     # bands carry only (doc_id, band, bucket) — never the shingle arrays:
     # the band self-join shuffles 8 small rows per doc, and the (much
     # rarer) candidates fetch their shingles back afterwards
@@ -263,19 +265,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # SIGNATURE pre-screen before the expensive exact verification.
+    # Boilerplate/common shingles give many docs the same global-minimum
+    # hash in some positions, so band buckets balloon with low-Jaccard
+    # pairs (measured: 19M candidates → 2.5k true pairs at sf1). The
+    # MinHash estimator itself is nearly free — 32 codegen'd element
+    # comparisons on the already-computed signatures — and E[matches] =
+    # 32·J, so requiring ≥ 13/32 (Ĵ ≥ 0.4) keeps essentially every true
+    # τ=0.6 pair (Binomial(32,.6) tail below 13 ≈ 1%, and real near-dups
+    # sit at J≈0.9) while discarding the junk BEFORE the dedup shuffle
+    # and the string-array intersection join.
+    ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    gb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    sig_matches = sum(
+        (
+            F.element_at("siga", i + 1) == F.element_at("sigb", i + 1)
+        ).cast("int")
+        for i in range(_MINHASH_K)
+    )
+    screened = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(sig_matches >= int(0.4 * _MINHASH_K) + 1)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])  # AFTER the screen: dedup
+        # shuffles the few k survivors, never the raw candidate stream
     )
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    verified = screened.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     jac = inter.cast("double") / union
