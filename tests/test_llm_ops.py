@@ -65,6 +65,69 @@ def test_simhash_pairs_contain_textual_dups(spark):
     assert out.filter(F.col("hamming") <= 3).count() == out.count()
 
 
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    """Python mirror of dedup.shingles(): distinct word k-grams, with a
+    single truncated window for docs shorter than k words."""
+    w = text.split(" ")
+    if len(w) < k:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def test_ngram_jaccard_prefix_filter_equals_bruteforce(spark):
+    """The PPJoin prefix theorem in practice: the prefix-filtered
+    inverted index must produce EXACTLY the brute-force pair set, on a
+    corpus built to stress its pruning steps — heavy shared boilerplate
+    (prefix filter's target), pairs straddling the J=0.6 threshold,
+    pairs at the length-filter boundary, and sub-k-word docs."""
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this site"
+    docs = []
+    # 12 docs sharing a 10-word boilerplate prefix with distinct tails:
+    # every boilerplate shingle has df=12, but no pair is a near-dup
+    for i in range(12):
+        docs.append((i, f"{boiler} page {i} body text row{i} col{i}"))
+    # near-threshold family: 20-word base; edits of 1..6 trailing words
+    # sweep Jaccard across 0.6 from above and below
+    base = " ".join(f"w{j}" for j in range(20))
+    docs.append((100, base))
+    for d, e in enumerate(range(1, 7)):
+        edited = " ".join(
+            f"x{j}" if j >= 20 - e else f"w{j}" for j in range(20)
+        )
+        docs.append((101 + d, edited))
+    # length-filter boundary: an 8-word doc vs its 5-word prefix
+    # (|b|/|a| straddles tau on shingle counts)
+    docs.append((200, "a b c d e f g h"))
+    docs.append((201, "a b c d e"))
+    # sub-k-word docs: identical pair (J=1) and a distinct singleton
+    docs.append((300, "hi there"))
+    docs.append((301, "hi there"))
+    docs.append((302, "bye"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    expected = {}
+    for i, (ida, ta) in enumerate(docs):
+        sa = _py_shingles(ta)
+        for idb, tb in docs[i + 1 :]:
+            sb = _py_shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                lo, hi = min(ida, idb), max(ida, idb)
+                expected[(lo, hi)] = round(j, 6)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df).collect()
+    }
+    assert got == expected
+    assert (300, 301) in expected  # the sub-k identical pair is present
+    assert any(a >= 100 and a < 200 for a, _ in expected)  # threshold family
+
+
 def test_exact_dedup_library(spark):
     df = spark.createDataFrame(
         [(3, "x", 1.0), (1, "x", 1.0), (2, "y", 2.0)], "id long, a string, b double"
