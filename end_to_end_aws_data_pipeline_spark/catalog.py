@@ -51,17 +51,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-            )
-        elif ts_type == "timestamp_ntz":
-            # a µs-precision source (e.g. a rewritten copy of the table)
-            # reads as NTZ; normalize to the session-TZ timestamp every
-            # operator expects (session TZ is pinned UTC, so this is a
-            # pure type change, not a clock shift)
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``events.ts`` column to a session-TZ TimestampType
+    regardless of how the parquet writer stored it. Works on batch AND
+    streaming DataFrames (only inspects the analyzed schema):
+
+    - ``bigint``: TIMESTAMP(NANOS) parquet read under ``nanosAsLong`` —
+      floor-divide to µs (`div` truncates toward zero, which would round
+      pre-1970 nanos the wrong way; float floor() loses precision past
+      2^53 ns ≈ 1970+104d).
+    - ``timestamp_ntz``: a µs-precision writer without UTC adjustment —
+      cast to the session-TZ timestamp every operator expects (session
+      TZ is pinned UTC, so this is a pure type change, not a clock
+      shift).
+    - ``timestamp``: already canonical; no-op.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

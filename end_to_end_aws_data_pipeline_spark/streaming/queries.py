@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.catalog import normalize_event_ts, table
 from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum_sql
 from end_to_end_aws_data_pipeline_spark.registry import register
 from end_to_end_aws_data_pipeline_spark.streaming.windows import (
@@ -194,16 +194,15 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"__stream_join_{next(_counter)}"
 
     def side(event_type: str, prefix: str) -> DataFrame:
+        src = normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stream_dir_for(path))
+        )
         return (
-            spark.readStream.schema(schema)
-            .parquet(stream_dir_for(path))
-            .filter(F.col("event_type") == event_type)
+            src.filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col("user_id").alias(f"{prefix}_user"),
-                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")).alias(
-                    f"{prefix}_ts"
-                ),
+                F.col("ts").alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", "1 hour")
         )
@@ -265,12 +264,9 @@ def q_stream_stateful_user_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     name = f"__stream_state_{next(_counter)}"
-    src = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir_for(path))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts", "value")
-    )
+    src = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    ).select("user_id", "ts", "value")
     q = (
         user_session_tracker(src)
         .writeStream.format("memory")

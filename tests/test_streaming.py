@@ -159,8 +159,11 @@ def test_stream_equals_batch_for_tumbling_windows(spark, tmp_path):
 
     path = os.path.join(SF_SMOKE, "events.parquet")
     schema = spark.read.parquet(path).schema
-    src = spark.readStream.schema(schema).parquet(stream_dir_for(path))
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from end_to_end_aws_data_pipeline_spark.catalog import normalize_event_ts
+
+    src = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    )
     sink = next(_names)
     q = (
         tumbling_counts(src)
