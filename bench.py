@@ -93,6 +93,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
     from end_to_end_aws_data_pipeline_spark.session import get_spark
     import __spark_entry__ as ent
 
@@ -104,6 +105,7 @@ def main() -> None:
     first = qs.get(HEADLINE[0])
     if first is not None:
         _execute(first(spark, sf_dir))
+        release_all()
 
     # SPARK_GRAFT_BENCH_REPS>1: run each query N times and report the
     # MIN (steady-state) — separates plan cost from JIT/GC noise when
@@ -120,6 +122,10 @@ def main() -> None:
             _execute(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+            # cache hygiene: drop whatever this query persisted so the
+            # next query (or rep) is measured cold, not against a warm
+            # CacheManager entry or inherited memory pressure
+            release_all()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

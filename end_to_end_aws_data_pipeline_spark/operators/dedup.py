@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.catalog import spread, table
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -125,78 +125,161 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {_JACCARD_TAU}
 """
 
 
-def ngram_jaccard_pairs(docs: DataFrame, tau: float = _JACCARD_TAU) -> DataFrame:
-    """Exact near-dup pairs ``(doc_a, doc_b, jaccard)`` by 3-shingle
-    Jaccard ≥ ``tau`` over a ``(doc_id, text)`` corpus, via a
-    PREFIX-FILTERED inverted-index join (SSJoin/PPJoin family — Xiao et
-    al., WWW'08): under a global rarest-first token order, any pair
-    with J ≥ τ must share a token within each side's first
-    ``n - ⌈τ·n⌉ + 1`` tokens, so only those PREFIX tokens are indexed.
-    Common boilerplate shingles (document frequency in the thousands)
-    sort to the suffixes and never generate candidates — this is what
-    keeps the index join output-bound on real corpora, where the naive
-    full inverted index blows up as Σ df² over exactly those shingles
-    (measured: 43 s → 7 s for the clustering build at sf1, identical
-    pairs). A length filter (τ·|b| ≤ |a|) prunes inside the join;
-    survivors verify EXACT Jaccard on the full shingle arrays, so the
-    output is identical to the unfiltered algorithm's (the prefix
-    theorem guarantees no pair is lost)."""
-    import math
+_DIRECT_SUMDF2_MAX = 50_000_000
 
-    from pyspark import StorageLevel
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    tau: float = _JACCARD_TAU,
+    direct_sumdf2_max: int = _DIRECT_SUMDF2_MAX,
+) -> DataFrame:
+    """Exact near-dup pairs ``(doc_a, doc_b, jaccard)`` by 3-shingle
+    Jaccard ≥ ``tau`` over a ``(doc_id, text)`` corpus.
+
+    Both strategies below compute the SAME exact answer; a cheap probe
+    picks between them per-corpus:
+
+    - **direct**: inverted-index self-join on hashed shingles + count
+      shared per pair. Join output is exactly Σ df² rows (df = per-
+      shingle document frequency), so the probe — one aggregate over
+      the token index — *is* the cost model. Fewer stages, no window;
+      wins whenever boilerplate shingles don't blow Σ df² up.
+    - **PPJoin prefix filtering** (SSJoin/PPJoin family — Xiao et al.,
+      WWW'08): under a global rarest-first token order, any pair with
+      J ≥ τ must share a token within each side's first
+      ``n - ⌈τ·n⌉ + 1`` tokens, so only those PREFIX tokens are
+      indexed; high-df boilerplate sorts to the suffixes and never
+      generates candidates, so this is the path for corpora whose
+      global boilerplate frequency grows with corpus size (where
+      Σ df² is superlinear and the direct join drowns). A length
+      filter (τ·|b| ≤ |a|) prunes inside the join, and the PPJoin
+      POSITION filter prunes aggregated candidates before
+      verification.
+
+    Either way, survivors verify EXACT Jaccard by COUNTING shared
+    hashed shingles (map-side-combinable aggregation over 8-byte
+    longs) rather than intersecting string arrays — the r3
+    array_intersect verify cost 13x at bench scale on low-precision
+    candidate sets. ``direct_sumdf2_max=0`` forces the PPJoin path,
+    a huge value forces direct (tests use both to pin equivalence).
+    """
     from pyspark.sql import Window as W
 
-    # persist the shingled projection: it feeds the prefix build + both
-    # verification sides, and shingling is the dominant per-doc cost.
-    # MEMORY_AND_DISK spills gracefully at scale.
-    d = docs.select("doc_id", shingles(F.col("text")).alias("s")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
     # index on xxhash64(shingle), not the string: 8-byte longs shuffle
-    # and compare cheaper; a collision would need two distinct shingles
-    # in the SAME candidate pair to alias (P ~ |vocab|²/2^64) AND would
-    # still be caught by the exact array verification below.
-    tok = d.select(
-        "doc_id",
-        F.size("s").alias("n"),
-        F.explode("s").alias("sh_str"),
-    ).select("doc_id", "n", F.xxhash64("sh_str").alias("shingle"))
+    # and compare cheaper; a collision only matters if two DISTINCT
+    # shingles alias within the same candidate pair (P ~ pair_vocab^2 /
+    # 2^64, negligible); per-doc shingles are distinct so counts stay
+    # exact. persist: tok feeds the dfreq build, the prefix build, AND
+    # both verification sides — unpersisted, the shingle explode (the
+    # dominant per-doc cost) re-runs 4x.
+    # spread() first: the sf corpora scan as ONE row group (one task),
+    # which would serialize the interpreted HOF shingling on one core of
+    # 32 (measured 3.2 s -> 1.2 s at sf0.1); at production scale this is
+    # a cheap rebalance against skewed upstream writers.
+    tok = persisted(
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", shingles(F.col("text")).alias("s"))
+        .select("doc_id", F.size("s").alias("n"), F.explode("s").alias("sh_str"))
+        .select("doc_id", "n", F.xxhash64("sh_str").alias("shingle"))
+    )
     dfreq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # rarest-first global order (ties by hash value — any total order
-    # works as long as it's consistent corpus-wide)
+    # the probe: Σ df² = the direct join's exact output row count. One
+    # map-side-combinable aggregate over the (persisted) token index —
+    # sub-second, and it decides between strategies whose costs differ
+    # by an order of magnitude in each direction at the extremes.
+    sumdf2 = (
+        dfreq.agg(F.sum(F.col("df") * F.col("df")).alias("s")).first()["s"] or 0
+    )
+
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+
+    if sumdf2 <= direct_sumdf2_max:
+        # DIRECT: one self-join on the hashed token index + pair count.
+        # Output bounded by the probed Σ df²; the τ length-ratio filter
+        # prunes inside the join.
+        shared = (
+            ta.join(tb, "shingle")
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("na") * F.lit(tau) <= F.col("nb"))
+                & (F.col("nb") * F.lit(tau) <= F.col("na"))
+            )
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        return shared.filter(jac >= tau).select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+
+    # PPJoin path: rarest-first global order (ties by hash value — any
+    # total order works as long as it's consistent corpus-wide)
     w = W.partitionBy("doc_id").orderBy("df", "shingle")
     prefix_len = F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
-    pref = (
+    # persist: pref is BOTH sides of the self-join below, and its
+    # dfreq-join + per-doc row_number window make it the most expensive
+    # subtree in the query — unpersisted it evaluates at least twice
+    # (half of the r3 bench regression was exactly that).
+    pref = persisted(
         tok.join(dfreq, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "n", "shingle")
+        .select("doc_id", "n", "shingle", "rn")
     )
     a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # J ≥ τ bounds the size ratio: τ·max ≤ min
-            & (F.col("a.n") * F.lit(tau) <= F.col("b.n"))
-            & (F.col("b.n") * F.lit(tau) <= F.col("a.n")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    raw_cand = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # J ≥ τ bounds the size ratio: τ·max ≤ min
+        & (F.col("a.n") * F.lit(tau) <= F.col("b.n"))
+        & (F.col("b.n") * F.lit(tau) <= F.col("a.n")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.n").alias("na"),
+        F.col("a.rn").alias("ia"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.n").alias("nb"),
+        F.col("b.rn").alias("jb"),
     )
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
-    jac = inter.cast("double") / union
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= tau)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    # PPJoin POSITION filter (Xiao et al. WWW'08 §3.2), aggregated form:
+    # prefix positions follow the same global token order in every doc,
+    # so among a pair's prefix-shared tokens the minimum i and minimum j
+    # belong to the SAME (first) token t0 — and no shared token can
+    # precede t0 (a shared earlier token would sort before t0 in both
+    # prefixes). Hence overlap ≤ 1 + min(na - i0, nb - j0). The min/min
+    # aggregate replaces the r3 dropDuplicates shuffle one-for-one, and
+    # the bound kills near-miss pairs that share prefix tokens late in
+    # both lists — the blowup mode plain prefix filtering cannot prune
+    # (measured at the 10x sf: 49.6M raw candidates → the bound admits
+    # only pairs that can still reach τ).
+    overlap_needed = F.lit(tau / (1.0 + tau)) * (F.col("na") + F.col("nb"))
+    cand = (
+        raw_cand.groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.min("ia").alias("i0"), F.min("jb").alias("j0"))
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("i0"), F.col("nb") - F.col("j0"))
+            >= overlap_needed
+        )
+        .select("doc_a", "na", "doc_b", "nb")
+    )
+    # count-based verification: explode each candidate pair by doc_a's
+    # hashed shingles, keep the ones doc_b also has (hash equi-join on
+    # longs), count shared per pair. Work is bounded by |cand| x avg
+    # shingles/doc — linear in candidates, no arrays materialized.
+    shared = (
+        cand.join(ta.drop("na"), "doc_a")
+        .join(tb.drop("nb"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.filter(jac >= tau).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -256,7 +339,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     small SF). At 100 TB this is the only tractable shape: candidate
     count ≈ duplicate count, not n².
     """
-    from pyspark import StorageLevel
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
 
     r = _MINHASH_K // _LSH_BANDS
     d = table(spark, sf_dir, "documents").select(
@@ -266,11 +349,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds run interpreted, but hash aggregation is whole-stage
     # codegen'd with map-side partials — ~3× faster at equal hash count
     tok = d.select("doc_id", F.explode("s").alias("sh"))
-    sig = tok.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(_MINHASH_K)]
-        ).alias("sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds bands + both screen sides
+    sig = persisted(  # feeds bands + both screen sides
+        tok.groupBy("doc_id").agg(
+            F.array(
+                *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(_MINHASH_K)]
+            ).alias("sig")
+        )
+    )
     # bands carry only (doc_id, band, bucket) — never the shingle arrays:
     # the band self-join shuffles 8 small rows per doc, and the (much
     # rarer) candidates fetch their shingles back afterwards
@@ -905,22 +990,30 @@ def connected_components_star(
 def _cluster_docs(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # one representative (min doc_id) per distinct text; group on a
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    # digest once into a spread + persisted projection: it feeds THREE
+    # consumers (group, membership, representative texts), and without
+    # spread() the single-row-group sf scan would serialize the sha2
+    # pass on one core per consumer
+    docs = persisted(
+        spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+        .withColumn("__h", F.sha2("text", 256))
+    )
+    # one representative (min doc_id) per distinct text; group on the
     # 256-bit digest so the exact-dedup shuffle moves 32 bytes, not the
     # full text
-    grp = (
-        docs.groupBy(F.sha2("text", 256).alias("__h"))
-        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+    grp = docs.groupBy("__h").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
     )
-    member = docs.select(
-        "doc_id", F.sha2("text", 256).alias("__h")
-    ).join(grp.select("__h", "rep_id"), "__h").select("doc_id", "rep_id")
-    reps = (
-        docs.join(
-            grp.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
-        )
+    member = (
+        docs.select("doc_id", "__h")
+        .join(grp.select("__h", "rep_id"), "__h")
+        .select("doc_id", "rep_id")
     )
+    reps = docs.join(
+        grp.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
+    ).select("doc_id", "text")
     pairs = ngram_jaccard_pairs(reps).select("doc_a", "doc_b")
     labels = cc_fn(pairs)  # rep_id -> component label
     # a rep is clustered if it has a near-dup edge (in `labels`) or its

@@ -119,11 +119,15 @@ def test_ngram_jaccard_prefix_filter_equals_bruteforce(spark):
                 lo, hi = min(ida, idb), max(ida, idb)
                 expected[(lo, hi)] = round(j, 6)
 
-    got = {
-        (r.doc_a, r.doc_b): r.jaccard
-        for r in ngram_jaccard_pairs(df).collect()
-    }
-    assert got == expected
+    # BOTH routing outcomes must equal brute force: direct_sumdf2_max=0
+    # forces the PPJoin prefix path, a huge cap forces the direct
+    # count-join (the adaptive probe picks between these two at runtime)
+    for cap in (0, 1 << 60):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, direct_sumdf2_max=cap).collect()
+        }
+        assert got == expected, f"direct_sumdf2_max={cap}"
     assert (300, 301) in expected  # the sub-k identical pair is present
     assert any(a >= 100 and a < 200 for a, _ in expected)  # threshold family
 

@@ -169,6 +169,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # drop per-query persists so a 127-query session doesn't
+            # accumulate cache pressure (mirrors bench.py hygiene)
+            from end_to_end_aws_data_pipeline_spark.cache import release_all
+
+            release_all()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(sdf)} rows, no oracle)")
             continue

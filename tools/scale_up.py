@@ -74,22 +74,29 @@ def scale_up(src: str, dst: str, r: int) -> None:
                 if table == "events":
                     repls.append("CAST(ts AS TIMESTAMP_NS) AS ts")
                 if table == "documents" and i > 0:
-                    # perturb text per copy: inject a copy-unique token
-                    # between every pair of words, so every shingle of
-                    # copy i differs from every shingle of copy j — a
-                    # verbatim-cloned corpus is NOT a realistic 10x
-                    # scale-up (it multiplies per-shingle document
-                    # frequency by R and the near-dup pair join, being
-                    # quadratic in df, by R^2; and it welds clone
-                    # groups into mega duplicate-clusters). Copy 0
-                    # keeps the original texts and their pair
-                    # structure; each perturbed copy carries its own.
+                    # perturb text per copy by SUFFIX-TAGGING every word
+                    # (w -> wc{i}): every shingle of copy i differs from
+                    # every shingle of copy j, so a verbatim-cloned
+                    # corpus's pathologies are avoided (df multiplied by
+                    # R, the df-quadratic pair join by R^2, clone groups
+                    # welded into mega-clusters) — while, unlike the
+                    # earlier interleave perturbation (' ' -> ' c{i} '),
+                    # word count, shingle count, and the per-copy
+                    # document-frequency DISTRIBUTION stay exactly the
+                    # source corpus's. (The interleave form doubled doc
+                    # length and created '(c{i} word c{i})' shingles
+                    # whose df = word frequency — thousands — turning
+                    # shingle-Jaccard into word-Jaccard and making the
+                    # scaled corpus adversarially unlike the original.)
+                    # Copy 0 keeps the original texts and their pair
+                    # structure; each tagged copy carries its own.
                     repls.append(
-                        f"regexp_replace(text, ' ', ' c{i} ', 'g') AS text"
+                        rf"regexp_replace(text, '(\S+)', '\1c{i}', 'g')"
+                        " AS text"
                     )
                     repls.append(
-                        f"length(regexp_replace(text, ' ', ' c{i} ', 'g'))"
-                        " AS n_chars"
+                        rf"length(regexp_replace(text, '(\S+)', '\1c{i}',"
+                        " 'g')) AS n_chars"
                     )
                 parts.append(f"SELECT * REPLACE ({', '.join(repls)}) FROM src")
             else:
