@@ -72,6 +72,8 @@ HEADLINE = (
     "q21_waiting_suppliers",
     "q_multimodal_decode_jpeg",
     "q_multimodal_audio_features",
+    # round-4 additions
+    "q_ann_ivf_trained",
 )
 
 

@@ -184,6 +184,97 @@ def test_ivf_nprobe_improves_recall(spark):
     assert any(r.probe_rank > 1 for r in multi_rows)
 
 
+def test_ivf_trained_recall_on_fixture(spark):
+    """Trained centroids must not lose to the untrained first-sqrt(N)
+    quantizer on the shipped fixture (measured: 0.40 vs 0.27 at
+    sf0.01), and training must be deterministic (two runs, identical
+    matrices — the oracle REPLAYS training, so any nondeterminism is a
+    driver hash-mismatch)."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        _kmeans_centroids,
+        _quantized,
+        n_centroids_for,
+        q_ann_ivf_trained,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_bruteforce_topk(spark, SF_SMOKE).collect()
+        if r.rank <= _IVF_K
+    }
+    untrained = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_ivf_trained(spark, SF_SMOKE).collect()
+    }
+    assert len(trained) > 0
+    assert len(brute & trained) >= len(brute & untrained)
+
+    v = _quantized(spark, SF_SMOKE)
+    n_cent = n_centroids_for(v.count())
+    ids1, m1 = _kmeans_centroids(v, n_cent)
+    ids2, m2 = _kmeans_centroids(v, n_cent)
+    assert np.array_equal(ids1, ids2) and np.array_equal(m1, m2)
+
+
+def test_kmeans_moves_centroids_to_clusters(spark):
+    """On a genuinely CLUSTERED corpus with adversarial seeds (all
+    first-sqrt(N) seed vectors inside ONE cluster), Lloyd rounds must
+    spread the centroids out: after training, vectors from >half the
+    true clusters own distinct nearest centroids, while the untrained
+    quantizer collapses (almost) everything into the seed cluster's
+    cells — the exact failure mode the r3 verdict flagged for
+    first-N-ids seeding at scale."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    n_clusters, per, dim = 8, 40, 16
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # vec_ids ordered so the first sqrt(320)=18 ids ALL fall in cluster 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            x = centers[c] + 0.05 * rng.randn(dim)
+            x /= np.linalg.norm(x)
+            rows.append((vid, [int(round(t * 1e8)) for t in x], c))
+            vid += 1
+    v = spark.createDataFrame(
+        [(i, q) for i, q, _ in rows], "vec_id long, q array<long>"
+    )
+    truth = {i: c for i, q, c in rows}
+    n_cent = 18
+    ids, trained_mat = _kmeans_centroids(v, n_cent)
+    seed_mat = np.array([q for i, q, _ in rows[:n_cent]], dtype=np.int64)
+    all_mat = np.array([q for _, q, _ in rows], dtype=np.int64)
+
+    def clusters_resolved(cent_mat):
+        best = (all_mat @ cent_mat.T).argmax(axis=1)
+        # a true cluster is "resolved" if some centroid's majority
+        # constituency is that cluster
+        owner: dict[int, dict[int, int]] = {}
+        for i, b in enumerate(best):
+            owner.setdefault(int(b), {}).setdefault(truth[i], 0)
+            owner[int(b)][truth[i]] += 1
+        return len({max(d, key=d.get) for d in owner.values()})
+
+    res_seed = clusters_resolved(seed_mat)
+    res_trained = clusters_resolved(trained_mat)
+    assert res_trained > res_seed
+    assert res_trained >= n_clusters // 2 + 1
+
+
 def test_lsh_projection_recall_vs_exact(spark):
     from end_to_end_aws_data_pipeline_spark.operators.dedup import (
         q_dedup_embedding_cosine,
