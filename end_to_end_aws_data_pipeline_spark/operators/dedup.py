@@ -342,7 +342,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_aws_data_pipeline_spark.cache import persisted
 
     r = _MINHASH_K // _LSH_BANDS
-    d = table(spark, sf_dir, "documents").select(
+    # spread BEFORE shingling: the single-row-group sf scan would
+    # otherwise run the interpreted HOF shingling AND the partial
+    # 32-hash MIN aggregation on one core (see ngram_jaccard_pairs)
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", shingles(F.col("text")).alias("s")
     )
     # signature via explode + 32 codegen'd MIN aggregates: higher-order
@@ -480,7 +483,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor). 16-bit bands keep coincidental bucket collisions
     ~1/65536 per band, so candidates ≈ true near-dups at any corpus
     size."""
-    docs = table(spark, sf_dir, "documents")
+    # spread: the 64 per-bit partial SUM aggregates run in the scan
+    # stage, which is one task on the single-row-group sf fixture
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     tokens = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     d = _simhash_by_agg(tokens)
     n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
