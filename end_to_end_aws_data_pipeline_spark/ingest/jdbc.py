@@ -11,10 +11,13 @@ round-trips, parallel across executors.
 The connection step is injected (``connection_factory``) so any DB-API
 driver plugs in; the SQL generation — the part with reference semantics
 — is a pure function covering mysql (ON DUPLICATE KEY UPDATE),
-postgresql and sqlite (ON CONFLICT ... DO UPDATE). No mysql/postgres
-driver ships in this environment, but the full executor-side write path
-runs for real against stdlib sqlite3 in
-tests/test_ingest.py::test_jdbc_upsert_sqlite_roundtrip.
+postgresql and sqlite (ON CONFLICT ... DO UPDATE). The executor-side
+write path runs for real against stdlib sqlite3
+(tests/test_ingest.py::test_jdbc_upsert_sqlite_roundtrip) AND against a
+LIVE PostgreSQL server through the pure-python wire client
+(ingest/pgwire.py; tests/test_pgwire_upsert.py provisions the cluster
+and exercises redelivery/idempotence/hostile-value rounds). Only mysql
+remains golden-tested-only (no server binary in this environment).
 """
 
 from __future__ import annotations

