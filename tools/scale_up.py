@@ -103,7 +103,15 @@ def scale_up(src: str, dst: str, r: int) -> None:
                 parts.append("SELECT * FROM src")
         union = " UNION ALL ".join(parts)
         con.sql(f"CREATE OR REPLACE VIEW src AS FROM '{src}/{table}.parquet'")
-        con.sql(f"COPY ({union}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        # bounded row groups: the driver's sf fixtures are single-row-
+        # group files (unsplittable scans — catalog.spread() exists for
+        # that pathology), but a scaled corpus should look like
+        # production data, where parquet splits into one task per
+        # row group
+        con.sql(
+            f"COPY ({union}) TO '{dst}/{table}.parquet' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
+        )
         n = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows", file=sys.stderr)
 
