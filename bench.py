@@ -74,6 +74,7 @@ HEADLINE = (
     "q_multimodal_audio_features",
     # round-4 additions
     "q_ann_ivf_trained",
+    "q_text_perplexity",
 )
 
 

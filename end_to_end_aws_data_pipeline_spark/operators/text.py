@@ -278,6 +278,115 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+# The production corpus-quality filter (CCNet, Wenzek et al. 2020;
+# RedPajama/Gopher pipelines): score each document by how surprising its
+# text is under a language model trained on the corpus itself — here a
+# bigram LM with add-one smoothing, trained and applied in one job.
+#
+# Cross-engine float discipline: ln() agrees between Spark and DuckDB at
+# the tfidf precedent's rounding, so each bigram's negative log-prob is
+# quantized to BIGINT micro-nats FIRST (round(-ln(p)*1e6)) and the
+# per-document sum is then EXACT integer arithmetic — associative, no
+# float-order caveat. The reported avg is a deterministic function of
+# the two exact columns.
+
+_PPL_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), uni AS (
+  SELECT unnest(ws) AS word FROM w
+), c1 AS (
+  SELECT word, count(*) AS c FROM uni GROUP BY word
+), vocab AS (
+  SELECT count(DISTINCT word) AS v FROM uni
+), big AS (
+  SELECT doc_id, b.w1, b.w2 FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(ws)),
+      i -> struct_pack(w1 := ws[i], w2 := ws[i+1])
+    )) AS b
+    FROM w
+  )
+), c2 AS (
+  SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2
+), terms AS (
+  SELECT big.doc_id,
+         CAST(round(-ln(
+           (CAST(c2.c AS DOUBLE) + 1.0) / (c1.c + vocab.v)
+         ) * 1000000) AS BIGINT) AS nll_micro
+  FROM big
+  JOIN c2 USING (w1, w2)
+  JOIN c1 ON c1.word = big.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
+       round(CAST(sum(nll_micro) AS DOUBLE) / count(*) / 1000000, 6)
+         AS avg_nll
+FROM terms
+GROUP BY doc_id
+"""
+
+
+@register("q_text_perplexity", oracle=_PPL_ORACLE)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality score (CCNet-shaped): train add-one
+    smoothed bigram/unigram counts over the corpus, score every
+    document's mean negative log-likelihood under them. Low avg_nll =
+    fluent/templated text, high = noise — the filter threshold a
+    curation pipeline applies.
+
+    Scale shape: two token shuffles (bigram counts, unigram counts —
+    both map-side combinable), then the scoring join back on the bigram
+    key. The count tables are corpus-vocabulary-sized, NOT broadcast
+    (at 100 TB the bigram vocabulary alone exceeds executor memory):
+    scoring is a plain shuffled hash join on (w1, w2), linear in corpus
+    bigrams. The vocabulary size rides in as a 1-row broadcast. Docs
+    with fewer than 2 words have no bigrams and are (by definition)
+    not scored.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    w = d.select("doc_id", ws.alias("ws"))
+    uni = w.select(F.explode("ws").alias("word"))
+    c1 = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    v = uni.agg(F.countDistinct("word").alias("v"))
+    n1 = F.size("ws") - 1
+    big = w.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(n1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(n1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p = (F.col("c2").cast("double") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    terms = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, F.col("w1") == F.col("word"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(-F.log(p) * 1_000_000).cast("long").alias("nll_micro"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll_micro").cast("long").alias("nll_micro_sum"),
+        F.round(
+            F.sum("nll_micro").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus n-gram frequency
 # ---------------------------------------------------------------------------
 

@@ -128,3 +128,64 @@ def test_semdedup_drop_rule_matches_numpy(spark):
         for r in q_semdedup(spark, SF).collect()
     }
     assert got == exp
+
+
+def test_perplexity_matches_python_reference(spark, tmp_path):
+    """Bigram-LM scoring against an independent pure-python LM on a
+    tiny hand-checkable corpus: repeated fluent bigrams must score
+    LOWER avg_nll than a one-off noise document, and every quantized
+    term must match the reference exactly."""
+    import math
+
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        q_text_perplexity,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "the cat sat on the mat"),
+        (3, "zx qq vv"),          # unseen-elsewhere bigrams -> high nll
+        (4, "single"),            # 1 word -> no bigrams -> not scored
+    ]
+    # route the registry query through a parquet dir shaped like sf_dir
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [d for d, _ in docs], "text": [t for _, t in docs],
+         "n_chars": [len(t) for _, t in docs], "lang": ["en"] * len(docs)}
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_micro_sum"], r["avg_nll"])
+        for r in q_text_perplexity(spark, str(tmp_path)).collect()
+    }
+
+    # independent python LM
+    c1: dict = {}
+    c2: dict = {}
+    vocab = set()
+    for _, t in docs:
+        wsl = t.split(" ")
+        for w in wsl:
+            c1[w] = c1.get(w, 0) + 1
+            vocab.add(w)
+        for a, b in zip(wsl, wsl[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    v = len(vocab)
+    exp = {}
+    for did, t in docs:
+        wsl = t.split(" ")
+        terms = [
+            round(-math.log((c2[(a, b)] + 1.0) / (c1[a] + v)) * 1_000_000)
+            for a, b in zip(wsl, wsl[1:])
+        ]
+        if terms:
+            exp[did] = (
+                len(terms),
+                sum(terms),
+                round(sum(terms) / len(terms) / 1_000_000, 6),
+            )
+    assert got == exp
+    assert 4 not in got  # no bigrams -> unscored by definition
+    assert got[3][2] > got[0][2]  # noise doc scores worse than fluent
+    assert got[0] == got[2]  # identical docs, identical score

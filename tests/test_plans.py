@@ -385,3 +385,50 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jaccard_adaptive_plan_posture(spark):
+    """Round-4 adaptive exact-Jaccard: the direct route's plan must be
+    join + hash-aggregate only (no window, no row_number ranking), the
+    PPJoin route must contain exactly one window (the prefix ranking)
+    and neither may fall back to a cartesian product; both verify via
+    count aggregation — the plan must not contain array_intersect."""
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    direct = physical_plan(ngram_jaccard_pairs(docs, direct_sumdf2_max=1 << 60))
+    assert "CartesianProduct" not in direct
+    assert "row_number" not in direct
+    assert "array_intersect" not in direct
+
+    ppjoin = physical_plan(ngram_jaccard_pairs(docs, direct_sumdf2_max=0))
+    assert "CartesianProduct" not in ppjoin
+    assert "row_number" in ppjoin  # the rarest-first prefix ranking
+    assert "array_intersect" not in ppjoin
+    # the prefix projection is cached, not recomputed per join side
+    assert "InMemoryTableScan" in ppjoin
+
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
+
+    release_all()
+
+
+def test_ivf_trained_assignment_is_bounded_python(spark):
+    """Trained-IVF plan: Python shows up ONLY as the Arrow-batched
+    assignment stage (mapInPandas); the probe join must broadcast the
+    bounded query set, and ranking must be a window over the candidate
+    rows, never a cartesian expansion."""
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_ann_ivf_trained,
+    )
+
+    plan = physical_plan(q_ann_ivf_trained(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
+
+    release_all()
