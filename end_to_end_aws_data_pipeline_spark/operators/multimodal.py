@@ -153,53 +153,34 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
     )
 
 
-def _decode_png(payload: bytes):
-    """Pure-python PNG decode via stdlib zlib: 8-bit depth, color types
-    0 (gray), 2 (RGB), 3 (palette), 6 (RGBA→RGB, alpha dropped),
-    non-interlaced; all five scanline filters per the PNG spec §9."""
-    import struct
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _defilter(raw: bytes, offset: int, pw: int, ph: int, ch: int):
+    """Reverse PNG scanline filtering for one (sub-)image of ``ph``
+    scanlines of ``pw`` pixels × ``ch`` bytes each, starting at
+    ``offset`` in the decompressed stream. Returns (array (ph, pw·ch),
+    bytes consumed). All five filters per PNG spec §9."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("bad PNG signature")
-    pos, idat, ihdr, plte = 8, bytearray(), None, None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + tag + body + crc
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"PLTE":
-            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, comp, filt_m, interlace = ihdr
-    if depth != 8 or comp != 0 or filt_m != 0:
-        raise NotImplementedError(
-            f"only 8-bit depth supported (depth={depth})"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise NotImplementedError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    stride = pw * ch
+    need = ph * (stride + 1)
+    if len(raw) - offset < need:
         raise ValueError("PNG raster size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    ch = channels
+    out = np.zeros((ph, stride), dtype=np.uint8)
     prev_np = np.zeros(stride, dtype=np.uint8)
     prev_b = bytes(stride)
-    for y in range(h):
-        base = y * (stride + 1)
+    for y in range(ph):
+        base = offset + y * (stride + 1)
         ft = raw[base]
         line = np.frombuffer(raw, np.uint8, count=stride, offset=base + 1)
         if ft == 0:
@@ -241,7 +222,67 @@ def _decode_png(payload: bytes):
         out[y] = cur_np
         prev_np = cur_np
         prev_b = cur_np.tobytes()
-    img = out.reshape(h, w, channels)
+    return out, need
+
+
+def _decode_png(payload: bytes):
+    """Pure-python PNG decode via stdlib zlib: 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 6 (RGBA→RGB, alpha dropped); both
+    non-interlaced and Adam7-interlaced rasters (spec §8.2: seven
+    independently-filtered sub-images scattered on the pass grid); all
+    five scanline filters per the PNG spec §9."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, idat, ihdr, plte = 8, bytearray(), None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt_m, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_m != 0:
+        raise NotImplementedError(
+            f"only 8-bit depth supported (depth={depth})"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        out, used = _defilter(raw, 0, w, h, channels)
+        if used != len(raw):
+            raise ValueError("PNG raster size mismatch")
+        img = out.reshape(h, w, channels)
+    else:  # Adam7: 7 sub-images, each filtered independently (§8.2)
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes
+            sub, used = _defilter(raw, offset, pw, ph, channels)
+            offset += used
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if offset != len(raw):
+            raise ValueError("PNG raster size mismatch")
     if ctype == 0:
         return np.repeat(img, 3, axis=2)
     if ctype == 2:

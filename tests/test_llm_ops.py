@@ -494,14 +494,83 @@ def test_png_unsupported_raises():
     bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_image(bad)
-    # interlaced refused
-    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
-    bad_i = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_image(bad_i)
     # a codec we don't own (WebP) still refused with a pointer to a lib
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+
+def _encode_png_adam7(pix, filter_type: int = 0) -> bytes:
+    """Test-side Adam7 encoder: split the raster on the pass grid
+    (spec §8.2), filter every pass scanline with ``filter_type`` using
+    the ENCODER's forward filters, concatenate, compress."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import _ADAM7
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    h, w, ch = pix.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pix[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * ch).astype(np.int16)
+        prev = np.zeros(pw * ch, dtype=np.int16)
+        for y in range(ph):
+            line = flat[y]
+            left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+            if filter_type == 0:
+                filt = line
+            elif filter_type == 1:
+                filt = (line - left) % 256
+            elif filter_type == 2:
+                filt = (line - prev) % 256
+            else:
+                raise ValueError("test encoder: filters 0-2 only")
+            raw += bytes([filter_type]) + bytes(
+                filt.astype(np.uint8).tobytes()
+            )
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_roundtrip():
+    """Adam7-interlaced PNGs decode bit-exactly: every pass is an
+    independently-filtered sub-image scattered on the pass grid.
+    Dimension sweep covers empty passes (w or h < pass origin), 1-pixel
+    images (only pass 1 non-empty), and non-multiples of 8; filters 0-2
+    exercise the per-pass filter state isolation (pass boundaries must
+    reset the prev-scanline, or Up/Sub bleed across passes)."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (3, 5), (8, 8), (13, 17), (2, 9), (16, 4)]:
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in (0, 1, 2):
+            got = decode_image(_encode_png_adam7(pix, filter_type=ft))
+            assert got.shape == (h, w, 3), (h, w, ft)
+            assert (got == pix).all(), f"adam7 {h}x{w} filter {ft}"
 
 
 def test_jpeg_block_constant_exact():
