@@ -72,3 +72,57 @@ def test_gate_strictly_newer_property(spark, wm, incoming):
     wmap = dict(wm_u)
     expected = sorted((k, t) for k, t in incoming if k not in wmap or t > wmap[k])
     assert sorted((r.key, r.ts) for r in out) == expected
+
+
+# word pool small enough that generated docs actually collide on
+# shingles (near-dups arise), large enough for rare-token prefixes
+_WORDS = [f"w{i}" for i in range(12)]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(texts=docs_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_jaccard_both_routes_equal_bruteforce(spark, texts):
+    """Adaptive exact-Jaccard property gate: on arbitrary corpora the
+    DIRECT count-join route and the PPJoin prefix+position route must
+    both equal the python brute force — especially the position
+    filter's overlap bound, which a one-off fixture can't sweep."""
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = list(enumerate(texts))
+
+    def sh(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expected = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            sa, sb = sh(ta), sh(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.6:
+                expected[(ida, idb)] = round(j, 6)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    try:
+        for cap in (0, 1 << 60):
+            got = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in ngram_jaccard_pairs(df, direct_sumdf2_max=cap).collect()
+            }
+            assert got == expected, f"cap={cap}"
+    finally:
+        release_all()
