@@ -950,7 +950,12 @@ def connected_components_star(
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        e_mid = sym(large).localCheckpoint(eager=True)
+        # NOT checkpointed: e_mid appears twice in the fused small-star
+        # plan below, but its shuffles are identical subtrees, so
+        # ReuseExchange computes them once; fusing halves the per-round
+        # fixed job cost (one checkpoint per L+S round, not two), and
+        # the round-end checkpoint still truncates lineage
+        e_mid = sym(large)
         # small-star: every neighbor v < u links to m(u), and u itself
         mins = star_mins(e_mid)
         small = (
