@@ -344,10 +344,22 @@ def _decode_ppm(payload: bytes):
                 pos += 1
             tokens.append(payload[start:pos])
     w, h, maxval = (int(t) for t in tokens)
-    if maxval != 255:
-        raise NotImplementedError("only 8-bit PPM (maxval 255) is supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"bad PPM maxval {maxval}")
     pos += 1  # single whitespace after maxval, then raster
-    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    if maxval < 256:  # 1-byte samples
+        img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        if maxval != 255:
+            # sub-8-bit maxval: scale to full 8-bit range (round-half-up,
+            # integer arithmetic — what netpbm's pnmdepth does)
+            img = ((img.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(
+                np.uint8
+            )
+        return img.reshape(h, w, 3).copy()
+    # 16-bit samples: big-endian per spec ("most significant byte first");
+    # scale down to 8-bit with round-half-up against the declared maxval
+    img16 = np.frombuffer(payload, dtype=">u2", count=w * h * 3, offset=pos)
+    img = ((img16.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(np.uint8)
     return img.reshape(h, w, 3)
 
 

@@ -717,3 +717,27 @@ def test_wav_roundtrip_and_boundaries():
     bad[20:22] = struct.pack("<H", 7)
     with pytest.raises(NotImplementedError, match="PCM16"):
         decode_wav(bytes(bad))
+
+
+def test_ppm_16bit_and_scaled_maxval():
+    """PPM P6 with maxval > 255 decodes big-endian 2-byte samples and
+    scales to 8-bit round-half-up against the DECLARED maxval; sub-8-bit
+    maxval scales up the same way (netpbm pnmdepth semantics)."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    samples = np.array([0, 65535, 32768, 257, 514, 65278], dtype=">u2")
+    img = decode_image(b"P6\n2 1\n65535\n" + samples.tobytes())
+    assert img.shape == (1, 2, 3)
+    assert img.ravel().tolist() == [0, 255, 128, 1, 2, 254]
+
+    # maxval 1023 (10-bit): 1023 -> 255, 512 -> round(512*255/1023)=128
+    s = np.array([0, 512, 1023], dtype=">u2")
+    img = decode_image(b"P6\n1 1\n1023\n" + s.tobytes())
+    assert img.ravel().tolist() == [0, 128, 255]
+
+    img = decode_image(b"P6\n1 1\n15\n" + bytes([0, 7, 15]))
+    assert img.ravel().tolist() == [0, 119, 255]
