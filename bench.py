@@ -75,6 +75,7 @@ HEADLINE = (
     # round-4 additions
     "q_ann_ivf_trained",
     "q_text_perplexity",
+    "q_curation_gopher_rules",
 )
 
 

@@ -400,3 +400,133 @@ def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1)
+# ---------------------------------------------------------------------------
+
+# published thresholds, unmodified; each rule emits its own flag so a
+# pipeline can loosen one rule without re-deriving the rest
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MAX_SYMBOL_RATIO = 0.10        # '#' or '...' per word
+_G_MAX_BULLET_RATIO = 0.90        # lines starting with a bullet
+_G_MAX_ELLIPSIS_RATIO = 0.30      # lines ending with '...'
+_G_MIN_ALPHA_WORD_RATIO = 0.80    # words containing >= 1 alphabetic char
+_G_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_MIN_REQUIRED_HITS = 2
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         string_split(text, chr(10)) AS lines,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+           / len(w) AS mwl,
+         (length(text) - length(replace(text, '#', ''))
+          + len(regexp_extract_all(text, '\\.\\.\\.'))) AS n_symbols,
+         len(list_filter(lines,
+             l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE chr(8226) || '%'))
+           AS n_bullet,
+         len(list_filter(lines, l -> l LIKE '%...')) AS n_ellipsis,
+         len(lines) AS n_lines,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha_words,
+         len(list_filter([{", ".join(f"'{x}'" for x in _G_REQUIRED_WORDS)}],
+             r -> list_contains(w, r))) AS required_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS ok_word_count,
+       (mwl >= {_G_MIN_MWL} AND mwl <= {_G_MAX_MWL}) AS ok_mean_word_len,
+       (CAST(n_symbols AS DOUBLE) / n_words < {_G_MAX_SYMBOL_RATIO})
+         AS ok_symbol_ratio,
+       (CAST(n_bullet AS DOUBLE) / n_lines <= {_G_MAX_BULLET_RATIO})
+         AS ok_bullets,
+       (CAST(n_ellipsis AS DOUBLE) / n_lines <= {_G_MAX_ELLIPSIS_RATIO})
+         AS ok_ellipsis,
+       (CAST(n_alpha_words AS DOUBLE) / n_words >= {_G_MIN_ALPHA_WORD_RATIO})
+         AS ok_alpha_words,
+       (required_hits >= {_G_MIN_REQUIRED_HITS}) AS ok_required_words,
+       ((n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+        AND (mwl >= {_G_MIN_MWL} AND mwl <= {_G_MAX_MWL})
+        AND (CAST(n_symbols AS DOUBLE) / n_words < {_G_MAX_SYMBOL_RATIO})
+        AND (CAST(n_bullet AS DOUBLE) / n_lines <= {_G_MAX_BULLET_RATIO})
+        AND (CAST(n_ellipsis AS DOUBLE) / n_lines <= {_G_MAX_ELLIPSIS_RATIO})
+        AND (CAST(n_alpha_words AS DOUBLE) / n_words
+             >= {_G_MIN_ALPHA_WORD_RATIO})
+        AND (required_hits >= {_G_MIN_REQUIRED_HITS})) AS keep
+FROM m
+"""
+
+
+@register("q_curation_gopher_rules", oracle=_GOPHER_ORACLE)
+def q_curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021, Table A1 — the
+    published heuristic gate most pretraining pipelines start from):
+    word-count bounds, mean word length 3-10, symbol-to-word ratio
+    (# / ellipsis), bullet-line and ellipsis-line ratios, >=80%
+    alphabetic words, and >=2 of the 8 required English stopwords.
+    Emits one flag per rule plus the conjunctive `keep` verdict, so a
+    pipeline can tune each threshold independently.
+
+    Everything is a single-pass expression plan — no shuffle at all:
+    the filter runs at scan speed and composes with any downstream
+    operator's exchange. (Asserted shuffle-free in
+    tests/test_plans.py.)"""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(w)
+    mwl = (
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        / n_words
+    )
+    n_symbols = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    ) + F.size(F.expr(r"regexp_extract_all(text, '\\.\\.\\.', 0)"))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: line.startswith("-")
+            | line.startswith("*")
+            | line.startswith("•"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda line: line.endswith("...")))
+    n_lines = F.size(lines)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    req = F.array(*[F.lit(x) for x in _G_REQUIRED_WORDS])
+    hits = F.size(F.filter(req, lambda r: F.array_contains(w, r)))
+
+    ok_wc = (n_words >= _G_MIN_WORDS) & (n_words <= _G_MAX_WORDS)
+    ok_mwl = (mwl >= _G_MIN_MWL) & (mwl <= _G_MAX_MWL)
+    ok_sym = n_symbols.cast("double") / n_words < _G_MAX_SYMBOL_RATIO
+    ok_bul = n_bullet.cast("double") / n_lines <= _G_MAX_BULLET_RATIO
+    ok_ell = n_ellipsis.cast("double") / n_lines <= _G_MAX_ELLIPSIS_RATIO
+    ok_alpha = n_alpha.cast("double") / n_words >= _G_MIN_ALPHA_WORD_RATIO
+    ok_req = hits >= _G_MIN_REQUIRED_HITS
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullets"),
+        ok_ell.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_req.alias("ok_required_words"),
+        (
+            ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_req
+        ).alias("keep"),
+    )

@@ -130,3 +130,50 @@ def test_shingle_oracle_parity_short_docs(spark):
         assert got[t] == sorted(want), f"{t!r}: {got[t]} != {sorted(want)}"
     assert got["one"] == ["one"]
     assert got["two words"] == ["two words"]
+
+
+def test_gopher_rules_each_rule_fires(spark, tmp_path):
+    """One crafted document per Gopher rule: each fails exactly its
+    targeted rule (plus any arithmetically entangled ones), and the
+    English control document passes all seven."""
+    import pandas as pd
+
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        q_curation_gopher_rules,
+    )
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and friends "
+    ) * 6  # 60 words, all alpha, required words present
+    docs = {
+        0: good.strip(),
+        1: "the and short",  # < 50 words
+        2: ("#### " * 60 + "the and of").strip(),  # symbol ratio + alpha
+        3: "\n".join(["- the bullet and line of text here"] * 10),  # bullets
+        4: "\n".join(["the line that trails and so..."] * 10),  # ellipsis
+        5: ("12345 " * 60 + "the and").strip(),  # alpha-word ratio
+        6: ("zebra quilt jumps nicely " * 15).strip(),  # no required words
+        7: (
+            "pneumonoultramicroscopicsilicovolcanoconiosis " * 55
+        ).strip() + " the and",  # mean word length > 10
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "n_chars": [len(t) for t in docs.values()],
+            "lang": ["en"] * len(docs),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {r["doc_id"]: r.asDict() for r in
+           q_curation_gopher_rules(spark, str(tmp_path)).collect()}
+
+    assert got[0]["keep"] is True
+    assert all(v for k, v in got[0].items() if k.startswith("ok_"))
+    assert got[1]["ok_word_count"] is False and got[1]["keep"] is False
+    assert got[2]["ok_symbol_ratio"] is False
+    assert got[3]["ok_bullets"] is False
+    assert got[4]["ok_ellipsis"] is False
+    assert got[5]["ok_alpha_words"] is False
+    assert got[6]["ok_required_words"] is False and got[6]["keep"] is False
+    assert got[7]["ok_mean_word_len"] is False
