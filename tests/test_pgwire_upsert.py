@@ -162,3 +162,57 @@ def test_upsert_null_and_quote_values_live(spark, pg_socket_dir):
     cur.execute("SELECT count(*) FROM hostile")
     assert cur.fetchall() == [("5",)]
     conn.close()
+
+
+def test_streaming_foreachbatch_upsert_to_live_postgres(spark, pg_socket_dir, tmp_path):
+    """Streaming CDC -> OLTP: a checkpointed file stream of keyed
+    updates drains through foreachBatch + keyed upsert into live
+    Postgres; the final table equals last-writer-wins per key, and a
+    RESTARTED stream on the same checkpoint re-processes nothing."""
+    import os
+
+    from end_to_end_aws_data_pipeline_spark.ingest.jdbc import (
+        stream_upsert_jdbc,
+    )
+    from end_to_end_aws_data_pipeline_spark.ingest.pgwire import factory
+
+    conn = _connect(pg_socket_dir)
+    cur = conn.cursor()
+    cur.execute('CREATE TABLE "stream_t" (k bigint PRIMARY KEY, v text)')
+    conn.commit()
+    fac = factory(host=pg_socket_dir, port=_PORT, user="spark", database="postgres")
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    # two delivery files with overlapping keys; later file wins where
+    # micro-batch order preserves file order (maxFilesPerTrigger=1)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        f.write("k,v\n1,a1\n2,a2\n3,a3\n")
+    with open(os.path.join(src, "b.csv"), "w") as f:
+        f.write("k,v\n2,b2\n4,b4\n")
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(src)
+    )
+    q = stream_upsert_jdbc(
+        stream, "stream_t", fac, ck, dialect="postgresql", key_columns=["k"]
+    )
+    q.awaitTermination()
+
+    cur.execute("SELECT k, v FROM stream_t ORDER BY k")
+    got = dict(cur.fetchall())
+    assert got == {"1": "a1", "2": "b2", "3": "a3", "4": "b4"}
+
+    # restart on the same checkpoint with no new files: no re-delivery
+    cur.execute("UPDATE stream_t SET v = 'sentinel' WHERE k = 2")
+    conn.commit()
+    q2 = stream_upsert_jdbc(
+        stream, "stream_t", fac, ck, dialect="postgresql", key_columns=["k"]
+    )
+    q2.awaitTermination()
+    cur.execute("SELECT v FROM stream_t WHERE k = 2")
+    assert cur.fetchall() == [("sentinel",)]  # untouched: files already logged
+    conn.close()
