@@ -593,3 +593,71 @@ def q_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         py_reverse(F.col("source")).alias("source_reversed"),
         F.length("source").alias("source_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization + text cleanup (NFC, control strip, ws collapse)
+# ---------------------------------------------------------------------------
+
+# The standard first pass of a multilingual ingestion pipeline: NFC so
+# byte-identical dedup sees canonically-equal strings as equal, control
+# characters stripped (PDF/OCR artifacts), whitespace collapsed. NFC has
+# no Spark built-in — this is a legitimate Arrow-batched pandas-UDF use
+# (unicodedata is C-accelerated; per-batch, not per-row, dispatch). The
+# oracle recomputes with DuckDB's utf8proc nfc_normalize — two
+# independent Unicode implementations agreeing per the UAX#15 stability
+# policy.
+
+_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+         '[ \\t\\n\\r]+', ' ', 'g')) AS text_norm,
+       CAST(length(text) AS BIGINT) AS len_raw,
+       CAST(length(trim(regexp_replace(
+         regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+         '[ \\t\\n\\r]+', ' ', 'g'))) AS BIGINT) AS len_norm
+FROM documents
+"""
+
+
+@register("q_text_normalize", oracle=_NORMALIZE_ORACLE)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + cleanup: NFC-compose, strip C0/C1
+    control characters (keeping \\t \\n \\r long enough to collapse
+    them), collapse all whitespace runs to single spaces, trim.
+
+    Python appears ONLY as an Arrow-batched pandas UDF for the NFC step
+    (no Spark built-in exists); the strip/collapse/trim stages are JVM
+    regexp expressions so codegen keeps the rest of the plan. At 100 TB
+    this runs at scan speed — one narrow string column in, one out.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: `from __future__ import annotations` makes
+    # them unresolvable strings for the UDF inspector; the returnType
+    # argument carries the schema instead
+    @pandas_udf("string")
+    def nfc(col):
+        import unicodedata
+
+        return col.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    d = table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                nfc(F.col("text")), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""
+            ),
+            "[ \\t\\n\\r]+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("text_norm"),
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(cleaned).cast("long").alias("len_norm"),
+    )

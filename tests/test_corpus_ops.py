@@ -189,3 +189,47 @@ def test_perplexity_matches_python_reference(spark, tmp_path):
     assert 4 not in got  # no bigrams -> unscored by definition
     assert got[3][2] > got[0][2]  # noise doc scores worse than fluent
     assert got[0] == got[2]  # identical docs, identical score
+
+
+def test_text_normalize_unicode_and_controls(spark, tmp_path):
+    """NFC composition, control stripping, and whitespace collapse on
+    REAL unicode (the sf fixture is ASCII, where NFC is identity):
+    decomposed e+combining-acute composes, controls vanish, whitespace
+    runs collapse, and the Spark output matches DuckDB's independent
+    utf8proc implementation on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _NORMALIZE_ORACLE,
+        q_text_normalize,
+    )
+
+    docs = {
+        0: "café society",            # decomposed -> café
+        1: "a\x00b\x07c\x7fd",              # C0/DEL controls stripped
+        2: "  too \t many\n\n spaces \r ",  # collapse + trim
+        3: "ﬁne",                      # ﬁ ligature: NFC keeps it
+        4: "plain ascii text",
+    }
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values()),
+         "n_chars": [len(t) for t in docs.values()], "lang": ["en"] * 5}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in q_text_normalize(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == "café society"
+    assert got[1] == "abcd"
+    assert got[2] == "too many spaces"
+    assert got[3] == "ﬁne"  # NFC does NOT decompose ligatures (NFKC would)
+    assert got[4] == "plain ascii text"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle = {r[0]: r[1] for r in con.execute(_NORMALIZE_ORACLE).fetchall()}
+    assert got == oracle
