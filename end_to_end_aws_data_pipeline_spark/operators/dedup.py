@@ -1156,3 +1156,117 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filtered incremental dedup (the 100 TB shape of the anti-join)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_ELEM = 10  # with k=7 hashes -> ~0.8% false-positive rate
+_BLOOM_K = 7
+
+
+def digest_bloom(corpus_digests: DataFrame, n_elements: int):
+    """Build a Bloom filter over a digest column as (bitmap, m_bits):
+    k=7 positions per digest via seeded xxhash64, per-64-bit-word OR
+    aggregation (map-side combinable), sparse driver collect of the set
+    words only. Spark's own `bloom_filter_agg` is not in the public
+    function registry, so this is the same construction in userland —
+    and unlike `DataFrameStatFunctions.bloomFilter` (JVM-only object)
+    the result is a plain array<long> that broadcasts into expressions.
+
+    Sizing: 10 bits/element ≈ 0.8% fpp. The bitmap is m/8 bytes —
+    125 MB at 10^8 corpus digests, the practical ceiling for a single
+    broadcast; beyond that, shard by digest prefix and build one bloom
+    per shard (noted in q_dedup_incremental_bloom's docstring)."""
+    m_bits = max(64, ((n_elements * _BLOOM_BITS_PER_ELEM + 63) // 64) * 64)
+    pos = corpus_digests.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("digest"), F.lit(i)), F.lit(m_bits))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("w"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["widx"]] = r["w"]
+    return bitmap, m_bits
+
+
+def bloom_might_contain(m_bits: int) -> Column:
+    """Membership expression against a broadcast ``bloom`` array<long>
+    column for a ``digest`` column: all k seeded positions set."""
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        p = F.pmod(F.xxhash64(F.col("digest"), F.lit(i)), F.lit(m_bits))
+        word = F.element_at("bloom", ((p / 64).cast("long") + 1).cast("int"))
+        bit = F.expr(
+            f"shiftleft(1L, cast(pmod(pmod(xxhash64(digest, {i}), {m_bits}),"
+            " 64) as int))"
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+@register("q_dedup_incremental_bloom", oracle=_INCR_ORACLE)
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup through a Bloom-filter pre-screen — IDENTICAL
+    output to q_dedup_incremental (same oracle), different physical
+    shape: the corpus digest set folds into a ~10-bits-per-element
+    bitmap ONCE; batch rows whose digests miss the bloom are provably
+    new (no false negatives) and skip the anti-join entirely; only the
+    bloom HITS — true duplicates plus ~0.8% false positives — verify
+    against the corpus. At 100 TB the anti-join's corpus-side shuffle
+    is the dominant cost of the exact variant; here it shrinks to the
+    duplicate-rate-sized subset, which is the semi-join reduction
+    Catalyst's runtime bloom filter applies to joins, made explicit and
+    reusable across batches (build once, screen every arriving batch).
+    Beyond ~10^8 corpus digests (125 MB bitmap), shard the bloom by
+    digest prefix and union the screens."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    docs = table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(_BATCH_MOD)) >= _BATCH_MIN
+    corpus_digests = persisted(
+        docs.filter(~is_batch).select(F.sha2("text", 256).alias("digest")).distinct()
+    )
+    bitmap, m_bits = digest_bloom(corpus_digests, corpus_digests.count())
+    bloom_df = F.broadcast(
+        docs.sparkSession.createDataFrame([(bitmap,)], "bloom array<long>")
+    )
+    batch = (
+        docs.filter(is_batch)
+        .groupBy(F.sha2("text", 256).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    screened = batch.crossJoin(bloom_df).withColumn(
+        "__maybe", bloom_might_contain(m_bits)
+    )
+    definite_new = screened.filter(~F.col("__maybe")).drop("bloom", "__maybe")
+    verified_new = (
+        screened.filter(F.col("__maybe"))
+        .drop("bloom", "__maybe")
+        .join(corpus_digests, "digest", "left_anti")
+    )
+    fresh = definite_new.unionByName(verified_new)
+    return fresh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

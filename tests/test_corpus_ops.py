@@ -233,3 +233,63 @@ def test_text_normalize_unicode_and_controls(spark, tmp_path):
     )
     oracle = {r[0]: r[1] for r in con.execute(_NORMALIZE_ORACLE).fetchall()}
     assert got == oracle
+
+
+def test_incremental_bloom_equals_exact_and_screens(spark):
+    """The bloom-screened incremental dedup must return EXACTLY the
+    exact anti-join variant's rows, and the screen must do real work:
+    bloom hits (anti-join input) ≈ true duplicates + ~0.8% fp, far
+    below the full batch size."""
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _BATCH_MIN,
+        _BATCH_MOD,
+        bloom_might_contain,
+        digest_bloom,
+        q_dedup_incremental,
+        q_dedup_incremental_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    try:
+        exact = {
+            tuple(r) for r in q_dedup_incremental(spark, SF).collect()
+        }
+        bloom = {
+            tuple(r) for r in q_dedup_incremental_bloom(spark, SF).collect()
+        }
+        assert bloom == exact and len(bloom) > 0
+
+        # screen-reduction: measure hits directly with the library parts
+        docs = table(spark, SF, "documents")
+        is_batch = F.pmod(F.col("doc_id"), F.lit(_BATCH_MOD)) >= _BATCH_MIN
+        corpus = (
+            docs.filter(~is_batch)
+            .select(F.sha2("text", 256).alias("digest"))
+            .distinct()
+        )
+        n_corpus = corpus.count()
+        bitmap, m_bits = digest_bloom(corpus, n_corpus)
+        batch = (
+            docs.filter(is_batch)
+            .select(F.sha2("text", 256).alias("digest"))
+            .distinct()
+        )
+        bloom_df = F.broadcast(
+            spark.createDataFrame([(bitmap,)], "bloom array<long>")
+        )
+        n_batch = batch.count()
+        n_hits = (
+            batch.crossJoin(bloom_df)
+            .filter(bloom_might_contain(m_bits))
+            .count()
+        )
+        n_true_dups = batch.join(corpus, "digest", "left_semi").count()
+        # no false negatives: every true dup hits the bloom
+        assert n_hits >= n_true_dups
+        # false positives bounded: <= true dups + 5% of the batch
+        assert n_hits <= n_true_dups + max(3, int(0.05 * n_batch))
+        assert n_hits < n_batch  # the screen actually pruned
+    finally:
+        release_all()
