@@ -76,6 +76,7 @@ HEADLINE = (
     "q_ann_ivf_trained",
     "q_text_perplexity",
     "q_curation_gopher_rules",
+    "q_pipeline_curation_v2",
 )
 
 

@@ -130,3 +130,176 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpe).cast("long").alias("bpe_tokens"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 capstone: normalize -> rule gate -> dedup -> corpus-trained
+# perplexity -> per-language quality budget -> accounting
+# ---------------------------------------------------------------------------
+
+_V2_MIN_WORDS, _V2_MAX_WORDS = 50, 100_000
+_V2_MIN_MWL, _V2_MAX_MWL = 3.0, 10.0
+_V2_MIN_ALPHA = 0.80
+_V2_KEEP_FRAC = 0.8  # per-language quality budget: keep best 80% by NLL
+
+_V2_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+           '[ \\t\\n\\r]+', ' ', 'g')) AS tn
+  FROM documents
+), gated AS (
+  SELECT doc_id, lang, tn, string_split(tn, ' ') AS w FROM norm
+  WHERE len(string_split(tn, ' ')) BETWEEN {_V2_MIN_WORDS} AND {_V2_MAX_WORDS}
+    AND CAST(list_sum(list_transform(string_split(tn, ' '), x -> length(x)))
+             AS DOUBLE) / len(string_split(tn, ' '))
+        BETWEEN {_V2_MIN_MWL} AND {_V2_MAX_MWL}
+    AND CAST(len(list_filter(string_split(tn, ' '),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / len(string_split(tn, ' ')) >= {_V2_MIN_ALPHA}
+), dedup AS (
+  -- exact dedup BEFORE LM training so duplicate families can't skew
+  -- the model toward their own phrasing
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY tn
+), corpus AS (
+  SELECT g.* FROM gated g JOIN dedup USING (doc_id)
+), uni AS (
+  SELECT unnest(w) AS word FROM corpus
+), c1 AS (
+  SELECT word, count(*) AS c FROM uni GROUP BY word
+), vocab AS (
+  SELECT count(DISTINCT word) AS v FROM uni
+), big AS (
+  SELECT doc_id, b.w1, b.w2 FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+    FROM corpus
+  )
+), c2 AS (
+  SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2
+), terms AS (
+  SELECT big.doc_id,
+         CAST(round(-ln((CAST(c2.c AS DOUBLE) + 1.0) / (c1.c + vocab.v))
+              * 1000000) AS BIGINT) AS nll_micro
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 ON c1.word = big.w1
+  CROSS JOIN vocab
+), scored AS (
+  SELECT corpus.doc_id, corpus.lang,
+         count(*) AS n_bigrams,
+         sum(nll_micro) AS nll_sum,
+         (sum(nll_micro) * 1000) // count(*) AS score_q
+  FROM terms JOIN corpus USING (doc_id)
+  GROUP BY corpus.doc_id, corpus.lang
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY score_q, doc_id) AS rn
+  FROM scored
+), budget AS (
+  SELECT lang, count(*) AS c FROM scored GROUP BY lang
+), kept AS (
+  SELECT r.* FROM ranked r JOIN budget USING (lang)
+  WHERE rn <= ceil({_V2_KEEP_FRAC} * c)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       round(CAST(sum(score_q) AS DOUBLE) / count(*) / 1000.0, 6) AS avg_nll
+FROM kept
+GROUP BY lang
+"""
+
+
+@register("q_pipeline_curation_v2", oracle=_V2_ORACLE)
+def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 capstone: NFC normalize → Gopher-style rule gate
+    (word-count / mean-word-length / alpha-ratio — the corpus-neutral
+    subset) → exact dedup on normalized text (BEFORE LM training, so
+    duplicate families can't skew the model) → bigram-LM perplexity
+    scored against the surviving corpus itself → per-LANGUAGE quality
+    budget (keep the best 80% by exact integer NLL rank — partitioned
+    window, no global sort) → per-language accounting.
+
+    One lazy plan: Catalyst pushes the gate into the scan before any
+    shuffle; the LM count tables shuffle on word keys (never
+    broadcast); ranking partitions by language. The only Python is the
+    Arrow-batched NFC UDF. Scoring stays exact-integer end to end
+    (micro-nat quantization then integer div), so the rank — and the
+    driver hash — is engine-independent."""
+    from end_to_end_aws_data_pipeline_spark.operators.text import nfc_clean
+
+    docs = table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", "lang", nfc_clean(F.col("text")).alias("tn")
+    )
+    w = F.split(F.col("tn"), " ")
+    n_words = F.size(w)
+    mwl = (
+        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        / n_words
+    )
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n_words
+    gated = norm.filter(
+        (n_words >= _V2_MIN_WORDS)
+        & (n_words <= _V2_MAX_WORDS)
+        & (mwl >= _V2_MIN_MWL)
+        & (mwl <= _V2_MAX_MWL)
+        & (alpha >= _V2_MIN_ALPHA)
+    ).select("doc_id", "lang", "tn", w.alias("w"))
+
+    keeper = gated.groupBy("tn").agg(F.min("doc_id").alias("doc_id"))
+    corpus = gated.join(keeper.select("doc_id"), "doc_id")
+
+    uni = corpus.select(F.explode("w").alias("word"))
+    c1 = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    v = uni.agg(F.countDistinct("word").alias("v"))
+    n1 = F.size("w") - 1
+    big = corpus.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(n1, F.lit(0))),
+                F.slice("w", 2, F.greatest(n1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p = (F.col("c2").cast("double") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    terms = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, F.col("w1") == F.col("word"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(-F.log(p) * 1_000_000).cast("long").alias("nll_micro"),
+        )
+    )
+    scored = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_micro").alias("nll_sum"),
+        )
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .withColumn("score_q", F.expr("(nll_sum * 1000) div n_bigrams"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy("score_q", "doc_id")
+    )
+    budget = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    kept = (
+        scored.withColumn("rn", rn)
+        .join(F.broadcast(budget), "lang")
+        .filter(F.col("rn") <= F.ceil(F.lit(_V2_KEEP_FRAC) * F.col("c")))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.round(
+            F.sum("score_q").cast("double") / F.count(F.lit(1)) / 1000.0, 6
+        ).alias("avg_nll"),
+    )

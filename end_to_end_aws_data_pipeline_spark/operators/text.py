@@ -621,6 +621,32 @@ FROM documents
 """
 
 
+def nfc_clean(col: Column) -> Column:
+    """NFC-compose + strip C0/C1 controls + collapse whitespace + trim
+    (the q_text_normalize pipeline as a reusable column expression;
+    Python appears only as the Arrow-batched NFC UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: `from __future__ import annotations` makes
+    # them unresolvable strings for the UDF inspector; the returnType
+    # argument carries the schema instead
+    @pandas_udf("string")
+    def nfc(c):
+        import unicodedata
+
+        return c.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(col), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+            "[ \\t\\n\\r]+",
+            " ",
+        )
+    )
+
+
 @register("q_text_normalize", oracle=_NORMALIZE_ORACLE)
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization + cleanup: NFC-compose, strip C0/C1
@@ -632,29 +658,8 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp expressions so codegen keeps the rest of the plan. At 100 TB
     this runs at scan speed — one narrow string column in, one out.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    # no type annotations: `from __future__ import annotations` makes
-    # them unresolvable strings for the UDF inspector; the returnType
-    # argument carries the schema instead
-    @pandas_udf("string")
-    def nfc(col):
-        import unicodedata
-
-        return col.map(
-            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
-        )
-
     d = table(spark, sf_dir, "documents")
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                nfc(F.col("text")), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""
-            ),
-            "[ \\t\\n\\r]+",
-            " ",
-        )
-    )
+    cleaned = nfc_clean(F.col("text"))
     return d.select(
         "doc_id",
         cleaned.alias("text_norm"),
