@@ -285,7 +285,8 @@ def ngram_jaccard_pairs(
 
 @register("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs over the documents table (see
+    """Exact near-dup pairs over the documents table (r4: adaptive
+    direct/PPJoin routing + count-based verification; see
     :func:`ngram_jaccard_pairs`)."""
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1055,7 +1056,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each clustered doc with min-doc_id-in-component + the cluster size.
 
     This is the operator a curation pipeline actually acts on — "keep
-    cluster_id, drop the rest" — rather than raw pairs. The oracle
+    cluster_id, drop the rest" — rather than raw pairs. (r4: the pair
+    generation underneath is the adaptive direct/PPJoin design.) The oracle
     computes the identical labeling with a recursive CTE in DuckDB, so
     the distributed fixpoint is checked against an independent
     single-node graph traversal.
@@ -1079,7 +1081,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dedup_clusters_star", oracle=_CLUSTER_ORACLE)
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering with large-star/small-star connected
+    """Near-dup clustering (r4 adaptive pair generation) with
+    large-star/small-star connected
     components (Kiveris et al. SoCC'14) instead of min-label
     propagation: identical labels — checked against the same recursive-
     CTE oracle — in O(log n) rounds independent of component diameter.
