@@ -226,6 +226,7 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched NFC UDF. Scoring stays exact-integer end to end
     (micro-nat quantization then integer div), so the rank — and the
     driver hash — is engine-independent."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
     from end_to_end_aws_data_pipeline_spark.operators.text import nfc_clean
 
     docs = table(spark, sf_dir, "documents")
@@ -240,16 +241,23 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_words
     )
     alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n_words
-    gated = norm.filter(
-        (n_words >= _V2_MIN_WORDS)
-        & (n_words <= _V2_MAX_WORDS)
-        & (mwl >= _V2_MIN_MWL)
-        & (mwl <= _V2_MAX_MWL)
-        & (alpha >= _V2_MIN_ALPHA)
-    ).select("doc_id", "lang", "tn", w.alias("w"))
+    # persist the gate output and the deduped corpus: the NFC pandas
+    # UDF + gate expressions feed keeper AND the corpus join, and the
+    # corpus feeds THREE LM branches (unigrams, bigrams, lang rejoin) —
+    # without these persists the Arrow UDF subtree re-executes per
+    # branch (the lazy plan showed 38 Python stages; with them, one)
+    gated = persisted(
+        norm.filter(
+            (n_words >= _V2_MIN_WORDS)
+            & (n_words <= _V2_MAX_WORDS)
+            & (mwl >= _V2_MIN_MWL)
+            & (mwl <= _V2_MAX_MWL)
+            & (alpha >= _V2_MIN_ALPHA)
+        ).select("doc_id", "lang", "tn", w.alias("w"))
+    )
 
     keeper = gated.groupBy("tn").agg(F.min("doc_id").alias("doc_id"))
-    corpus = gated.join(keeper.select("doc_id"), "doc_id")
+    corpus = persisted(gated.join(keeper.select("doc_id"), "doc_id"))
 
     uni = corpus.select(F.explode("w").alias("word"))
     c1 = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
