@@ -294,8 +294,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (sub-quadratic candidate generation; Spark-hash-based →
-# rows-only driver check; recall vs the exact pairs asserted in tests)
+# MinHash + LSH (sub-quadratic candidate generation; md5-derived hashes →
+# the DuckDB oracle replays signatures → bands → candidates → verified
+# pairs EXACTLY, so the driver check is full rows/schema/hash)
 # ---------------------------------------------------------------------------
 
 # banding math at the J=0.6 operating point: P(candidate) = 1-(1-J^r)^b.
@@ -303,11 +304,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r=4 would need twice the hashes for LESS recall (67%) at this τ.
 _MINHASH_K = 16  # signature length
 _LSH_BANDS = 8  # bands of 2 rows
+# signature pre-screen: require ≥ ceil(0.4·k)+ε matching positions
+# (E[matches] = k·J; Binomial(16,.6) tail below 7 ≈ 1%)
+_MINHASH_SCREEN_MIN = int(0.4 * _MINHASH_K) + 1
 
 
 def minhash_signature(shingle_col: Column, k: int = _MINHASH_K) -> Column:
-    """k-permutation MinHash signature (array<long>): per hash seed i,
-    min over shingles of xxhash64(i ⊕ shingle).
+    """k-permutation MinHash signature (array<string>): per seed i, the
+    lexicographic MIN over shingles of md5('{i}|' ++ shingle) hex.
+
+    MinHash only needs a uniform hash with a total order — the 128-bit
+    md5 hex string gives both, and (unlike xxhash64) md5 is computed
+    identically by DuckDB, so the correctness oracle can replay the
+    signature pipeline bit-for-bit. ASCII-lexicographic MIN over
+    lowercase hex = numeric MIN over the 128-bit values.
 
     NOTE: the seed must be bound via a closure *factory*, not a lambda
     default arg — PySpark dispatches higher-order-function lambdas on
@@ -315,11 +325,11 @@ def minhash_signature(shingle_col: Column, k: int = _MINHASH_K) -> Column:
     index Column and shadows the seed.
     """
 
-    max_long = (1 << 63) - 1
-    zero = F.array(*[F.lit(max_long).cast("long") for _ in range(k)])
+    # 'g' sorts after every lowercase-hex string → identity for MIN
+    zero = F.array(*[F.lit("g") for _ in range(k)])
 
     def _hash_vec(s: Column) -> Column:
-        return F.array(*[F.xxhash64(F.lit(i), s) for i in range(k)])
+        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(k)])
 
     # single fold over the shingle array, merging element-wise minima —
     # one pass regardless of k (vs k separate transform+array_min passes)
@@ -330,7 +340,60 @@ def minhash_signature(shingle_col: Column, k: int = _MINHASH_K) -> Column:
     )
 
 
-@register("q_dedup_minhash_lsh")  # Spark-specific hashes → rows-only
+def _minhash_oracle() -> str:
+    """DuckDB replay of q_dedup_minhash_lsh: identical shingles (proven
+    by the green _JACCARD_ORACLE), identical md5-derived signatures,
+    identical band buckets / screen / exact-Jaccard verification."""
+    k, b_, r = _MINHASH_K, _LSH_BANDS, _MINHASH_K // _LSH_BANDS
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{b * r}"
+        + "".join(f" || '|' || h{b * r + j}" for j in range(1, r))
+        + ") AS bucket FROM sig"
+        for b in range(b_)
+    )
+    screen = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(k))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+           i -> concat_ws(' ', string_split(text,' ')[i],
+                string_split(text,' ')[i+1], string_split(text,' ')[i+2])
+         )) AS s
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), screened AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE {screen} >= {_MINHASH_SCREEN_MIN}
+)
+SELECT s.doc_a, s.doc_b,
+       round(CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+             (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s))), 6) AS jaccard
+FROM screened s
+JOIN sh da ON da.doc_id = s.doc_a
+JOIN sh db ON db.doc_id = s.doc_b
+WHERE CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+      (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s))) >= {_JACCARD_TAU}
+"""
+
+
+@register("q_dedup_minhash_lsh", oracle=_minhash_oracle())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: signature → band → bucket equi-join →
     exact-Jaccard verification of candidates only.
@@ -339,6 +402,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     full O(n²) ground truth is probabilistic (tests assert it on the
     small SF). At 100 TB this is the only tractable shape: candidate
     count ≈ duplicate count, not n².
+
+    Hashes are md5-derived (see minhash_signature) so the DuckDB oracle
+    replays the ENTIRE pipeline — including which candidate pairs LSH
+    surfaces — and the driver records a full hash-green row, not
+    rows-only. md5 costs ~3× xxhash64 per call but both are JVM
+    codegen'd expressions; the asymptotic shape is unchanged.
     """
     from end_to_end_aws_data_pipeline_spark.cache import persisted
 
@@ -356,13 +425,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = persisted(  # feeds bands + both screen sides
         tok.groupBy("doc_id").agg(
             F.array(
-                *[F.min(F.xxhash64(F.lit(i), F.col("sh"))) for i in range(_MINHASH_K)]
+                *[
+                    F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))))
+                    for i in range(_MINHASH_K)
+                ]
             ).alias("sig")
         )
     )
     # bands carry only (doc_id, band, bucket) — never the shingle arrays:
     # the band self-join shuffles 8 small rows per doc, and the (much
-    # rarer) candidates fetch their shingles back afterwards
+    # rarer) candidates fetch their shingles back afterwards. The bucket
+    # is md5 of the band's signature slice — replayable by the oracle
+    # (F.hash is Spark-private Murmur3, md5 is universal).
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -370,7 +444,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * r + 1, r)).alias("bucket"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * r + 1 + j)
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
                     )
                     for b in range(_LSH_BANDS)
                 ]
@@ -389,10 +471,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boilerplate/common shingles give many docs the same global-minimum
     # hash in some positions, so band buckets balloon with low-Jaccard
     # pairs (measured: 19M candidates → 2.5k true pairs at sf1). The
-    # MinHash estimator itself is nearly free — 32 codegen'd element
+    # MinHash estimator itself is nearly free — k codegen'd element
     # comparisons on the already-computed signatures — and E[matches] =
-    # 32·J, so requiring ≥ 13/32 (Ĵ ≥ 0.4) keeps essentially every true
-    # τ=0.6 pair (Binomial(32,.6) tail below 13 ≈ 1%, and real near-dups
+    # k·J, so requiring ≥ 7/16 (Ĵ ≥ 0.4) keeps essentially every true
+    # τ=0.6 pair (Binomial(16,.6) tail below 7 ≈ 1%, and real near-dups
     # sit at J≈0.9) while discarding the junk BEFORE the dedup shuffle
     # and the string-array intersection join.
     ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
@@ -406,7 +488,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     screened = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .filter(sig_matches >= int(0.4 * _MINHASH_K) + 1)
+        .filter(sig_matches >= _MINHASH_SCREEN_MIN)
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])  # AFTER the screen: dedup
         # shuffles the few k survivors, never the raw candidate stream
@@ -423,29 +505,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (Hamming-space near-dup; Spark-specific hashes → rows-only)
+# SimHash (Hamming-space near-dup; md5-derived bits → the DuckDB oracle
+# replays fingerprints → bands → candidates exactly: full hash check)
 # ---------------------------------------------------------------------------
 
 _SIMHASH_BITS = 64
 _SIMHASH_BAND_BITS = 16  # 4 bands → catches hamming ≤ 3 pairs
 
 
+def _md5_bit(h: Column, i: int) -> Column:
+    """Bit i (0-63) of a token's 64-bit hash, read out of its md5 hex
+    string: hex digit i//4 contributes bits via (digit >> i%4) & 1.
+    conv() is Spark's hex-digit→int; DuckDB replays it with strpos over
+    '0123456789abcdef'. Both engines see the same md5, hence same bit."""
+    digit = F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(digit, i % 4).bitwiseAND(F.lit(1))
+
+
 def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     """SimHash over word tokens: per bit, sum ±1 votes of each token's
     hash bit; the sign vector packs into a long. Pure fold expressions.
+
+    Token hashes are md5-derived (see _md5_bit) so the fingerprint is
+    engine-independent — DuckDB computes the identical value, which is
+    what upgrades the driver check from rows-only to full hash-match.
 
     (Library form for column-level use; the bulk query below computes
     the same fingerprint through explode + codegen'd aggregates, which
     is the faster shape for whole-corpus runs.)
     """
-    hashes = F.transform(F.split(text, " "), lambda w: F.xxhash64(w))
+    hashes = F.transform(F.split(text, " "), lambda w: F.md5(w))
 
     def _vote(i: int) -> Column:  # closure factory, see minhash_signature note
         return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(_md5_bit(h, i) == 1, 1).otherwise(-1),
         )
 
     out = F.lit(0).cast("long")
@@ -460,12 +555,28 @@ def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
 def _simhash_by_agg(tokens: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
     """tokens(doc_id, w) → (doc_id, sh): per-bit ±1 vote sums as
     codegen'd aggregates (map-side combinable), then pack the sign
-    vector into one long."""
-    h = F.xxhash64(F.col("w"))
-    votes = tokens.groupBy("doc_id").agg(
+    vector into one long.
+
+    The md5 hex digits are projected ONCE per token (16 ints), then the
+    64 vote aggregates read bits off those ints — vs recomputing
+    conv(md5) inside every aggregate (16× the hash work)."""
+    n_dig = bits // 4
+    h = F.md5(F.col("w"))
+    dig = tokens.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            for j in range(n_dig)
+        ],
+    )
+    votes = dig.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{i}")
             for i in range(bits)
         ]
@@ -477,7 +588,53 @@ def _simhash_by_agg(tokens: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
     return votes.select("doc_id", packed.alias("sh"))
 
 
-@register("q_dedup_simhash")
+def _simhash_oracle() -> str:
+    """DuckDB replay of q_dedup_simhash: same tokenization, same
+    md5-digit bit extraction, same ±1 vote sums, same signed-64 packing
+    (bit 63 = BIGINT min), same 4×16-bit band join and Hamming gate."""
+    bits, band_bits = _SIMHASH_BITS, _SIMHASH_BAND_BITS
+    n_bands, mask = bits // band_bits, (1 << band_bits) - 1
+    dig_cols = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(bits // 4)
+    )
+    vote_cols = ",\n         ".join(
+        f"sum(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    weights = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i if i < 63 else -(1 << 63)} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * band_bits}) & {mask} AS bucket FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dig AS (
+  SELECT doc_id,
+         {dig_cols}
+  FROM tok
+), votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM dig GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({weights} AS BIGINT) AS sh FROM votes
+), bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint banded 4×16 bits,
     join on any equal band, verify Hamming distance ≤ 3 via
