@@ -477,9 +477,27 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_q.alias("dot_q"),
         )
     )
+    # per-bucket pre-top-k BEFORE the global rank: any global top-k row
+    # is also within its own bucket's top-k under the SAME (dot DESC,
+    # neighbor_id) order, so this is an exact reduction — the global
+    # window then ranks ≤ nprobe·k rows per query instead of the full
+    # nprobe·bucket-size candidate stream. This is what keeps multi-
+    # probe scale-safe: bucket size grows √N with the corpus (candidate
+    # volume ~linear) while nprobe·k stays constant, and the finer
+    # (query, bucket) partition key also spreads the sort across
+    # nprobe× more reducers. Measured 8.3× wall at the 10× sf1 step
+    # before; the bounded emission is the fix SCALING.md re-measures.
+    wb = W.partitionBy("query_id", "probed_centroid").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    pre = (
+        scored.withColumn("brank", F.row_number().over(wb))
+        .filter(F.col("brank") <= _IVF_K)
+        .drop("brank")
+    )
     w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _IVF_K)
         .select(
             "query_id",
@@ -809,11 +827,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     epsilon to disagree across engines. Assignment reuses the IVF
     build's one-matmul-per-batch pass (_ivf_assigned)."""
     _, assign, _, _ = _ivf_assigned(spark, sf_dir)
+    # rename the bucket key per side: both frames descend from `assign`,
+    # so `a.cent_id == b.cent_id` resolves to ONE attribute and Spark
+    # logs a trivially-true-predicate warning (the join still executes
+    # correctly after self-join dedup, but the intent should be explicit)
     a = assign.select(
-        F.col("cent_id"), F.col("vec_id").alias("id_a"), F.col("q").alias("q_a")
+        F.col("cent_id").alias("cent_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("q_a"),
     )
     b = assign.select(
-        F.col("cent_id"), F.col("vec_id").alias("id_b"), F.col("q").alias("q_b")
+        F.col("cent_id").alias("cent_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("q_b"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("q_a"), F.col("q_b"), lambda x, y: x * y),
@@ -821,7 +847,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     dropped = (
-        a.join(b, (a.cent_id == b.cent_id) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col("cent_a") == F.col("cent_b")) & (F.col("id_a") < F.col("id_b")))
         .filter(dot >= _SEMDEDUP_DOT)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
