@@ -41,9 +41,11 @@ def _encode_param(v) -> bytes | None:
         return None
     if isinstance(v, bool):  # bool is an int subclass — check first
         return b"t" if v else b"f"
-    if isinstance(v, bytes):
-        return b"\\x" + v.hex().encode()  # bytea hex format
-    return str(v).decode() if isinstance(v, memoryview) else str(v).encode()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # Spark BinaryType rows surface as bytearray in foreachPartition;
+        # normalize all three buffer types through bytea hex format
+        return b"\\x" + bytes(v).hex().encode()
+    return str(v).encode()
 
 
 def _pyformat_to_numeric(sql: str) -> str:
@@ -256,11 +258,14 @@ class Connection:
             self._in_tx = False
 
     def close(self) -> None:
+        # cleanup must never raise: the implicit rollback is a simple
+        # query, so a server already in an error/shutdown state answers
+        # it with an ErrorResponse (PgError), not just socket errors
         try:
             if self._in_tx:
                 self.rollback()
             self._sock.sendall(self._msg(b"X", b""))  # Terminate
-        except OSError:
+        except (OSError, PgError):
             pass
         finally:
             self._sock.close()

@@ -410,7 +410,7 @@ def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline can loosen one rule without re-deriving the rest
 _G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
 _G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
-_G_MAX_SYMBOL_RATIO = 0.10        # '#' or '...' per word
+_G_MAX_SYMBOL_RATIO = 0.10        # '#' or '...' per word; Gopher A1 drops > 0.1, so keep is <=
 _G_MAX_BULLET_RATIO = 0.90        # lines starting with a bullet
 _G_MAX_ELLIPSIS_RATIO = 0.30      # lines ending with '...'
 _G_MIN_ALPHA_WORD_RATIO = 0.80    # words containing >= 1 alphabetic char
@@ -447,7 +447,7 @@ SELECT doc_id,
        round(mwl, 6) AS mean_word_len,
        (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS ok_word_count,
        (mwl >= {_G_MIN_MWL} AND mwl <= {_G_MAX_MWL}) AS ok_mean_word_len,
-       (CAST(n_symbols AS DOUBLE) / n_words < {_G_MAX_SYMBOL_RATIO})
+       (CAST(n_symbols AS DOUBLE) / n_words <= {_G_MAX_SYMBOL_RATIO})
          AS ok_symbol_ratio,
        (CAST(n_bullet AS DOUBLE) / n_lines <= {_G_MAX_BULLET_RATIO})
          AS ok_bullets,
@@ -458,7 +458,7 @@ SELECT doc_id,
        (required_hits >= {_G_MIN_REQUIRED_HITS}) AS ok_required_words,
        ((n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
         AND (mwl >= {_G_MIN_MWL} AND mwl <= {_G_MAX_MWL})
-        AND (CAST(n_symbols AS DOUBLE) / n_words < {_G_MAX_SYMBOL_RATIO})
+        AND (CAST(n_symbols AS DOUBLE) / n_words <= {_G_MAX_SYMBOL_RATIO})
         AND (CAST(n_bullet AS DOUBLE) / n_lines <= {_G_MAX_BULLET_RATIO})
         AND (CAST(n_ellipsis AS DOUBLE) / n_lines <= {_G_MAX_ELLIPSIS_RATIO})
         AND (CAST(n_alpha_words AS DOUBLE) / n_words
@@ -510,7 +510,7 @@ def q_curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ok_wc = (n_words >= _G_MIN_WORDS) & (n_words <= _G_MAX_WORDS)
     ok_mwl = (mwl >= _G_MIN_MWL) & (mwl <= _G_MAX_MWL)
-    ok_sym = n_symbols.cast("double") / n_words < _G_MAX_SYMBOL_RATIO
+    ok_sym = n_symbols.cast("double") / n_words <= _G_MAX_SYMBOL_RATIO
     ok_bul = n_bullet.cast("double") / n_lines <= _G_MAX_BULLET_RATIO
     ok_ell = n_ellipsis.cast("double") / n_lines <= _G_MAX_ELLIPSIS_RATIO
     ok_alpha = n_alpha.cast("double") / n_words >= _G_MIN_ALPHA_WORD_RATIO

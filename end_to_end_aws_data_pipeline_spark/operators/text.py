@@ -611,11 +611,11 @@ def q_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORMALIZE_ORACLE = """
 SELECT doc_id,
        trim(regexp_replace(
-         regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+         regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
          '[ \\t\\n\\r]+', ' ', 'g')) AS text_norm,
        CAST(length(text) AS BIGINT) AS len_raw,
        CAST(length(trim(regexp_replace(
-         regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+         regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
          '[ \\t\\n\\r]+', ' ', 'g'))) AS BIGINT) AS len_norm
 FROM documents
 """
@@ -640,7 +640,7 @@ def nfc_clean(col: Column) -> Column:
 
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(nfc(col), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+            F.regexp_replace(nfc(col), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
             "[ \\t\\n\\r]+",
             " ",
         )

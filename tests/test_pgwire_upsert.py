@@ -216,3 +216,37 @@ def test_streaming_foreachbatch_upsert_to_live_postgres(spark, pg_socket_dir, tm
     cur.execute("SELECT v FROM stream_t WHERE k = 2")
     assert cur.fetchall() == [("sentinel",)]  # untouched: files already logged
     conn.close()
+
+
+def test_encode_param_buffer_types():
+    """bytes / bytearray / memoryview all encode through bytea hex —
+    Spark BinaryType rows reach foreachPartition as bytearray, which
+    previously fell through to str() and corrupted binary columns."""
+    from end_to_end_aws_data_pipeline_spark.ingest.pgwire import _encode_param
+
+    payload = b"\x00\x01\xfe\xff"
+    want = b"\\x" + payload.hex().encode()
+    assert _encode_param(payload) == want
+    assert _encode_param(bytearray(payload)) == want
+    assert _encode_param(memoryview(payload)) == want
+    assert _encode_param(None) is None
+    assert _encode_param(True) == b"t"
+    assert _encode_param(42) == b"42"
+
+
+def test_bytea_roundtrip_live_postgres(pg_socket_dir):
+    """Binary params survive the wire protocol bit-for-bit, including
+    NULs and high bytes, for all three Python buffer types."""
+    conn = _connect(pg_socket_dir)
+    cur = conn.cursor()
+    cur.execute('CREATE TABLE "bin_t" (k bigint PRIMARY KEY, b bytea)')
+    conn.commit()
+    payload = bytes(range(256))
+    cur.execute("INSERT INTO bin_t VALUES (%s, %s)", (1, payload))
+    cur.execute("INSERT INTO bin_t VALUES (%s, %s)", (2, bytearray(payload)))
+    cur.execute("INSERT INTO bin_t VALUES (%s, %s)", (3, memoryview(payload)))
+    conn.commit()
+    cur.execute("SELECT k, encode(b, 'hex') FROM bin_t ORDER BY k")
+    got = cur.fetchall()
+    assert [r[1] for r in got] == [payload.hex()] * 3
+    conn.close()
