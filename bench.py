@@ -77,6 +77,8 @@ HEADLINE = (
     "q_text_perplexity",
     "q_curation_gopher_rules",
     "q_pipeline_curation_v2",
+    # round-5 additions
+    "q_ann_pq_topk",
 )
 
 
@@ -112,10 +114,11 @@ def main() -> None:
         _execute(first(spark, sf_dir))
         release_all()
 
-    # SPARK_GRAFT_BENCH_REPS>1: run each query N times and report the
-    # MIN (steady-state) — separates plan cost from JIT/GC noise when
-    # chasing regressions. Default 1 rep = the driver contract.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    # SPARK_GRAFT_BENCH_REPS: run each query N times and report the MIN
+    # (steady-state) — separates plan cost from JIT/GC noise. Default 3
+    # so published deltas mean something; sub-second "regressions" under
+    # reps=1 were indistinguishable from cold-run noise.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

@@ -741,3 +741,44 @@ def test_ppm_16bit_and_scaled_maxval():
 
     img = decode_image(b"P6\n1 1\n15\n" + bytes([0, 7, 15]))
     assert img.ravel().tolist() == [0, 119, 255]
+
+
+def test_pq_topk_recall_and_training_determinism(spark):
+    """PQ-ADC top-k: (a) non-trivial recall vs exact brute force —
+    4-bit codes on the near-uniform synthetic corpus land ~0.35, pin a
+    conservative floor; (b) codebook training is bit-deterministic
+    (the oracle REPLAYS training, so any nondeterminism would be a
+    driver hash-mismatch); (c) exactly top-k rows per query with ranks
+    1..k."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+    from end_to_end_aws_data_pipeline_spark.catalog import spread
+    from end_to_end_aws_data_pipeline_spark.operators.pq import (
+        _pq_codebooks,
+        q_ann_pq_topk,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _TOP_K,
+        _quantized,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_bruteforce_topk(spark, SF_SMOKE).collect()
+    }
+    rows = q_ann_pq_topk(spark, SF_SMOKE).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(pq) > 0
+    assert len(brute & pq) / len(pq) >= 0.2
+
+    per_query: dict[int, list[int]] = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, _TOP_K + 1))
+
+    v = persisted(spread(_quantized(spark, SF_SMOKE)))
+    b1 = _pq_codebooks(v)
+    b2 = _pq_codebooks(v)
+    assert all(np.array_equal(x, y) for x, y in zip(b1, b2))
