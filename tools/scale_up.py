@@ -101,19 +101,41 @@ def scale_up(src: str, dst: str, r: int) -> None:
                 parts.append(f"SELECT * REPLACE ({', '.join(repls)}) FROM src")
             else:
                 parts.append("SELECT * FROM src")
-        union = " UNION ALL ".join(parts)
         con.sql(f"CREATE OR REPLACE VIEW src AS FROM '{src}/{table}.parquet'")
-        # bounded row groups: the driver's sf fixtures are single-row-
-        # group files (unsplittable scans — catalog.spread() exists for
-        # that pathology), but a scaled corpus should look like
-        # production data, where parquet splits into one task per
-        # row group
-        con.sql(
-            f"COPY ({union}) TO '{dst}/{table}.parquet' "
-            "(FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
-        )
-        n = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
-        print(f"{table}: {n} rows", file=sys.stderr)
+        # a previous run may have left the opposite shape (file vs dir)
+        out_path = f"{dst}/{table}.parquet"
+        if os.path.isdir(out_path):
+            import shutil
+
+            shutil.rmtree(out_path)
+        elif os.path.exists(out_path):
+            os.remove(out_path)
+        # bounded row groups AND one FILE per copy: the driver's sf
+        # fixtures are single-row-group single-file tables (unsplittable
+        # scans — catalog.spread() exists for that pathology), but a
+        # scaled corpus should look like production data, where many
+        # parquet files give the scheduler one task per split without
+        # any repartition. Spark reads the '<table>.parquet' DIRECTORY
+        # transparently; expression-scan scale ratios stop being
+        # split-count artifacts (q_text_fingerprint measured 7.7x on the
+        # single-file corpus purely from serialized scan parallelism).
+        if shifts:
+            tdir = f"{dst}/{table}.parquet"
+            os.makedirs(tdir, exist_ok=True)
+            for i, sel in enumerate(parts):
+                con.sql(
+                    f"COPY ({sel}) TO '{tdir}/part-{i:02d}.parquet' "
+                    "(FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
+                )
+            glob = f"{tdir}/*.parquet"
+        else:
+            con.sql(
+                f"COPY (SELECT * FROM src) TO '{dst}/{table}.parquet' "
+                "(FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
+            )
+            glob = f"{dst}/{table}.parquet"
+        n = con.sql(f"SELECT count(*) FROM '{glob}'").fetchone()[0]
+        print(f"{table}: {n} rows ({len(parts) if shifts else 1} files)", file=sys.stderr)
 
 
 if __name__ == "__main__":
