@@ -79,6 +79,7 @@ HEADLINE = (
     "q_pipeline_curation_v2",
     # round-5 additions
     "q_ann_pq_topk",
+    "q_ann_ivfpq_topk",
 )
 
 

@@ -40,6 +40,7 @@ from end_to_end_aws_data_pipeline_spark.cache import persisted
 from end_to_end_aws_data_pipeline_spark.catalog import spread
 from end_to_end_aws_data_pipeline_spark.registry import register
 from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+    _CENTROIDS_SQL,
     _MAX_QUERIES,
     _QUERY_MOD,
     _QV_SQL,
@@ -304,6 +305,265 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            "rank",
+            F.round(F.col("adc").cast("double") / _SCALE_SQ, 6).alias(
+                "adc_cosine"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer bounds WHICH vectors are scored, PQ residual
+# codes bound the BYTES/FLOPs per scored vector — the FAISS IVFPQ shape
+# ---------------------------------------------------------------------------
+
+
+def _residual_assigned(spark: SparkSession, sf_dir: str):
+    """(residuals, cent_ids, cent_mat): every vector assigned to its
+    nearest first-ceil(√N) centroid (max int64 dot, ties to lowest
+    cent_id — identical to operators/similarity._ivf_assigned), carrying
+    the element-wise RESIDUAL q − centroid instead of the raw vector.
+
+    Residual components are bounded by 2·1e8, so every downstream PQ
+    quantity (code norms, ADC partial dots) stays far inside int64.
+    """
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        n_centroids_for,
+    )
+
+    v = _quantized(spark, sf_dir)
+    n_cent = n_centroids_for(v.count())
+    cent_ids, cent_mat = _query_matrix(
+        v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
+    )
+
+    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            best = (m @ cent_mat.T).argmax(axis=1)
+            res = m - cent_mat[best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cent_id": pd.Series(cent_ids[best], dtype="int64"),
+                    "q": list(res),
+                }
+            )
+
+    residuals = persisted(
+        spread(v).mapInPandas(
+            _assign, schema="vec_id long, cent_id long, q array<long>"
+        )
+    )
+    return residuals, cent_ids, cent_mat
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB replay of q_ann_ivfpq_topk: centroid assignment →
+    residuals → per-subspace Lloyd on residual subvectors → residual
+    encoding → per-query single-bucket ADC scoring (centroid dot +
+    code-table sum) → rank."""
+    parts = [
+        f"""WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v
+  WHERE vec_id < {_CENTROIDS_SQL}
+), assign AS (
+  SELECT vec_id, cent_id, q FROM (
+    SELECT v.vec_id, c.cent_id, v.q,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), res AS (
+  SELECT a.vec_id, a.cent_id,
+         list_transform(range(1, len(a.q)+1), i -> a.q[i] - c.cq[i]) AS r
+  FROM assign a JOIN c USING (cent_id)
+), sub AS (
+  SELECT vec_id, cent_id, m.m, r[(m.m*{_PQ_DS}+1):((m.m+1)*{_PQ_DS})] AS x
+  FROM res, (SELECT unnest(range(0, {_PQ_M})) AS m) m
+), b0 AS (
+  SELECT m, vec_id AS code, x AS cx FROM sub WHERE vec_id < {_PQ_K}
+)"""
+    ]
+    for t in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f""", a{t} AS (
+  SELECT vec_id, m, code, x FROM (
+    SELECT s.vec_id, s.m, b.code, s.x,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_sum(list_transform(range(1, {_PQ_DS}+1),
+                        i -> b.cx[i]*b.cx[i] - 2*s.x[i]*b.cx[i])),
+                      b.code) AS rn
+    FROM sub s JOIN b{t - 1} b USING (m)
+  ) WHERE rn = 1
+), s{t} AS (
+  SELECT m, code, pos,
+         CAST(floor(CAST(sum(xx) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+  FROM (
+    SELECT m, code,
+           unnest(range(1, {_PQ_DS}+1)) AS pos,
+           unnest(x) AS xx
+    FROM a{t}
+  ) GROUP BY m, code, pos
+), b{t} AS (
+  SELECT p.m, p.code, coalesce(n.cx, p.cx) AS cx
+  FROM b{t - 1} p
+  LEFT JOIN (
+    SELECT m, code, list(mu ORDER BY pos) AS cx FROM s{t} GROUP BY m, code
+  ) n USING (m, code)
+)"""
+        )
+    parts.append(
+        f""", enc AS (
+  SELECT vec_id, cent_id, m, code FROM (
+    SELECT s.vec_id, s.cent_id, s.m, b.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_sum(list_transform(range(1, {_PQ_DS}+1),
+                        i -> b.cx[i]*b.cx[i] - 2*s.x[i]*b.cx[i])),
+                      b.code) AS rn
+    FROM sub s JOIN b{_PQ_ITERS} b USING (m)
+  ) WHERE rn = 1
+), qs AS (
+  SELECT v.vec_id AS query_id, v.q AS qq, a.cent_id,
+         list_sum(list_transform(range(1, len(v.q)+1),
+           i -> v.q[i] * c.cq[i])) AS qcent
+  FROM v
+  JOIN assign a USING (vec_id)
+  JOIN c ON c.cent_id = a.cent_id
+  WHERE v.vec_id % {_QUERY_MOD} = 0
+  ORDER BY v.vec_id LIMIT {_MAX_QUERIES}
+), lut AS (
+  SELECT q.query_id, s.m, b.code,
+         list_sum(list_transform(range(1, {_PQ_DS}+1),
+           i -> s.x[i] * b.cx[i])) AS d
+  FROM qs q
+  JOIN (SELECT vec_id, m.m,
+               qv.q[(m.m*{_PQ_DS}+1):((m.m+1)*{_PQ_DS})] AS x
+        FROM v qv, (SELECT unnest(range(0, {_PQ_M})) AS m) m) s
+    ON s.vec_id = q.query_id
+  JOIN b{_PQ_ITERS} b ON b.m = s.m
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.cent_id,
+         q.qcent + sum(l.d) AS adc
+  FROM qs q
+  JOIN enc e ON e.cent_id = q.cent_id AND e.vec_id <> q.query_id
+  JOIN lut l ON l.query_id = q.query_id AND l.m = e.m AND l.code = e.code
+  GROUP BY q.query_id, e.vec_id, q.cent_id, q.qcent
+), ranked AS (
+  SELECT query_id, neighbor_id, cent_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
+       CAST(rank AS INT) AS rank,
+       round(CAST(adc AS DOUBLE) / {_SCALE_SQ}.0, 6) AS adc_cosine
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+    )
+    return "".join(parts)
+
+
+@register("q_ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (FAISS IVFPQ shape, residual encoding): the coarse
+    quantizer restricts scoring to the query's bucket (nprobe=1, same
+    deterministic first-√N centroids as q_ann_ivf_topk) and PQ codes of
+    the RESIDUAL q − centroid replace the raw vectors in the bucket
+    scan. Score = q·centroid + Σ_m LUT[m][code] — one shared dot per
+    bucket plus M table lookups per candidate.
+
+    Residual encoding is what makes the composition accurate: residual
+    norms shrink as centroids tighten, so the same 4-bit-per-subspace
+    budget quantizes a much smaller cell. At 100 TB this is THE
+    standard ANN memory/recall point: 4 B codes + √N-partitioned scans,
+    both knobs (nprobe, K) runtime-tunable. Training, encoding and
+    scoring replay exactly in the oracle (see _ivfpq_oracle).
+    """
+    import numpy as np
+
+    residuals, cent_ids, cent_mat = _residual_assigned(spark, sf_dir)
+    books = _pq_codebooks(residuals)
+
+    # bounded query set: raw vectors + their probed centroid + q·cent
+    v = _quantized(spark, sf_dir)
+    q_ids, q_mat = _query_matrix(
+        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERIES)
+    )
+    probe_idx = (q_mat @ cent_mat.T).argmax(axis=1)
+    q_cents = cent_ids[probe_idx]
+    q_qcent = np.take_along_axis(
+        q_mat @ cent_mat.T, probe_idx[:, None], axis=1
+    )[:, 0]
+    luts = np.stack(
+        [
+            q_mat[:, m * _PQ_DS : (m + 1) * _PQ_DS] @ books[m].T
+            for m in range(_PQ_M)
+        ],
+        axis=1,
+    )  # Q×M×K
+    bks = [b.copy() for b in books]
+
+    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["q"]), dtype=np.int64)  # B×D residuals
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cents = pdf["cent_id"].to_numpy(dtype=np.int64)
+            codes = np.empty((len(pdf), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                x = mat[:, m * _PQ_DS : (m + 1) * _PQ_DS]
+                bk = bks[m]
+                cost = (bk * bk).sum(axis=1)[None, :] - 2 * (x @ bk.T)
+                codes[:, m] = cost.argmin(axis=1)
+            out_q, out_n, out_c, out_a = [], [], [], []
+            for qi, qid in enumerate(q_ids):
+                sel = np.flatnonzero((cents == q_cents[qi]) & (ids != qid))
+                if len(sel) == 0:
+                    continue
+                adc = np.full(len(sel), int(q_qcent[qi]), dtype=np.int64)
+                for m in range(_PQ_M):
+                    adc += luts[qi, m, codes[sel, m]]
+                order = np.lexsort((ids[sel], -adc))[:_TOP_K]
+                for j in order:
+                    out_q.append(int(qid))
+                    out_n.append(int(ids[sel[j]]))
+                    out_c.append(int(q_cents[qi]))
+                    out_a.append(int(adc[j]))
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "probed_centroid": pd.Series(out_c, dtype="int64"),
+                    "adc": pd.Series(out_a, dtype="int64"),
+                }
+            )
+
+    cand = residuals.mapInPandas(
+        _score,
+        schema="query_id long, neighbor_id long, probed_centroid long, adc long",
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probed_centroid",
             "rank",
             F.round(F.col("adc").cast("double") / _SCALE_SQ, 6).alias(
                 "adc_cosine"

@@ -782,3 +782,32 @@ def test_pq_topk_recall_and_training_determinism(spark):
     b1 = _pq_codebooks(v)
     b2 = _pq_codebooks(v)
     assert all(np.array_equal(x, y) for x, y in zip(b1, b2))
+
+
+def test_ivfpq_agrees_with_exact_bucket_scoring(spark):
+    """IVF-PQ probes the SAME deterministic bucket as q_ann_ivf_topk
+    but scores via 4-bit residual codes — at matched k the overlap with
+    the exactly-scored bucket top-k isolates pure PQ quantization loss
+    (measured 0.4 at sf0.001). Ranks must be contiguous from 1 per
+    query, and training/encoding determinism is covered by the driver
+    oracle replay."""
+    from end_to_end_aws_data_pipeline_spark.operators.pq import q_ann_ivfpq_topk
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        q_ann_ivf_topk,
+    )
+
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    rows = q_ann_ivfpq_topk(spark, SF_SMOKE).collect()
+    at_k = {(r.query_id, r.neighbor_id) for r in rows if r.rank <= _IVF_K}
+    assert len(at_k) > 0
+    assert len(ivf & at_k) / len(at_k) >= 0.2
+
+    per_query: dict[int, list[int]] = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
