@@ -1,10 +1,14 @@
 """Percentile / approximate aggregates and grouping sets.
 
 Exact percentiles are cross-engine comparable (linear interpolation on
-the sorted multiset); sketch-based approximations (HLL++ distinct,
-t-digest-ish quantiles) are engine-specific by construction, so those
-register without an oracle (driver records rows-only) — their *exact*
-twins serve as the accuracy reference in tests/test_approx.py.
+the sorted multiset). ENGINE-NATIVE sketches (HLL++ distinct,
+t-digest-ish quantiles) are engine-specific by construction, so
+q_agg_approx registers without an oracle (driver records rows-only) —
+its *exact* twins serve as the accuracy reference in
+tests/test_approx.py. q_agg_hll_distinct is the verifiable
+counterexample: an HLL built on md5-derived registers whose estimate
+replays bit-identically in DuckDB, giving a sketch a full hash-green
+driver row.
 
 At 100 TB the approx forms are the ones you actually run: a single pass,
 fixed-size sketch state, map-side mergeable, no sort — versus exact
@@ -454,6 +458,133 @@ def q_agg_percentiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q1_qty", 6).alias("q1_qty"),
         F.round("min_price", 6).alias("min_price"),
         F.round("max_price", 6).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with REPLAYABLE registers: an oracle-verifiable sketch
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 registers; standard error 1.04/sqrt(m) ~ 6.5%
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 56  # md5 hex chars 3..16 -> 56-bit register payload
+_HLL_RHO_CAP = 48  # cap rho so 2^(cap - rho) sums stay deep inside int64
+# Flajolet et al. alpha_m for m >= 128, times m^2 * 2^cap, PRE-computed
+# in Python and injected verbatim into BOTH engines: Spark SQL folds
+# float literal arithmetic in DECIMAL (different answers), so the shared
+# constant must arrive as one IEEE double literal, not an expression.
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << _HLL_RHO_CAP)
+# small-range (linear counting) correction WITHOUT libm divergence:
+# ln(m/V) has only m possible inputs, so the table is evaluated once in
+# Python and injected into both engines as literals — est = m*ln(m/V)
+# when V empty registers remain and the raw estimate <= 2.5m
+import math as _math
+
+_HLL_LNTAB = [_math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+_HLL_LNTAB_SQL = "[" + ", ".join(repr(x) for x in _HLL_LNTAB) + "]"
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT l_returnflag, l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS hx
+  FROM lineitem
+), rb AS (
+  SELECT l_returnflag,
+         ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+         least(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+               ELSE {_HLL_WBITS + 1} - length(bin(w)) END,
+               {_HLL_RHO_CAP}) AS rho
+  FROM (
+    SELECT l_returnflag, hx,
+           ('0x' || substr(hx, 3, 14))::BIGINT AS w
+    FROM h
+  )
+), regs AS (
+  SELECT l_returnflag, bucket, max(rho) AS m_j
+  FROM rb GROUP BY l_returnflag, bucket
+), agg AS (
+  SELECT l_returnflag,
+         sum(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m_j)) AS denom_ne,
+         count(*) AS v_cnt
+  FROM regs GROUP BY l_returnflag
+), ex AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag,
+       ex.exact_parts,
+       round(CASE WHEN ({_HLL_M} - a.v_cnt) > 0 AND {_HLL_NUM!r} /
+                  (a.denom_ne + ({_HLL_M} - a.v_cnt)
+                   * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP})) <= {2.5 * _HLL_M}
+             THEN {float(_HLL_M)!r} * ({_HLL_LNTAB_SQL})[{_HLL_M} - a.v_cnt]
+             ELSE {_HLL_NUM!r} /
+                  (a.denom_ne + ({_HLL_M} - a.v_cnt)
+                   * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}))
+             END, 2) AS hll_parts
+FROM agg a JOIN ex USING (l_returnflag)
+"""
+
+
+@register("q_agg_hll_distinct", oracle=_HLL_ORACLE)
+def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count whose registers REPLAY in the oracle —
+    the verifiable counterpart to q_agg_approx's engine-native HLL++.
+
+    Classic HLL (Flajolet et al., AofA'07) from first principles as
+    pure expressions: md5(key) supplies the hash both engines compute
+    identically; hex chars 1-2 pick one of m=256 registers, the next 56
+    bits' leading-zero count (via length(bin(w)) — no floats) gives
+    rho; registers are a map-side-combinable MAX aggregate (the whole
+    sketch is 256 small ints per group — single-pass, mergeable,
+    bounded state at any corpus size, the same execution shape as the
+    native sketch). The harmonic-mean estimate is computed from an
+    INTEGER-scaled sum (2^(48-rho) terms, exact in int64) with one
+    shared pre-computed double constant, so Spark and DuckDB derive
+    bit-identical estimates — a sketch with a full rows/schema/hash
+    driver row instead of rows-only. The small-range linear-counting
+    correction (m*ln(m/V)) applies WITHOUT libm divergence: ln has only
+    m possible inputs here, so the table is evaluated once in Python
+    and injected into both engines as literals. Accuracy vs the exact
+    twin is asserted in tests/test_approx.py.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    hx = F.md5(F.col("l_partkey").cast("string"))
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
+    rho = F.least(
+        F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+        ),
+        F.lit(_HLL_RHO_CAP),
+    )
+    regs = li.select(
+        "l_returnflag", bucket.alias("bucket"), rho.alias("rho")
+    ).groupBy("l_returnflag", "bucket").agg(F.max("rho").alias("m_j"))
+    agg = regs.groupBy("l_returnflag").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")
+        ).alias("denom_ne"),
+        F.count(F.lit(1)).alias("v_cnt"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts")
+    )
+    denom = F.col("denom_ne") + (_HLL_M - F.col("v_cnt")) * F.lit(
+        1 << _HLL_RHO_CAP
+    ).cast("long")
+    raw = F.lit(_HLL_NUM) / denom
+    v_empty = (F.lit(_HLL_M) - F.col("v_cnt")).cast("int")
+    lntab = F.array(*[F.lit(x) for x in _HLL_LNTAB])
+    est = F.when(
+        (v_empty > 0) & (raw <= F.lit(2.5 * _HLL_M)),
+        F.lit(float(_HLL_M)) * F.element_at(lntab, v_empty),
+    ).otherwise(raw)
+    return (
+        agg.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            F.round(est, 2).alias("hll_parts"),
+        )
     )
 
 
