@@ -432,3 +432,51 @@ def test_ivf_trained_assignment_is_bounded_python(spark):
     from end_to_end_aws_data_pipeline_spark.cache import release_all
 
     release_all()
+
+
+def test_round5_plan_posture(spark):
+    """Round-5 operators keep scale-safe plan shapes:
+
+    - nprobe pre-top-k: TWO Window nodes (per-bucket rank before the
+      global per-query rank) — the bounded-candidate-emission fix that
+      took the 10x scale step from 8.3x to 1.5x; regression here means
+      the global sort sees full buckets again.
+    - PQ / IVF-PQ: exactly ONE Python stage (the Arrow-batched scoring
+      pass) in the returned plan, reading the persisted corpus from
+      InMemoryTableScan; no cartesian products anywhere.
+    - replayable HLL: pure JVM expressions (no Python in the plan) with
+      whole-stage codegen — a sketch at scan speed.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.pq import (
+        q_ann_ivfpq_topk,
+        q_ann_pq_topk,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        q_agg_hll_distinct,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_ann_ivf_nprobe,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    npb = formatted_plan(q_ann_ivf_nprobe(spark, SF_SMOKE))
+    assert npb.count("Window") >= 2  # bucket pre-top-k + global rank
+
+    for q in (q_ann_pq_topk, q_ann_ivfpq_topk):
+        df = q(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "Cartesian" not in plan
+        # exactly one Python stage (the scoring pass) EXECUTES: nodes
+        # below InMemoryTableScan are the cached relation's printed
+        # lineage, not re-executed work
+        simple = physical_plan(df)
+        assert "InMemoryTableScan" in simple  # persisted corpus reuse
+        assert simple.split("InMemoryTableScan")[0].count("MapInPandas") == 1
+
+    hll_df = q_agg_hll_distinct(spark, SF_SMOKE)
+    hll = formatted_plan(hll_df)
+    assert "Python" not in hll and "MapInPandas" not in hll
+    assert has_wholestage_codegen(hll_df)
+    assert "Cartesian" not in hll
