@@ -888,3 +888,106 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak long, energy long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize (decode → downsample → stats through the binary path)
+# ---------------------------------------------------------------------------
+
+_THUMB = 8  # thumbnail edge: fixed-size output regardless of source dims
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize by integer index gather: output pixel
+    (i, j) = source pixel (i*h//out_h, j*w//out_w). Pure numpy fancy
+    indexing — no interpolation floats, so the result is deterministic
+    and the oracle can predict it arithmetically. The standard
+    thumbnail/embedding-input step between decode and feature
+    extraction."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[rows[:, None], cols[None, :]]
+
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_DEC_W} AS INT) AS src_width,
+       CAST({_DEC_H} AS INT) AS src_height,
+       CAST({_THUMB} AS INT) AS thumb_edge,
+       CAST(3 * list_sum(list_transform(
+             range(0, {_THUMB} * {_THUMB}),
+             k -> ((k % {_THUMB}) * {_DEC_W} // {_THUMB}
+                   + (k // {_THUMB}) * {_DEC_H} // {_THUMB}
+                   + doc_id) % 256))
+            AS BIGINT) AS thumb_sum
+FROM documents
+"""
+
+
+@register("q_multimodal_resize", oracle=_RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → RESIZE → stats, the missing middle of the multimodal
+    mandate (decode / feature-extract / resize / frame-sample): each
+    synthetic gradient image is encoded to real BMP/PPM/PNG bytes,
+    decoded by the pure-python codecs, then nearest-neighbor
+    downsampled to a fixed 8×8 thumbnail inside the same
+    Arrow batch — the canonical pre-embedding normalization step, and
+    the shape under which a 100 TB image corpus becomes a fixed-width
+    tensor column. The oracle predicts every thumbnail pixel
+    arithmetically (integer index gather has no interpolation floats),
+    so any decode-or-resize indexing bug is a hash mismatch.
+    """
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "src_width", "src_height", "thumb_edge", "thumb_sum"
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 29
+                h = 4 + (doc_id // 7) % 23
+                yy, xx = np.mgrid[0:h, 0:w]
+                val = ((xx + yy + doc_id) % 256).astype(np.uint8)
+                pix = np.repeat(val[:, :, None], 3, axis=2)
+                fmt = ("bmp", "ppm", "png")[doc_id % 3]
+                if fmt == "bmp":
+                    payload = encode_bmp(pix)
+                elif fmt == "ppm":
+                    payload = encode_ppm(pix)
+                else:
+                    payload = encode_png(pix, filter_type=doc_id % 5)
+                img = decode_image(payload)
+                thumb = resize_nearest(img, _THUMB, _THUMB)
+                out["doc_id"].append(doc_id)
+                out["src_width"].append(img.shape[1])
+                out["src_height"].append(img.shape[0])
+                out["thumb_edge"].append(_THUMB)
+                out["thumb_sum"].append(int(thumb.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "src_width": pd.Series(out["src_width"], dtype="int32"),
+                    "src_height": pd.Series(out["src_height"], dtype="int32"),
+                    "thumb_edge": pd.Series(out["thumb_edge"], dtype="int32"),
+                    "thumb_sum": pd.Series(out["thumb_sum"], dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, src_width int, src_height int, "
+            "thumb_edge int, thumb_sum long"
+        ),
+    )

@@ -811,3 +811,25 @@ def test_ivfpq_agrees_with_exact_bucket_scoring(spark):
         per_query.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_query.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_resize_nearest_identity_and_gather():
+    """resize_nearest: identity at equal dims; exact index-gather
+    semantics (output (i,j) = src (i*h//H, j*w//W)) on a known ramp;
+    upsample repeats pixels."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert np.array_equal(resize_nearest(img, 6, 4), img)
+    down = resize_nearest(img, 3, 2)
+    assert down.shape == (2, 3, 3)
+    for i in range(2):
+        for j in range(3):
+            assert np.array_equal(down[i, j], img[(i * 4) // 2, (j * 6) // 3])
+    up = resize_nearest(img, 12, 8)
+    assert up.shape == (8, 12, 3)
+    assert np.array_equal(up[0, 0], img[0, 0]) and np.array_equal(up[1, 1], img[0, 0])
