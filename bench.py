@@ -80,6 +80,8 @@ HEADLINE = (
     # round-5 additions
     "q_ann_pq_topk",
     "q_ann_ivfpq_topk",
+    "q_agg_hll_distinct",
+    "q_multimodal_resize",
 )
 
 
