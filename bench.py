@@ -82,6 +82,7 @@ HEADLINE = (
     "q_ann_ivfpq_topk",
     "q_agg_hll_distinct",
     "q_multimodal_resize",
+    "q_dedup_repeated_ngrams",
 )
 
 

@@ -1430,3 +1430,66 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated passages (exact shared-8-gram count)
+# ---------------------------------------------------------------------------
+
+_REP_N = 8  # words per passage window
+_REP_MIN = 3  # pairs must share at least this many distinct 8-grams
+
+_REP_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - {_REP_N - 1}, 1) + 1),
+           i -> md5(concat_ws(' ',
+             {", ".join(f"string_split(text,' ')[i+{j}]" for j in range(_REP_N))}))
+         )) AS s
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_REP_MIN}
+"""
+
+
+@register("q_dedup_repeated_ngrams", oracle=_REP_ORACLE)
+def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection: pairs of documents
+    sharing ≥ 3 distinct 8-word windows — the exact substring-level
+    duplication signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 — there at 50-token granularity
+    over suffix arrays; here at passage granularity over an inverted
+    index, the join-friendly distributed shape).
+
+    Distinct from 3-gram Jaccard: no normalization by document length,
+    so a long document quoting one paragraph of another still fires —
+    the boilerplate/quotation detector rather than the whole-document
+    near-dup detector. Windows join on md5 digests (32 B fixed keys the
+    oracle recomputes identically; an 8-word string key would shuffle
+    ~2× the bytes). 8-grams are rare — df is near 1 for normal text —
+    so the inverted-index join output stays close to the true pair
+    count at any corpus size; the Σ df² probe logic of the Jaccard
+    path is unnecessary here by construction.
+    """
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", shingles(F.col("text"), k=_REP_N).alias("s")
+    )
+    tok = d.select("doc_id", F.explode("s").alias("gram")).select(
+        "doc_id", F.md5("gram").alias("g")
+    )
+    a = tok.select(F.col("doc_id").alias("doc_a"), "g")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _REP_MIN)
+    )

@@ -833,3 +833,23 @@ def test_resize_nearest_identity_and_gather():
     up = resize_nearest(img, 12, 8)
     assert up.shape == (8, 12, 3)
     assert np.array_equal(up[0, 0], img[0, 0]) and np.array_equal(up[1, 1], img[0, 0])
+
+
+def test_repeated_ngrams_pairs(spark):
+    """Repeated-passage pairs: every whole-document near-dup (3-gram
+    Jaccard >= 0.6) also shares many exact 8-word windows on this
+    corpus (identical pair sets at the smoke SF), and every emitted
+    pair respects the >= 3 shared-window threshold."""
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _REP_MIN,
+        q_dedup_repeated_ngrams,
+    )
+
+    jac = {
+        (r.doc_a, r.doc_b) for r in q_dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    rows = q_dedup_repeated_ngrams(spark, SF_SMOKE).collect()
+    rep = {(r.doc_a, r.doc_b) for r in rows}
+    assert len(rep) > 0
+    assert all(r.n_shared >= _REP_MIN for r in rows)
+    assert jac <= rep  # near-dup docs necessarily share exact passages
