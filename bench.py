@@ -83,6 +83,7 @@ HEADLINE = (
     "q_agg_hll_distinct",
     "q_multimodal_resize",
     "q_dedup_repeated_ngrams",
+    "q_dedup_simhash",
 )
 
 

@@ -308,16 +308,43 @@ _LSH_BANDS = 8  # bands of 2 rows
 # (E[matches] = k·J; Binomial(16,.6) tail below 7 ≈ 1%)
 _MINHASH_SCREEN_MIN = int(0.4 * _MINHASH_K) + 1
 
+# Broder-style minwise permutations: ONE base hash per shingle (md5,
+# which DuckDB recomputes identically), then k universal-hash
+# permutations h_i(x) = (a_i·x + b_i) mod p over the base value — 16×
+# fewer string hashes per token than md5-per-seed, and every step is
+# exact int64 arithmetic both engines replay (a·x < 2^62 for p = 2^31-1).
+# Coefficients are fixed md5-derived constants, embedded as literals in
+# the Spark expressions AND the generated oracle from this one list.
+_MH_P = (1 << 31) - 1
+
+
+def _mh_coef(tag: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+
+_MH_AB = [
+    (_mh_coef(f"a{i}") % (_MH_P - 1) + 1, _mh_coef(f"b{i}") % _MH_P)
+    for i in range(_MINHASH_K)
+]
+
+
+def _mh_base(s: Column) -> Column:
+    """60-bit integer from a shingle's md5, reduced mod p — the shared
+    base value every permutation rehashes (replayed by DuckDB as
+    ('0x' || substr(md5(s),1,15))::BIGINT % p)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MH_P
+
 
 def minhash_signature(shingle_col: Column, k: int = _MINHASH_K) -> Column:
-    """k-permutation MinHash signature (array<string>): per seed i, the
-    lexicographic MIN over shingles of md5('{i}|' ++ shingle) hex.
+    """k-permutation MinHash signature (array<long>): per permutation i,
+    MIN over shingles of (a_i·base + b_i) mod p, base = md5-derived.
 
-    MinHash only needs a uniform hash with a total order — the 128-bit
-    md5 hex string gives both, and (unlike xxhash64) md5 is computed
-    identically by DuckDB, so the correctness oracle can replay the
-    signature pipeline bit-for-bit. ASCII-lexicographic MIN over
-    lowercase hex = numeric MIN over the 128-bit values.
+    MinHash only needs a uniform hash with a total order; md5 gives a
+    cross-engine base value and the mod-p linear permutations give k
+    independent orders for one string hash per shingle. Everything
+    replays bit-for-bit in the DuckDB oracle.
 
     NOTE: the seed must be bound via a closure *factory*, not a lambda
     default arg — PySpark dispatches higher-order-function lambdas on
@@ -325,11 +352,13 @@ def minhash_signature(shingle_col: Column, k: int = _MINHASH_K) -> Column:
     index Column and shadows the seed.
     """
 
-    # 'g' sorts after every lowercase-hex string → identity for MIN
-    zero = F.array(*[F.lit("g") for _ in range(k)])
+    zero = F.array(*[F.lit(_MH_P).cast("long") for _ in range(k)])  # > any h
 
     def _hash_vec(s: Column) -> Column:
-        return F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(k)])
+        base = _mh_base(s)
+        return F.array(
+            *[(F.lit(a) * base + F.lit(b)) % _MH_P for a, b in _MH_AB[:k]]
+        )
 
     # single fold over the shingle array, merging element-wise minima —
     # one pass regardless of k (vs k separate transform+array_min passes)
@@ -346,11 +375,12 @@ def _minhash_oracle() -> str:
     identical band buckets / screen / exact-Jaccard verification."""
     k, b_, r = _MINHASH_K, _LSH_BANDS, _MINHASH_K // _LSH_BANDS
     sig_cols = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+        f"min(({a} * x + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_AB[:k])
     )
     band_selects = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(h{b * r}"
-        + "".join(f" || '|' || h{b * r + j}" for j in range(1, r))
+        f"SELECT doc_id, {b} AS band, md5(CAST(h{b * r} AS VARCHAR)"
+        + "".join(f" || '|' || CAST(h{b * r + j} AS VARCHAR)" for j in range(1, r))
         + ") AS bucket FROM sig"
         for b in range(b_)
     )
@@ -365,7 +395,9 @@ WITH sh AS (
          )) AS s
   FROM documents
 ), tok AS (
-  SELECT doc_id, unnest(s) AS shingle FROM sh
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT % {_MH_P} AS x
+  FROM sh
 ), sig AS (
   SELECT doc_id,
          {sig_cols}
@@ -406,8 +438,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hashes are md5-derived (see minhash_signature) so the DuckDB oracle
     replays the ENTIRE pipeline — including which candidate pairs LSH
     surfaces — and the driver records a full hash-green row, not
-    rows-only. md5 costs ~3× xxhash64 per call but both are JVM
-    codegen'd expressions; the asymptotic shape is unchanged.
+    rows-only. Cost: ONE md5 per shingle (the Broder base hash) + k
+    integer mod-p permutations — the same hash count per token as the
+    original xxhash-free design at 100 TB, with cross-engine replay.
     """
     from end_to_end_aws_data_pipeline_spark.cache import persisted
 
@@ -421,13 +454,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature via explode + 32 codegen'd MIN aggregates: higher-order
     # folds run interpreted, but hash aggregation is whole-stage
     # codegen'd with map-side partials — ~3× faster at equal hash count
-    tok = d.select("doc_id", F.explode("s").alias("sh"))
+    tok = d.select("doc_id", F.explode("s").alias("sh")).select(
+        "doc_id", _mh_base(F.col("sh")).alias("x")
+    )
     sig = persisted(  # feeds bands + both screen sides
         tok.groupBy("doc_id").agg(
             F.array(
                 *[
-                    F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))))
-                    for i in range(_MINHASH_K)
+                    F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P)
+                    for a, b in _MH_AB
                 ]
             ).alias("sig")
         )
@@ -448,7 +483,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.concat_ws(
                                 "|",
                                 *[
-                                    F.element_at("sig", b * r + 1 + j)
+                                    F.element_at("sig", b * r + 1 + j).cast(
+                                        "string"
+                                    )
                                     for j in range(r)
                                 ],
                             )
@@ -513,34 +550,49 @@ _SIMHASH_BITS = 64
 _SIMHASH_BAND_BITS = 16  # 4 bands → catches hamming ≤ 3 pairs
 
 
-def _md5_bit(h: Column, i: int) -> Column:
-    """Bit i (0-63) of a token's 64-bit hash, read out of its md5 hex
-    string: hex digit i//4 contributes bits via (digit >> i%4) & 1.
-    conv() is Spark's hex-digit→int; DuckDB replays it with strpos over
-    '0123456789abcdef'. Both engines see the same md5, hence same bit."""
-    digit = F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("int")
-    return F.shiftright(digit, i % 4).bitwiseAND(F.lit(1))
+def _simhash_words(text: Column) -> Column:
+    """Tokens as structs of two md5-derived 60-bit halves: w1 = hex
+    chars 1-15, w2 = chars 16-30. Bit i of the token hash = (w1 >> i)&1
+    for i < 60 else (w2 >> (i-60))&1 — two conv() calls per token
+    instead of one per hex digit; DuckDB replays both halves via
+    ('0x' || substr(md5(w), ...))::BIGINT."""
+
+    def _halves(w: Column) -> Column:
+        h = F.md5(w)
+        return F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("w1"),
+            F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("w2"),
+        )
+
+    return F.transform(F.split(text, " "), _halves)
+
+
+def _half_bit(w1: Column, w2: Column, i: int) -> Column:
+    src, off = (w1, i) if i < 60 else (w2, i - 60)
+    return F.shiftright(src, off).bitwiseAND(F.lit(1))
 
 
 def simhash(text: Column, bits: int = _SIMHASH_BITS) -> Column:
     """SimHash over word tokens: per bit, sum ±1 votes of each token's
     hash bit; the sign vector packs into a long. Pure fold expressions.
 
-    Token hashes are md5-derived (see _md5_bit) so the fingerprint is
-    engine-independent — DuckDB computes the identical value, which is
-    what upgrades the driver check from rows-only to full hash-match.
+    Token hashes are md5-derived (see _simhash_words) so the
+    fingerprint is engine-independent — DuckDB computes the identical
+    value, which is what upgrades the driver check from rows-only to
+    full hash-match.
 
     (Library form for column-level use; the bulk query below computes
     the same fingerprint through explode + codegen'd aggregates, which
     is the faster shape for whole-corpus runs.)
     """
-    hashes = F.transform(F.split(text, " "), lambda w: F.md5(w))
+    hashes = _simhash_words(text)
 
     def _vote(i: int) -> Column:  # closure factory, see minhash_signature note
         return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(_md5_bit(h, i) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(_half_bit(h["w1"], h["w2"], i) == 1, 1).otherwise(-1),
         )
 
     out = F.lit(0).cast("long")
@@ -557,25 +609,20 @@ def _simhash_by_agg(tokens: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
     codegen'd aggregates (map-side combinable), then pack the sign
     vector into one long.
 
-    The md5 hex digits are projected ONCE per token (16 ints), then the
-    64 vote aggregates read bits off those ints — vs recomputing
-    conv(md5) inside every aggregate (16× the hash work)."""
-    n_dig = bits // 4
+    The two 60-bit md5 halves are projected ONCE per token, then the 64
+    vote aggregates read bits off those two longs — two conv() calls
+    per token instead of sixteen."""
     h = F.md5(F.col("w"))
-    dig = tokens.select(
+    halves = tokens.select(
         "doc_id",
-        *[
-            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
-            for j in range(n_dig)
-        ],
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("w2"),
     )
-    votes = dig.groupBy("doc_id").agg(
+    votes = halves.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1))
-                    == 1,
-                    1,
+                    _half_bit(F.col("w1"), F.col("w2"), i) == 1, 1
                 ).otherwise(-1)
             ).alias(f"v{i}")
             for i in range(bits)
@@ -594,12 +641,10 @@ def _simhash_oracle() -> str:
     (bit 63 = BIGINT min), same 4×16-bit band join and Hamming gate."""
     bits, band_bits = _SIMHASH_BITS, _SIMHASH_BAND_BITS
     n_bands, mask = bits // band_bits, (1 << band_bits) - 1
-    dig_cols = ",\n         ".join(
-        f"strpos('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1 AS d{j}"
-        for j in range(bits // 4)
-    )
     vote_cols = ",\n         ".join(
-        f"sum(CASE WHEN (d{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        "sum(CASE WHEN ("
+        + (f"w1 >> {i}" if i < 60 else f"w2 >> {i - 60}")
+        + f") & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(bits)
     )
     weights = " + ".join(
@@ -613,14 +658,15 @@ def _simhash_oracle() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-), dig AS (
+), halves AS (
   SELECT doc_id,
-         {dig_cols}
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS w1,
+         ('0x' || substr(md5(w), 16, 15))::BIGINT AS w2
   FROM tok
 ), votes AS (
   SELECT doc_id,
          {vote_cols}
-  FROM dig GROUP BY doc_id
+  FROM halves GROUP BY doc_id
 ), fp AS (
   SELECT doc_id, CAST({weights} AS BIGINT) AS sh FROM votes
 ), bands AS (
