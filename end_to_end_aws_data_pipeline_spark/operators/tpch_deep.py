@@ -1,13 +1,15 @@
-"""Deep-cut TPC-H-shaped analytics (Q5/Q7/Q8/Q9/Q10/Q11/Q13/Q15/Q17/
-Q19/Q20/Q21/Q22 shapes) adapted to the testdata schema — the multiway-
-join, correlated-aggregate, and anti-join patterns that stress a
-planner hardest.
+"""Deep-cut TPC-H-shaped analytics (Q2/Q5/Q7/Q8/Q9/Q10/Q11/Q13/Q15/
+Q16/Q17/Q19/Q20/Q21/Q22 shapes) adapted to the testdata schema — the
+multiway-join, correlated-aggregate, and anti-join patterns that
+stress a planner hardest.
 
-Together with operators/tpch.py (Q1/Q4/Q6/Q12/Q14/Q18) this gives the
-OLAP suite the full spread of classic plan shapes: snowflake joins over
+Together with operators/tpch.py (Q1/Q4/Q6/Q12/Q14/Q18) and the Q3
+adaptation in operators/joins.py (q_join_shipping_priority), this
+covers ALL 22 classic query shapes: snowflake joins over
 4-8 tables (Q5/Q7/Q8/Q9), fact→dim enrich + top-k (Q10), grouped agg
 gated by a scalar subquery (Q11), outer-join histogram (Q13),
-aggregate-vs-its-own-max (Q15), correlated per-group average (Q17),
+aggregate-vs-its-own-max (Q15), correlated scalar-MIN join-back (Q2),
+anti-join + grouped distinct (Q16), correlated per-group average (Q17),
 disjunctive pushdown (Q19), nested-IN semi-join chain (Q20), paired
 EXISTS/NOT EXISTS (Q21), and NOT EXISTS + scalar subquery (Q22).
 
@@ -803,4 +805,159 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(excess, F.col("s_suppkey") == F.col("xs_key"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier (correlated scalar MIN per group)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pp AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type = 'ECONOMY' AND p_size <= 15
+), cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+  FROM lineitem
+  JOIN pp ON l_partkey = p_partkey
+  JOIN eu_sup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, min(supply_cost) AS best_cost FROM cost GROUP BY l_partkey
+)
+SELECT s_acctbal, s_name, n_name,
+       c.l_partkey AS p_partkey, p_brand, c.supply_cost
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.supply_cost = b.best_cost
+JOIN eu_sup ON c.l_suppkey = s_suppkey
+JOIN pp ON c.l_partkey = pp.p_partkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part in a filtered family, the
+    region-local supplier offering the MINIMUM cost — the classic
+    correlated scalar-MIN subquery, stated as aggregate + equality
+    join-back (min per group, then keep the rows that attain it).
+
+    Adaptation (testdata has no partsupp): supply cost = the supplier's
+    cheapest observed sale of the part (min l_extendedprice per
+    (part, supplier) from lineitem, restricted to EUROPE suppliers).
+    MIN picks an EXISTING double — no arithmetic — so the tie-back
+    equality is bit-exact in both engines. Plan shape: the region
+    restriction broadcasts (bounded: region×nation prune supplier),
+    both MIN aggregates share the (partkey) shuffle key, and the final
+    detail joins ride the already-shuffled keys. The ORDER BY ... LIMIT
+    is a TakeOrderedAndProject — no global sort — over a full unique
+    sort key (acctbal, nation, supplier name, part key), so the kept
+    100 are deterministic.
+    """
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        s.join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pp = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(pp, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("supply_cost").alias("best_cost")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("supply_cost") == F.col("best_cost")),
+        )
+        .join(eu_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(pp, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: parts/supplier relationship (anti-join + grouped distinct)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_relationship", oracle=_Q16_ORACLE)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    surviving (brand, type, size) bucket, EXCLUDING a blocklisted
+    supplier set — negated dim predicates + NOT IN anti-join + grouped
+    COUNT DISTINCT.
+
+    Adaptation (no partsupp / s_comment): supply relationships come
+    from lineitem's observed (part, supplier) pairs, and the
+    complaints blocklist becomes suppliers with negative account
+    balance (same plan shape: a subquery-driven anti-join; the set is
+    empty at the smallest SF and non-empty from sf0.01 up, so the
+    exclusion path executes in the gate). The IN-list and inequality
+    predicates sit on part scan columns (pushed), the anti-join
+    broadcasts a bounded blocklist, and COUNT DISTINCT shuffles once on
+    the 3-part group key.
+    """
+    blocked = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            blocked, F.col("l_suppkey") == F.col("bad_key"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )

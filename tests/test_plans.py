@@ -480,3 +480,29 @@ def test_round5_plan_posture(spark):
     assert "Python" not in hll and "MapInPandas" not in hll
     assert has_wholestage_codegen(hll_df)
     assert "Cartesian" not in hll
+
+
+def test_q2_q16_plan_posture(spark):
+    """Round-5 TPC-H completions keep the deep-suite plan discipline:
+    Q2's ORDER BY+LIMIT is a TakeOrderedAndProject (no global sort) and
+    its region restriction broadcasts; Q16's blocklist anti-join
+    broadcasts a bounded set; neither plan contains a cartesian
+    product."""
+    from end_to_end_aws_data_pipeline_spark.operators.tpch_deep import (
+        q16_supplier_relationship,
+        q2_min_cost_supplier,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    q2 = q2_min_cost_supplier(spark, SF_SMOKE)
+    p2 = formatted_plan(q2)
+    assert "Cartesian" not in p2
+    assert uses_take_ordered(q2)
+    assert count_broadcast_joins(q2) >= 2  # nation+region (and blocked dims)
+
+    q16 = q16_supplier_relationship(spark, SF_SMOKE)
+    p16 = formatted_plan(q16)
+    assert "Cartesian" not in p16
+    assert "BroadcastHashJoin LeftAnti" in p16 or "LeftAnti BuildRight" in p16
