@@ -300,3 +300,143 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         dsum("p_retailprice", 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event funnel + cohort retention (classic product-analytics shapes)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT CAST(count(v.tv) AS BIGINT) AS n_viewed,
+       CAST(count(c.tc) AS BIGINT) AS n_clicked_after_view,
+       CAST(count(p.tp) AS BIGINT) AS n_purchased_after_click,
+       CAST(coalesce(sum(CASE WHEN p.tp IS NOT NULL
+            THEN epoch_us(p.tp) - epoch_us(v.tv) END), 0) AS BIGINT)
+         AS total_view_to_purchase_us
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("q_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage's timestamp
+    must follow the PREVIOUS stage's (min ts strictly after the prior
+    stage min), which is what separates a funnel from three independent
+    counts. Stated as a chain of filtered per-user MIN aggregates, each
+    joined to the previous stage — every stage shuffles once on
+    user_id, and AQE collapses the stage frames (users ≪ events) into
+    broadcast joins. Time-to-convert sums exact integer MICROSECONDS
+    (unix_micros / epoch_us both engines), never float seconds.
+    """
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    fun = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return fun.agg(
+        F.count("tv").cast("long").alias("n_viewed"),
+        F.count("tc").cast("long").alias("n_clicked_after_view"),
+        F.count("tp").cast("long").alias("n_purchased_after_click"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tp").isNotNull(),
+                    F.unix_micros("tp") - F.unix_micros("tv"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("total_view_to_purchase_us"),
+    )
+
+
+_COHORT_EPOCH = "2024-01-01"  # events fixture starts here; week 0 anchor
+
+_COHORT_ORACLE = f"""
+WITH first_seen AS (
+  SELECT user_id,
+         date_diff('day', DATE '{_COHORT_EPOCH}', CAST(min(ts) AS DATE)) // 7
+           AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '{_COHORT_EPOCH}', CAST(ts AS DATE)) // 7
+           AS event_week
+  FROM events
+)
+SELECT CAST(f.cohort_week AS INT) AS cohort_week,
+       CAST(a.event_week - f.cohort_week AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY f.cohort_week, a.event_week - f.cohort_week
+"""
+
+
+@register("q_cohort_retention", oracle=_COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week they first
+    appeared, counted in every subsequent week they were active —
+    the (cohort_week, week_offset) → distinct-user triangle every
+    product dashboard draws.
+
+    Weeks are integer floor((date − fixed epoch)/7) in BOTH engines —
+    no date_trunc, whose week-start convention is a classic
+    cross-engine mismatch. Two shuffles total: the per-user first-seen
+    aggregate and the distinct (user, week) projection share the
+    user_id key; the final count groups a users×weeks-sized frame,
+    orders of magnitude smaller than the event log.
+    """
+    e = table(spark, sf_dir, "events")
+    epoch = F.lit(_COHORT_EPOCH).cast("date")
+    first_seen = e.groupBy("user_id").agg(
+        F.floor(F.datediff(F.min("ts").cast("date"), epoch) / 7)
+        .cast("int")
+        .alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7)
+        .cast("int")
+        .alias("event_week"),
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("event_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

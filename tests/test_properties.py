@@ -126,3 +126,32 @@ def test_jaccard_both_routes_equal_bruteforce(spark, texts):
             assert got == expected, f"cap={cap}"
     finally:
         release_all()
+
+
+def test_funnel_monotone_and_cohort_triangle(spark):
+    """Funnel stages can only shrink (each requires the previous), and
+    the cohort matrix is a triangle: week 0 of every cohort contains
+    the cohort itself (first-seen week is an active week), offsets are
+    non-negative, and distinct users per (cohort, offset) never exceed
+    the cohort's week-0 size."""
+    from end_to_end_aws_data_pipeline_spark.operators.asof import (
+        q_cohort_retention,
+        q_funnel_conversion,
+    )
+    from tests.conftest import SF_SMOKE
+
+    f = q_funnel_conversion(spark, SF_SMOKE).collect()[0]
+    assert f.n_viewed >= f.n_clicked_after_view >= f.n_purchased_after_click
+    assert f.n_purchased_after_click >= 0
+    if f.n_purchased_after_click == 0:
+        assert f.total_view_to_purchase_us == 0
+    else:
+        assert f.total_view_to_purchase_us > 0
+
+    rows = q_cohort_retention(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    base = {r.cohort_week: r.n_active_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.cohort_week in base  # week 0 always present per cohort
+        assert r.n_active_users <= base[r.cohort_week]
