@@ -136,3 +136,53 @@ def compacted_write(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative int columns — bit i of x lands at position 2i, bit i
+    of y at 2i+1. Pure codegen expressions via the classic
+    magic-number spread (each step doubles the gap between kept bits),
+    no UDF.
+
+    Callers map each dimension onto [0, 2^bits) first — e.g.
+    ``F.least(lit(mask), col / domain * 2^bits)`` or a rank — because
+    Morton locality only holds for same-scale coordinates."""
+
+    def _spread(v: Column) -> Column:
+        # 16 -> 32 bit spread: 0x0000ffff -> 0x55555555 bit positions
+        # (Column.__or__ is LOGICAL or — bitwise needs .bitwiseOR)
+        v = v.bitwiseAND(F.lit((1 << bits) - 1)).cast("long")
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    return _spread(x).bitwiseOR(F.shiftleft(_spread(y), 1))
+
+
+def zordered_write(
+    df: DataFrame, path: str, x_col: str, y_col: str, n_files: int
+) -> None:
+    """Z-order-clustered parquet layout: rows are range-partitioned on
+    the Morton interleave of TWO keys, so each file covers a small
+    RECTANGLE of the (x, y) domain and per-file min/max stats prune on
+    EITHER column — the multi-dimensional file skipping single-column
+    range clustering cannot give (its second column spans the whole
+    domain in every file).
+
+    This is the standard lakehouse layout step (Delta/Iceberg
+    OPTIMIZE ZORDER BY) for 100 TB tables served by selective filters
+    on more than one dimension. The Morton key is dropped before the
+    write — it exists only to drive the partitioner and the
+    within-file sort."""
+    mk = morton_key(F.col(x_col), F.col(y_col))
+    (
+        df.withColumn("__z", mk)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

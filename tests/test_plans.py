@@ -506,3 +506,87 @@ def test_q2_q16_plan_posture(spark):
     p16 = formatted_plan(q16)
     assert "Cartesian" not in p16
     assert "BroadcastHashJoin LeftAnti" in p16 or "LeftAnti BuildRight" in p16
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout evidence from parquet footers: on a uniform 2D
+    grid, per-file (x, y) bounding boxes from a Morton-clustered write
+    must cover far less total area than a single-column range-clustered
+    write (whose second column spans the whole domain in every file) —
+    the statistic that makes predicates on EITHER column prune files.
+    Also pins morton_key's bit interleave on known values."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from end_to_end_aws_data_pipeline_spark.plans.scale import (
+        clustered_write,
+        morton_key,
+        zordered_write,
+    )
+
+    got = (
+        spark.range(1)
+        .select(
+            morton_key(F.lit(0b1010), F.lit(0b0110)).alias("z1"),
+            morton_key(F.lit(0), F.lit(1)).alias("z2"),
+            morton_key(F.lit((1 << 16) - 1), F.lit((1 << 16) - 1)).alias("z3"),
+        )
+        .collect()[0]
+    )
+    assert got.z1 == 0b01101100  # x bits at even, y bits at odd positions
+    assert got.z2 == 2
+    assert got.z3 == (1 << 32) - 1
+
+    n = 1 << 14  # 128x128 grid
+    grid = spark.range(n).select(
+        (F.col("id") % 128).cast("int").alias("x"),
+        (F.col("id") / 128).cast("int").alias("y"),
+    )
+
+    def total_area(path: str) -> int:
+        area = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {}
+            hi = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    lo[name] = min(lo.get(name, 1 << 30), col.statistics.min)
+                    hi[name] = max(hi.get(name, -1), col.statistics.max)
+            area += (hi["x"] - lo["x"] + 1) * (hi["y"] - lo["y"] + 1)
+        return area
+
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zordered_write(grid, zpath, "x", "y", n_files=16)
+    clustered_write(grid, lpath, "x", n_files=16)
+
+    def y_ranges(path: str) -> list[tuple[int, int]]:
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = 1 << 30, -1
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "y":
+                        lo = min(lo, col.statistics.min)
+                        hi = max(hi, col.statistics.max)
+            out.append((lo, hi))
+        return out
+
+    zr, lr = y_ranges(zpath), y_ranges(lpath)
+    # the discriminating statistic is SECOND-column pruning power: every
+    # x-range-clustered file spans the full y domain (no file skipped by
+    # any y predicate), while Z-curve segments cover bounded y tiles
+    # (range-partition sampling can straddle a tile boundary, so allow
+    # up to half the domain rather than an exact tile edge)
+    assert all(hi - lo + 1 == 128 for lo, hi in lr)
+    assert max(hi - lo + 1 for lo, hi in zr) <= 64
+    hit_z = sum(1 for lo, hi in zr if lo <= 15)  # predicate y < 16
+    hit_l = sum(1 for lo, hi in lr if lo <= 15)
+    assert hit_l == len(lr)  # linear prunes nothing on y
+    assert hit_z <= len(zr) // 2  # z-order skips most files
+    assert total_area(zpath) < 128 * 128 * len(zr)  # sanity: boxes are tiles
