@@ -186,3 +186,27 @@ def zordered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def bucketed_write(
+    df: DataFrame, table_name: str, key: str, n_buckets: int
+) -> None:
+    """Bucketed managed table: rows are hash-partitioned into
+    ``n_buckets`` files by ``key`` and sorted within each bucket, with
+    the layout recorded in the catalog. Two tables bucketed on the same
+    key with the same bucket count then JOIN WITHOUT A SHUFFLE — the
+    sort-merge join reads matching buckets pairwise — and aggregations
+    on the bucket key skip their exchange too.
+
+    This is the co-location contract for 100 TB fact-fact joins (a
+    broadcast can't help when both sides are huge): pay one shuffle at
+    WRITE time, join shuffle-free forever after. The catalog entry is
+    what carries the guarantee; a bare parquet directory written with
+    the same partitioning loses it on read."""
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

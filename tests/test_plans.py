@@ -590,3 +590,36 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert hit_l == len(lr)  # linear prunes nothing on y
     assert hit_z <= len(zr) // 2  # z-order skips most files
     assert total_area(zpath) < 128 * 128 * len(zr)  # sanity: boxes are tiles
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Co-located bucketed join: two tables bucketed on the same key
+    and count sort-merge-join with ZERO exchanges (both sides read
+    pre-bucketed files), while the same join over plain tables shuffles
+    both sides. The write-once-join-shuffle-free contract for fact-fact
+    joins at scale."""
+    from end_to_end_aws_data_pipeline_spark.plans.scale import bucketed_write
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # forbid broadcast so the plan shape is the join strategy itself
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(0, 20_000).selectExpr("id as k", "id * 2 as va")
+        b = spark.range(0, 20_000).selectExpr("id as k", "id * 3 as vb")
+        bucketed_write(a, "bkt_a", "k", 8)
+        bucketed_write(b, "bkt_b", "k", 8)
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "k")
+        assert joined.count() == 20_000
+        assert count_shuffles(joined) == 0  # bucket co-location honored
+        assert "SortMergeJoin" in physical_plan(joined)
+
+        plain = a.join(b, "k")
+        assert count_shuffles(plain) >= 2  # both sides exchange
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
