@@ -440,3 +440,101 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill: hourly resample + linear interpolation
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, max(value) AS v
+  FROM events WHERE user_id % 10 = 0
+  GROUP BY user_id, date_trunc('hour', ts)
+), span AS (
+  SELECT user_id, min(h) AS a, max(h) AS b FROM e GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS h
+  FROM span
+), g AS (
+  SELECT s.user_id, s.h, e.v
+  FROM spine s LEFT JOIN e ON s.user_id = e.user_id AND s.h = e.h
+), w AS (
+  SELECT user_id, h, v,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+    first_value(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+  FROM g
+)
+SELECT user_id, h,
+       round(CASE WHEN v IS NOT NULL THEN v
+             ELSE vp + (vn - vp) *
+                  ((epoch_us(h) - epoch_us(hp)) /
+                   (epoch_us(hn) - epoch_us(hp))) END, 6) AS value_interp,
+       (v IS NULL) AS was_gap
+FROM w
+"""
+
+
+@register("q_timeseries_gapfill", oracle=_GAPFILL_ORACLE)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + gap fill by linear interpolation: collapse
+    events to (user, hour) points, generate each user's dense hourly
+    spine between their first and last hour, and fill missing hours
+    from the bracketing observations — the standard prep step before
+    any fixed-step time-series model.
+
+    Determinism discipline: the hourly value is MAX (picks an existing
+    double, no arithmetic), interpolation fractions divide exact
+    integer MICROSECONDS, and the affine fill evaluates in the same
+    operation order in both engines — identical IEEE doubles, so the
+    driver hash check holds with no tolerance. One shuffle on user_id
+    serves the hourly aggregate, both bracketing windows, and the
+    spine join; the spine explode is bounded by each user's own span
+    (never min-to-max of the whole corpus). Deterministic %10 user
+    slice keeps the fixture output bounded.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.max("value").alias("v"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("a"), F.max("h").alias("b")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("a", "b", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    g = spine.join(hourly, ["user_id", "h"], "left")
+    wp = W.partitionBy("user_id").orderBy("h").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wn = W.partitionBy("user_id").orderBy("h").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    marked_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    vp = F.last("v", ignorenulls=True).over(wp)
+    hp = F.last(marked_h, ignorenulls=True).over(wp)
+    vn = F.first("v", ignorenulls=True).over(wn)
+    hn = F.first(marked_h, ignorenulls=True).over(wn)
+    frac = (F.unix_micros(F.col("h")) - F.unix_micros(hp)).cast("double") / (
+        F.unix_micros(hn) - F.unix_micros(hp)
+    ).cast("double")
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        vp + (vn - vp) * frac
+    )
+    return g.select(
+        "user_id",
+        "h",
+        F.round(filled, 6).alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )

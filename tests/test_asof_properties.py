@@ -74,3 +74,30 @@ def test_asof_join_multi_key(spark):
         ).collect()
     }
     assert out == {1: 100, 2: 200}  # x@11 is later than left ts → excluded
+
+
+def test_gapfill_interpolation_properties(spark):
+    """Gap-fill invariants: the spine is dense per user (consecutive
+    hours), non-gap rows reproduce observed values, and every
+    interpolated value lies between its bracketing observations
+    (affine fill can't overshoot)."""
+    from end_to_end_aws_data_pipeline_spark.operators.asof import (
+        q_timeseries_gapfill,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_timeseries_gapfill(spark, SF_SMOKE).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for series in by_user.values():
+        series.sort(key=lambda r: r.h)
+        for a, b in zip(series, series[1:]):
+            assert (b.h - a.h).total_seconds() == 3600  # dense hourly
+        assert not series[0].was_gap and not series[-1].was_gap
+        obs = [(i, r.value_interp) for i, r in enumerate(series) if not r.was_gap]
+        for (i1, v1), (i2, v2) in zip(obs, obs[1:]):
+            lo, hi = min(v1, v2), max(v1, v2)
+            for j in range(i1 + 1, i2):
+                assert lo - 1e-6 <= series[j].value_interp <= hi + 1e-6
