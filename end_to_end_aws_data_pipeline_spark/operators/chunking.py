@@ -138,3 +138,68 @@ def q_sample_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h_rank", "doc_id")
         .limit(_SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified (language-rebalanced) sampling
+# ---------------------------------------------------------------------------
+
+# Per-stratum Bernoulli rates: downsample the dominant language, keep
+# most of the rare ones — the standard corpus-rebalancing move before
+# training-mix construction. Rates are expressed as INTEGER thresholds
+# over the same mod-p hash rank as q_sample_uniform_hash so membership
+# is a pure int64 comparison both engines replay bit-for-bit (a float
+# `h/p < rate` compare would hinge on division rounding).
+_STRAT_RATES = {"en": 0.10, "zh": 0.40, "es": 0.40, "de": 0.40, "fr": 0.40}
+_STRAT_DEFAULT = 0.25
+_STRAT_THRESH = {k: int(v * _RANK_P) for k, v in _STRAT_RATES.items()}
+
+_STRAT_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {t}" for k, t in _STRAT_THRESH.items())
+    + f" ELSE {int(_STRAT_DEFAULT * _RANK_P)} END"
+)
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, source,
+       CAST(((doc_id % CAST({_KEY_MOD} AS BIGINT)) * {_KNUTH}) % {_RANK_P}
+            AS BIGINT) AS h_rank
+FROM documents
+WHERE ((doc_id % CAST({_KEY_MOD} AS BIGINT)) * {_KNUTH}) % {_RANK_P}
+      < {_STRAT_CASE}
+"""
+
+
+@register("q_sample_stratified", oracle=_STRAT_ORACLE)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sampling with per-language rates: keep a doc
+    iff its deterministic hash rank falls under the stratum's integer
+    threshold (en 10%, rare languages 40%) — corpus rebalancing as a
+    single scan+filter.
+
+    This is the scale-correct shape for stratified sampling at 100 TB:
+    no shuffle, no per-stratum state, no window — unlike fixed-size
+    per-stratum top-k, which funnels each stratum through one reducer
+    (few-stratum partitionBy is the skew anti-pattern). Rates achieve
+    the target mix in expectation with |stratum|-relative error
+    O(1/sqrt(n)); at training-corpus sizes that error is noise, while
+    determinism (same sample under any partitioning, any engine, any
+    retry) is what reproducible data recipes need. Spark's own
+    df.sampleBy is seeded per-partition and NOT stable under
+    repartitioning — the hash-threshold form is.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(_KEY_MOD)) * F.lit(_KNUTH),
+        F.lit(_RANK_P),
+    )
+    thresh = F.lit(int(_STRAT_DEFAULT * _RANK_P))
+    for lang, t in reversed(_STRAT_THRESH.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    return (
+        d.select(
+            "doc_id", "lang", "source", h.cast("long").alias("h_rank"), thresh.alias("__t")
+        )
+        .filter(F.col("h_rank") < F.col("__t"))
+        .drop("__t")
+    )

@@ -530,3 +530,52 @@ def q_curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_req
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source quota capping (domain caps)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 10  # max docs retained per source
+
+_SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_SOURCE_CAP}
+"""
+
+
+@register("q_curation_source_cap", oracle=_SOURCE_CAP_ORACLE)
+def q_curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota: keep at most {CAP} docs per source,
+    preferring the longest (content-richest) ones, deterministic
+    doc_id tie-break — the domain-capping step web-corpus pipelines
+    apply so no single site dominates the training mix (the C4/RefinedWeb
+    "most-common-domains" guard expressed as an operator).
+
+    Shape: one window over (source), row_number <= cap. At 100 TB the
+    stratum key is a *domain* — cardinality in the millions — so the
+    hash partition spreads evenly and each group's ranking state is a
+    handful of rows; this is the opposite regime from few-stratum
+    partitionBy (see q_sample_stratified's note, where per-stratum
+    windows are the anti-pattern). A known-hot tail (a domain with
+    billions of pages) routes through the salted two-phase top-k in
+    plans/scale.py instead: per-salt row_number <= cap, merge, re-rank —
+    same result, bounded reducer input.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+    )

@@ -257,3 +257,61 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection (shuffle on the distinct key set, AQE-coalesced)."""
     c = table(spark, sf_dir, "customer")
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# skew-salted two-phase aggregation (result-invariance demo)
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {dsum_sql('value', 2)} AS total_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_agg_salted_skew", oracle=_SALTED_ORACLE)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a LOW-cardinality group key
+    (event_type: a handful of values over every event row — the exact
+    shape where one reducer would otherwise receive a whole key's
+    partition at 100 TB).
+
+    Phase 1 aggregates on (event_type, salt16): each hot key's rows
+    spread over 16 reducers; phase 2 merges 16 tiny partials per key.
+    The oracle is the PLAIN single-phase GROUP BY — hash-green means the
+    salting is an identity on results, which is the whole point: the
+    decomposition must be invisible. Exact-decimal sums make the
+    re-aggregation order-independent (float partial merge would differ
+    in ulps between phase orders; see functions/aggs.py).
+
+    Note Spark's own map-side partial aggregation already does 90% of
+    this for algebraic aggregates; explicit salting is for the cases
+    partials can't fix — e.g. when phase 1 is a distinct or collect
+    whose per-key state is itself huge."""
+    from end_to_end_aws_data_pipeline_spark.plans.scale import salted_agg
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        aggs=lambda: [
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sv"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+        ],
+        merge_aggs=lambda: [
+            F.sum("__n").cast("long").alias("n_events"),
+            F.round(F.sum("__sv").cast("double"), 2).alias("total_value"),
+            F.round(F.min("__mn"), 2).alias("min_value"),
+            F.round(F.max("__mx"), 2).alias("max_value"),
+        ],
+    )
+    return out

@@ -155,3 +155,105 @@ def test_funnel_monotone_and_cohort_triangle(spark):
         assert r.week_offset >= 0
         assert r.cohort_week in base  # week 0 always present per cohort
         assert r.n_active_users <= base[r.cohort_week]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Per-stratum achieved rates sit near their targets (Bernoulli
+    tolerance), the sample is a strict subset keyed only by doc_id
+    arithmetic, and re-running / re-partitioning yields the identical
+    sample (the property Spark's seeded sampleBy does NOT have)."""
+    from end_to_end_aws_data_pipeline_spark.operators.chunking import (
+        _STRAT_DEFAULT,
+        _STRAT_RATES,
+        q_sample_stratified,
+    )
+    from tests.conftest import SF_ORACLE
+
+    got = q_sample_stratified(spark, SF_ORACLE)
+    rows = got.collect()
+    again = set((r.doc_id, r.lang) for r in q_sample_stratified(spark, SF_ORACLE).collect())
+    assert set((r.doc_id, r.lang) for r in rows) == again
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+
+    totals = {
+        r.lang: r["count"]
+        for r in table(spark, SF_ORACLE, "documents").groupBy("lang").count().collect()
+    }
+    sampled = {}
+    for r in rows:
+        sampled[r.lang] = sampled.get(r.lang, 0) + 1
+    for lang, n_total in totals.items():
+        rate = _STRAT_RATES.get(lang, _STRAT_DEFAULT)
+        # 4-sigma Bernoulli band
+        import math
+
+        sigma = math.sqrt(n_total * rate * (1 - rate))
+        assert abs(sampled.get(lang, 0) - n_total * rate) <= 4 * sigma + 1, lang
+
+
+def test_source_cap_bounds_every_source(spark):
+    """No source exceeds the cap, kept docs are the longest per source,
+    and sources with fewer docs than the cap keep everything."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        _SOURCE_CAP,
+        q_curation_source_cap,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = q_curation_source_cap(spark, SF_ORACLE).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    full = {
+        r.source: r["count"]
+        for r in table(spark, SF_ORACLE, "documents").groupBy("source").count().collect()
+    }
+    docs = table(spark, SF_ORACLE, "documents").select("source", "n_chars").collect()
+    max_chars = {}
+    for d in docs:
+        max_chars.setdefault(d.source, []).append(d.n_chars)
+    for src, kept in per_src.items():
+        assert len(kept) == min(_SOURCE_CAP, full[src])
+        # kept set contains the max-length doc of the source
+        assert max(k.n_chars for k in kept) == max(max_chars[src])
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    """Salting is an identity on results at any salt count."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.plans.scale import salted_agg
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    plain = {
+        r.event_type: (r.n, float(r.s))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    for n_salts in (1, 7, 32):
+        salted = {
+            r.event_type: (r.n, float(r.s))
+            for r in salted_agg(
+                ev,
+                ["event_type"],
+                aggs=lambda: [
+                    F.count("*").alias("__n"),
+                    F.sum(F.col("value").cast("decimal(18,2)")).alias("__sv"),
+                ],
+                merge_aggs=lambda: [
+                    F.sum("__n").cast("long").alias("n"),
+                    F.sum("__sv").alias("s"),
+                ],
+                n_salts=n_salts,
+            ).collect()
+        }
+        assert salted == plain, n_salts
