@@ -570,3 +570,99 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar int8 quantization (storage-compression counterpart of PQ)
+# ---------------------------------------------------------------------------
+
+# Per-element error terms are quantized to 1e9 BEFORE summing so every
+# aggregate here is exact int64 arithmetic: |err| <= scale/2 < 1e-2 →
+# e_i < 1e7, e_i^2 < 1e14, ×64 dims ≈ 6e15 — inside int64. Sum order
+# then cannot matter (DuckDB's list_sum order is unspecified; Spark's
+# fold is sequential — with doubles that difference would leak ulps).
+_Q8_ERR_SCALE = 1_000_000_000
+
+_Q8_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id, label, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS code,
+         v
+  FROM q WHERE scale > 0
+), e AS (
+  SELECT vec_id, label, scale, code,
+         list_transform(range(1, len(v) + 1),
+           i -> CAST(round((v[i] - code[i] * scale) * {_Q8_ERR_SCALE})
+                AS BIGINT)) AS err
+  FROM c
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       round(scale, 9) AS scale_r,
+       CAST(list_sum(code) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(code, x -> abs(x))) AS BIGINT)
+         AS code_abs_sum,
+       CAST(list_sum(list_transform(err, x -> x * x)) AS BIGINT) AS sse_q,
+       CAST(list_max(list_transform(err, x -> abs(x))) AS BIGINT) AS max_abs_err_q
+FROM e
+"""
+
+
+@register("q_embed_quantize", oracle=_Q8_ORACLE)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with exact reconstruction
+    accounting: scale = max|x|/127, code_i = round(x_i/scale) ∈
+    [-127, 127], plus integer-quantized error stats (SSE, max abs).
+
+    This is the storage-compression step vector stores apply before
+    serving (4× smaller than float32, SIMD int8 dot kernels); PQ (above)
+    is the 64× codebook variant — a pipeline typically int8-quantizes
+    the working tier and PQ-encodes the archive tier. Expression-only:
+    one scan, two transforms and three integer folds per row, no
+    shuffle, no Python — runs at scan speed on any corpus.
+
+    Cross-engine discipline: scale and the code ids derive from IEEE
+    double ops with IDENTICAL expression trees in both engines (abs →
+    max → /127 → /scale → round-half-away), so codes are bit-identical;
+    every aggregate over dims is then exact int64 (error terms
+    quantized per-element BEFORE summing — see _Q8_ERR_SCALE note), so
+    no sum-order or ulp hazard reaches the output hash."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale"),
+        v.alias("v"),
+    ).filter(F.col("scale") > 0)
+    code = F.transform(
+        F.col("v"), lambda x: F.round(x / F.col("scale")).cast("long")
+    )
+    d = d.withColumn("code", code)
+    err = F.zip_with(
+        F.col("v"),
+        F.col("code"),
+        lambda x, c: F.round((x - c * F.col("scale")) * _Q8_ERR_SCALE).cast(
+            "long"
+        ),
+    )
+    d = d.withColumn("err", err)
+    isum = lambda col: F.aggregate(  # noqa: E731 — exact int64 fold
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        isum(F.col("code")).alias("code_sum"),
+        isum(F.transform(F.col("code"), F.abs)).alias("code_abs_sum"),
+        isum(F.transform(F.col("err"), lambda x: x * x)).alias("sse_q"),
+        F.array_max(F.transform(F.col("err"), F.abs)).alias("max_abs_err_q"),
+    )

@@ -864,3 +864,97 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (cross-set embedding containment)
+# ---------------------------------------------------------------------------
+
+# Eval-set membership rule (deterministic at any SF) and the flagging
+# threshold, exact in int64 dot space like SemDeDup's.
+_SEMCON_MOD = 23
+_SEMCON_TAU = 0.30
+_SEMCON_DOT = int(_SEMCON_TAU * _SCALE_SQ)  # 0.30*1e16 is integral
+
+_SEMCON_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v WHERE vec_id < {_CENTROIDS_SQL}
+), assign AS (
+  SELECT vec_id, cent_id, q FROM (
+    SELECT v.vec_id, c.cent_id, v.q,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), ev AS (
+  SELECT vec_id AS eval_id, cent_id, q AS qe FROM assign
+  WHERE vec_id % {_SEMCON_MOD} = 0
+), corp AS (
+  SELECT vec_id, cent_id, q FROM assign WHERE vec_id % {_SEMCON_MOD} <> 0
+), hits AS (
+  SELECT corp.vec_id, corp.cent_id, ev.eval_id,
+         list_sum(list_transform(range(1, len(q)+1), i -> q[i] * qe[i]))
+           AS dot_q
+  FROM corp JOIN ev ON corp.cent_id = ev.cent_id
+)
+SELECT vec_id, cent_id, eval_id AS matched_eval_id,
+       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot_q DESC, eval_id) AS rn
+  FROM hits WHERE dot_q >= {_SEMCON_DOT}
+) WHERE rn = 1
+"""
+
+
+@register("q_contamination_semantic", oracle=_SEMCON_ORACLE)
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose
+    cosine to ANY held-out eval vector (deterministic membership:
+    vec_id % {MOD} == 0) reaches τ — the semantic complement of the
+    n-gram q_curation_contamination (paraphrased eval leakage that
+    shares no 8-gram still lands next to its source in embedding
+    space; cf. the train/test-overlap audits in GPT-3 appx. C / PaLM).
+
+    Scale shape: both sides take the SAME √N-centroid assignment as
+    SemDeDup/IVF (one int64 matmul pass), then a bucket equi-join where
+    the eval side is |eval|/C per bucket — broadcastable at any corpus
+    size since eval sets are fixed and small; work is O(N·|eval|/C),
+    never the N×|eval| cross product. Bucket-scoped matching trades
+    recall at the bucket boundary exactly as SemDeDup does (a candidate
+    in a different Voronoi cell is unseen); nprobe-style multi-probe of
+    the eval side is the recall knob when it matters. Verification: the
+    whole pipeline — quantization, assignment, join, exact int64 dot
+    screen, argmax tie-break — replays in the oracle; output is one row
+    per contaminated corpus vector with its strongest eval match."""
+    _, assign, _, _ = _ivf_assigned(spark, sf_dir)
+    ev = assign.filter(F.col("vec_id") % _SEMCON_MOD == 0).select(
+        F.col("cent_id").alias("cent_e"),
+        F.col("vec_id").alias("eval_id"),
+        F.col("q").alias("qe"),
+    )
+    corp = assign.filter(F.col("vec_id") % _SEMCON_MOD != 0)
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hits = (
+        corp.join(F.broadcast(ev), F.col("cent_id") == F.col("cent_e"))
+        .select("vec_id", "cent_id", "eval_id", dot.alias("dot_q"))
+        .filter(F.col("dot_q") >= _SEMCON_DOT)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("dot_q").desc(), F.col("eval_id"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cent_id",
+            F.col("eval_id").alias("matched_eval_id"),
+            _cosine_out().alias("cosine"),
+        )
+    )

@@ -257,3 +257,51 @@ def test_salted_agg_matches_plain_agg(spark):
             ).collect()
         }
         assert salted == plain, n_salts
+
+
+def test_int8_quantize_bounds(spark):
+    """Codes stay in [-127, 127], every code row is exact under its own
+    scale (max reconstruction error <= scale/2), and each vector's
+    largest-magnitude dim maps to exactly +/-127."""
+    from end_to_end_aws_data_pipeline_spark.operators.pq import (
+        _Q8_ERR_SCALE,
+        q_embed_quantize,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_embed_quantize(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.code_abs_sum >= 127  # the max-|x| dim quantizes to ±127
+        assert abs(r.code_sum) <= r.code_abs_sum
+        # |err| <= scale/2 per dim, in 1e9-quantized units (+1 rounding)
+        assert r.max_abs_err_q <= r.scale_r / 2 * _Q8_ERR_SCALE + 1
+
+
+def test_semantic_contamination_precision_and_membership(spark):
+    """Every flagged pair is a TRUE >= tau pair under exact full-corpus
+    cosine (bucketing may lose recall, never precision), eval ids obey
+    the membership rule, and corpus ids never appear as eval ids."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _SEMCON_MOD,
+        _SEMCON_TAU,
+        q_contamination_semantic,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_contamination_semantic(spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    for k, v in emb.items():
+        emb[k] = v / np.linalg.norm(v)
+    for r in rows:
+        assert r.matched_eval_id % _SEMCON_MOD == 0
+        assert r.vec_id % _SEMCON_MOD != 0
+        true_cos = float(emb[r.vec_id] @ emb[r.matched_eval_id])
+        assert true_cos >= _SEMCON_TAU - 1e-6
+        assert abs(true_cos - r.cosine) < 1e-4
