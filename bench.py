@@ -84,6 +84,14 @@ HEADLINE = (
     "q_multimodal_resize",
     "q_dedup_repeated_ngrams",
     "q_dedup_simhash",
+    # round-5 second wave
+    "q_funnel_conversion",
+    "q_timeseries_gapfill",
+    "q_sample_stratified",
+    "q_curation_source_cap",
+    "q_agg_salted_skew",
+    "q_embed_quantize",
+    "q_contamination_semantic",
 )
 
 
