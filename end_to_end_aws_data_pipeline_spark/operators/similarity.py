@@ -958,3 +958,94 @@ def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine_out().alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: IVF vs exact, measured inside the engine
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq FROM v
+  WHERE vec_id % {_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_MAX_QUERIES}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qs.query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qs.query_id ORDER BY
+             list_sum(list_transform(range(1, len(qq)+1), i -> qq[i] * v.q[i]))
+               DESC, v.vec_id) AS rank
+    FROM qs JOIN v ON v.vec_id <> qs.query_id
+  ) WHERE rank <= {_IVF_K}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v WHERE vec_id < {_CENTROIDS_SQL}
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qs.query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qs.query_id ORDER BY
+             list_sum(list_transform(range(1, len(qq)+1), i -> qq[i] * v.q[i]))
+               DESC, v.vec_id) AS rank
+    FROM qs
+    JOIN assign aq ON aq.vec_id = qs.query_id
+    JOIN assign a ON a.cent_id = aq.cent_id
+    JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> qs.query_id
+  ) WHERE rank <= {_IVF_K}
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact e
+LEFT JOIN ivf i
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("q_ann_recall", oracle=_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF (nprobe=1) index against the EXACT top-k,
+    per query, computed inside the engine — the audit every ANN
+    deployment should ship with its index build instead of trusting
+    paper numbers on different data.
+
+    Joins the two existing pipelines (brute force = ground truth, IVF =
+    candidate) on (query, neighbor); recall = hit fraction of the exact
+    top-k. Both sides reuse the shared int64-quantized scan; the join
+    input is |Q|·k rows a side — negligible next to the searches
+    themselves. At 100 TB you run this on a sampled query set exactly
+    like this one (|Q| capped): recall estimation needs queries, not
+    corpus coverage. Low per-query recall here localizes WHICH queries
+    sit on Voronoi boundaries — the signal that tunes nprobe (see
+    q_ann_ivf_nprobe) or centroid count."""
+    bf = (
+        q_ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+    )
+    j = bf.join(
+        ivf,
+        (F.col("query_id") == F.col("qi")) & (F.col("neighbor_id") == F.col("ni")),
+        "left_outer",
+    )
+    hit = F.when(F.col("ni").isNotNull(), 1).otherwise(0)
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(hit).cast("long").alias("n_hit"),
+        F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias("recall"),
+    )

@@ -666,3 +666,61 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("len_raw"),
         F.length(cleaned).cast("long").alias("len_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + out-of-vocabulary rate (tokenizer-prep audit)
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 16  # vocabulary size: top-V words by corpus frequency
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM tok GROUP BY w
+    ORDER BY c DESC, w LIMIT {_VOCAB_V}
+  )
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+@register("q_text_vocab_oov", oracle=_VOCAB_ORACLE)
+def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency vocabulary build (top-V words, deterministic
+    count-then-lexicographic tie-break) + per-document OOV rate against
+    it — the audit a tokenizer-training run does first: how much of
+    each document will a V-entry vocabulary actually cover?
+
+    Two-pass shape, both scale-clean: pass 1 is a word-count aggregate
+    (map-side combine; distinct-word state, not corpus-size state)
+    topped with TakeOrderedAndProject (V rows off every executor, never
+    a full sort); pass 2 re-scans, explodes, and broadcast-joins the
+    V-row vocabulary — no shuffle of the token stream at all. The same
+    two passes at any corpus size; vocab broadcast is V entries by
+    construction. Real BPE vocab builds replace pass 1's unigram counts
+    with merge-pair counts but keep exactly this dataflow."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(_VOCAB_V)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "w", "left_outer")
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
+    )

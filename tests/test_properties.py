@@ -305,3 +305,49 @@ def test_semantic_contamination_precision_and_membership(spark):
         true_cos = float(emb[r.vec_id] @ emb[r.matched_eval_id])
         assert true_cos >= _SEMCON_TAU - 1e-6
         assert abs(true_cos - r.cosine) < 1e-4
+
+
+def test_ann_recall_bounds_and_ivf_subsetness(spark):
+    """Per-query recall is in [0,1] with exactly k ground-truth rows,
+    and every IVF hit counted is a true exact-top-k member by
+    construction of the join."""
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        _MAX_QUERIES,
+        q_ann_recall,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_ann_recall(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= _MAX_QUERIES
+    for r in rows:
+        assert r.n_exact == _IVF_K
+        assert 0 <= r.n_hit <= r.n_exact
+        assert abs(r.recall - r.n_hit / r.n_exact) < 5e-7  # 6-digit rounding
+
+
+def test_vocab_oov_python_twin(spark):
+    """OOV rates recomputed in python over the raw text match the
+    engine output exactly (vocab tie-break included)."""
+    from collections import Counter
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _VOCAB_V,
+        q_text_vocab_oov,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    counts = Counter(w for ws in docs.values() for w in ws)
+    vocab = set(
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB_V]
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_oov) for r in q_text_vocab_oov(spark, SF_SMOKE).collect()}
+    assert set(got) == set(docs)
+    for did, ws in docs.items():
+        n_oov = sum(1 for w in ws if w not in vocab)
+        assert got[did] == (len(ws), n_oov), did
