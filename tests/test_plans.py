@@ -623,3 +623,64 @@ def test_bucketed_join_eliminates_shuffle(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round5_second_wave_plan_posture(spark):
+    """Plan gates for the corpus-shaping / embedding-compression wave:
+
+    - stratified sample: scan+filter ONLY — zero exchanges, zero
+      Python, codegen; the whole point of rate-based stratification
+      (a per-stratum fixed-k window would shuffle into few reducers).
+    - source cap: exactly one exchange (the per-source window).
+    - salted agg: exactly two exchanges (phase-1 (key,salt) + phase-2
+      key merge) and no more — a third would mean the decomposition
+      re-shuffled the raw stream.
+    - int8 quantize: zero exchanges, zero Python (expression-only
+      transform/fold over the embedding array).
+    - semantic contamination: eval side broadcast (never a shuffled
+      join against the corpus), no cartesian anywhere.
+    - vocab/OOV: vocabulary via TakeOrderedAndProject (V rows off each
+      executor, not a full sort) and a broadcast token join.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.chunking import (
+        q_sample_stratified,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        q_curation_source_cap,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.pq import q_embed_quantize
+    from end_to_end_aws_data_pipeline_spark.operators.relational import (
+        q_agg_salted_skew,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_contamination_semantic,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.text import q_text_vocab_oov
+
+    strat = q_sample_stratified(spark, SF_SMOKE)
+    assert count_shuffles(strat) == 0
+    assert "Python" not in physical_plan(strat)
+    assert has_wholestage_codegen(strat)
+
+    cap = q_curation_source_cap(spark, SF_SMOKE)
+    assert count_shuffles(cap) == 1
+    assert "Python" not in physical_plan(cap)
+
+    salted = q_agg_salted_skew(spark, SF_SMOKE)
+    assert count_shuffles(salted) == 2
+    assert "Python" not in physical_plan(salted)
+
+    q8 = q_embed_quantize(spark, SF_SMOKE)
+    assert count_shuffles(q8) == 0
+    assert "Python" not in physical_plan(q8)
+
+    sem = q_contamination_semantic(spark, SF_SMOKE)
+    psem = physical_plan(sem)
+    assert "Cartesian" not in psem
+    assert count_broadcast_joins(sem) >= 1
+
+    voc = q_text_vocab_oov(spark, SF_SMOKE)
+    pvoc = physical_plan(voc)
+    assert "Cartesian" not in pvoc
+    assert count_broadcast_joins(voc) >= 1
+    assert "TakeOrdered" in pvoc
