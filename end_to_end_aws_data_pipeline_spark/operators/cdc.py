@@ -216,3 +216,96 @@ def q_etl_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_i",
         "status",
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (lakehouse table-version comparison)
+# ---------------------------------------------------------------------------
+
+# Deterministic derivation of two "table versions" from the orders
+# table so the diff is reproducible at any SF: version A drops keys
+# ≡ 3 (mod 10), version B drops keys ≡ 7 (mod 10) and bumps the price
+# of keys ≡ 0 (mod 5) by 1.00 — so the diff contains all four states.
+_SNAP_A_DROP = 3
+_SNAP_B_DROP = 7
+_SNAP_BUMP_MOD = 5
+
+_SNAPDIFF_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 10 <> {_SNAP_A_DROP}
+), b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % {_SNAP_BUMP_MOD} = 0
+              THEN o_totalprice + 1.00 ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 10 <> {_SNAP_B_DROP}
+), d AS (
+  SELECT coalesce(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a.p <> b.p THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+              THEN b.p - a.p ELSE 0.0 END AS delta
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_checksum,
+       round(CAST(sum(CAST(delta AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS price_delta
+FROM d GROUP BY status
+"""
+
+
+@register("q_etl_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the audit between two snapshots of the same
+    keyed table (lakehouse time travel, pre/post-backfill validation,
+    replication drift checks): full-outer join on the key, classify
+    added / removed / changed / unchanged, and report per-state counts,
+    a key checksum, and the exact net price delta.
+
+    Scale shape: ONE shuffle each side on the join key (both versions
+    of a real table are co-partitioned on disk in practice — bucketed
+    layouts make this diff exchange-free, see plans/scale.py), then a
+    tiny 4-row aggregate. The delta sum goes through exact DECIMAL so
+    'net drift of 0.00' is a bit-exact statement, not a float
+    coincidence. Works unchanged at any version pair cardinality; the
+    output is always |states| rows."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 10 != _SNAP_A_DROP).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("pa")
+    )
+    bump = F.when(
+        F.col("o_orderkey") % _SNAP_BUMP_MOD == 0, F.col("o_totalprice") + 1.00
+    ).otherwise(F.col("o_totalprice"))
+    b = o.filter(F.col("o_orderkey") % 10 != _SNAP_B_DROP).select(
+        F.col("o_orderkey").alias("kb"), bump.alias("pb")
+    )
+    j = a.join(b, F.col("k") == F.col("kb"), "full_outer")
+    status = (
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("pa") != F.col("pb"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.when(
+        F.col("k").isNotNull() & F.col("kb").isNotNull(),
+        F.col("pb") - F.col("pa"),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select(
+            F.coalesce(F.col("k"), F.col("kb")).alias("key"),
+            status.alias("status"),
+            delta.alias("delta"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("key").cast("long").alias("key_checksum"),
+            F.round(
+                F.sum(F.col("delta").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("price_delta"),
+        )
+    )

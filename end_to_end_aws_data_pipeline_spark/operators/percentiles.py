@@ -630,3 +630,117 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# verifiable Count-Min sketch (bounded-memory frequency estimation)
+# ---------------------------------------------------------------------------
+
+# Cormode & Muthukrishnan '05: d independent hash rows of w counters;
+# est(k) = min_j counter[j][h_j(k)] >= true count, overestimate bounded
+# by e*N/w with prob 1-(1/e)^d. Hashes are md5-derived (row index
+# prefixed into the hashed string) so DuckDB replays the sketch build
+# and the estimates bit-for-bit — the same verifiable-sketch pattern as
+# q_agg_hll_distinct.
+_CMS_D = 4
+_CMS_W = 64
+
+_CMS_ORACLE = f"""
+WITH rows_h AS (
+  SELECT user_id,
+         j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                             CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_CMS_W} AS bucket
+  FROM (SELECT DISTINCT user_id FROM events)
+  CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+), sketch AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT e.user_id, r.j, r.bucket
+    FROM events e JOIN rows_h r ON r.user_id = e.user_id
+  ) GROUP BY j, bucket
+), est AS (
+  SELECT r.user_id, min(s.c) AS est
+  FROM rows_h r JOIN sketch s ON s.j = r.j AND s.bucket = r.bucket
+  GROUP BY r.user_id
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+)
+SELECT e.user_id, x.n AS exact_count, CAST(e.est AS BIGINT) AS cms_estimate,
+       CAST(e.est - x.n AS BIGINT) AS overestimate
+FROM est e JOIN exact x USING (user_id)
+"""
+
+
+@register("q_agg_countmin", oracle=_CMS_ORACLE)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation with its own in-engine
+    audit: build a d×w counter sketch over the event stream, estimate
+    every key's frequency as the min across rows, and join back against
+    the exact counts so the overestimate (always ≥ 0, bounded by eN/w
+    w.h.p.) is MEASURED, not assumed.
+
+    Scale story: the sketch is the d×w=256-cell aggregate of the full
+    stream — constant memory at any N, mergeable across partitions by
+    cell-wise addition (exactly what the groupBy's map-side partials
+    do), which is why CMS is the standard distributed heavy-hitter
+    primitive. The estimate join is distinct-keys-sized, not
+    stream-sized. md5-derived row hashes make the whole build replay in
+    the DuckDB oracle — the verifiable-sketch pattern (cf.
+    q_agg_hll_distinct); engine-native CMS would be a private-seed
+    sketch the driver could only rows-check."""
+
+    def _bucket(j_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", j_col.cast("string"), key_col.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    # sketch BUILD from the raw stream: explode d rows per event and
+    # bucket by expression — no join against a distinct-keys table (at
+    # 100 TB the key set can itself be huge; the stream side must stay
+    # scan+explode+aggregate with map-side partials only)
+    exploded = ev.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    )
+    sketch = (
+        exploded.select("j", _bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # ESTIMATE side: distinct keys × d rows against the broadcast
+    # 256-cell sketch (constant size at any N)
+    keys_h = ev.distinct().select(
+        "user_id",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    )
+    keys_h = keys_h.select(
+        "user_id", "j", _bucket(F.col("j"), F.col("user_id")).alias("bucket")
+    )
+    est = (
+        keys_h.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        F.col("n").alias("exact_count"),
+        F.col("est").cast("long").alias("cms_estimate"),
+        (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
+    )

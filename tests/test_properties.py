@@ -351,3 +351,50 @@ def test_vocab_oov_python_twin(spark):
     for did, ws in docs.items():
         n_oov = sum(1 for w in ws if w not in vocab)
         assert got[did] == (len(ws), n_oov), did
+
+
+def test_snapshot_diff_conservation(spark):
+    """The four diff states partition both versions: |A| = unchanged +
+    changed + removed, |B| = unchanged + changed + added; and the net
+    price delta equals 1.00 x the changed-row count (the derivation's
+    bump)."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.cdc import (
+        _SNAP_A_DROP,
+        _SNAP_B_DROP,
+        q_etl_snapshot_diff,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.status: r for r in q_etl_snapshot_diff(spark, SF_SMOKE).collect()}
+    o = table(spark, SF_SMOKE, "orders")
+    n_a = o.filter(F.col("o_orderkey") % 10 != _SNAP_A_DROP).count()
+    n_b = o.filter(F.col("o_orderkey") % 10 != _SNAP_B_DROP).count()
+    g = lambda s: rows[s].n_rows if s in rows else 0  # noqa: E731
+    assert n_a == g("unchanged") + g("changed") + g("removed")
+    assert n_b == g("unchanged") + g("changed") + g("added")
+    if "changed" in rows:
+        assert abs(rows["changed"].price_delta - 1.00 * g("changed")) < 1e-6
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS estimates dominate exact counts for every key (the sketch's
+    defining guarantee), and the mean overestimate respects the eN/w
+    bound loosely."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        _CMS_W,
+        q_agg_countmin,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_agg_countmin(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    n_stream = table(spark, SF_SMOKE, "events").count()
+    import math
+
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cms_estimate == r.exact_count + r.overestimate
+        # per-key Markov bound e*N/w holds in expectation; allow 3x
+        assert r.overestimate <= 3 * math.e * n_stream / _CMS_W + 1
