@@ -1,0 +1,151 @@
+"""Iterative graph analytics: PageRank over the customer–supplier
+bipartite graph, expressed as a driver-side loop of joins/aggregations
+— the canonical "iterative algorithm on Spark" shape (companion to the
+connected-components operators in operators/dedup.py).
+
+Determinism/verification: rank arithmetic is pure int64 — initial rank
+and teleport are integer constants, the per-edge contribution is an
+integer floor-division by out-degree, the damping factor an integer
+(85·x)//100 — so three unrolled CTE rounds in the DuckDB oracle replay
+the whole computation bit-for-bit (the q_ann_ivf_trained playbook
+applied to graph iteration). Float PageRank would differ in ulps by
+summation order; integer PageRank is order-free.
+
+Scale notes: each iteration is one equi-join of the rank vector against
+the edge list plus one aggregate — the textbook distributed PageRank
+step (edges partition by src; ranks co-partition; AQE handles the skew
+of popular nodes). Iterations are persisted so the lineage does not
+deepen geometrically; a production run at depth >10 would checkpoint
+every few rounds exactly like connected_components_star does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.cache import persisted
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+_PR_ITERS = 3
+# Initial rank per node and its (1-d)·R0 teleport, d = 0.85. The scale
+# bounds int64 overflow structurally: a node's contribution sum is < the
+# graph's total mass n·R0, so 85·sum needs n·R0 < 2^63/85 ≈ 1.1e17 —
+# R0 = 1e9 is safe to ~1e8 nodes while keeping ≥4 significant digits
+# through rank//degree at degrees up to 1e5.
+_PR_R0 = 1_000_000_000
+_PR_TELEPORT = 150_000_000
+_PR_TOP = 20
+
+# Node namespace: customers at key*2, suppliers at key*2+1 — one id
+# space, no collisions, reversible for the report.
+_PR_EDGES_SQL = """
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _pr_oracle() -> str:
+    """Unrolled {_PR_ITERS}-round integer PageRank as chained CTEs."""
+    parts = [
+        f"""
+WITH e0 AS ({_PR_EDGES_SQL}
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, CAST({_PR_R0} AS BIGINT) AS rank FROM deg
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node, sum(r.rank // d.d) AS contrib
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT node,
+         CAST({_PR_TELEPORT} + (85 * contrib) // 100 AS BIGINT) AS rank
+  FROM c{i}
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       rank AS rank_q
+FROM {prev}
+ORDER BY rank DESC, node
+LIMIT {_PR_TOP}"""
+    )
+    return "".join(parts)
+
+
+@register("q_graph_pagerank", oracle=_pr_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank, {ITERS} rounds, over the undirected
+    customer–supplier purchase graph (edges = distinct (custkey,
+    suppkey) pairs via orders⋈lineitem, both directions); returns the
+    top-{TOP} nodes by final rank.
+
+    Each round: contribution join (rank vector ⋈ edges, floor-div by
+    out-degree), aggregate by target, damp with integer arithmetic.
+    The rank vector is |nodes| rows — tiny next to the edge list — and
+    each round's plan is one shuffle join + one aggregate; persisting
+    per round keeps lineage linear in rounds. The oracle unrolls the
+    same three rounds as CTEs and replays the integer arithmetic
+    exactly — the verification strategy that makes an *iterative*
+    operator fully hash-checkable rather than rows-only."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = persisted(
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ranks = deg.select("src", F.lit(_PR_R0).cast("long").alias("rank")).select(
+        F.col("src").alias("node"), "rank"
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = persisted(
+            contrib.select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(_PR_TELEPORT)
+                    + F.expr("(85 * contrib) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    node_type = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return (
+        ranks.select(
+            node_type.alias("node_type"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            F.col("rank").alias("rank_q"),
+            "node",
+        )
+        .orderBy(F.col("rank_q").desc(), "node")
+        .limit(_PR_TOP)
+        .drop("node")
+    )

@@ -398,3 +398,21 @@ def test_countmin_never_underestimates(spark):
         assert r.cms_estimate == r.exact_count + r.overestimate
         # per-key Markov bound e*N/w holds in expectation; allow 3x
         assert r.overestimate <= 3 * math.e * n_stream / _CMS_W + 1
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Total rank mass stays within floor-loss of n*R0 (teleport +
+    damped redistribution conserve mass up to integer floors), every
+    rank is >= the teleport floor, and the report is rank-sorted."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _PR_TELEPORT,
+        q_graph_pagerank,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_graph_pagerank(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r.rank_q >= _PR_TELEPORT for r in rows)
+    ranks = [r.rank_q for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert {r.node_type for r in rows} <= {"customer", "supplier"}
