@@ -1539,3 +1539,64 @@ def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _REP_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# canonicalized dedup, keep-best policy
+# ---------------------------------------------------------------------------
+
+_CANON_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+           AS fingerprint
+  FROM documents
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_copies
+  FROM fp
+)
+SELECT doc_id, source, n_chars, fingerprint, n_copies
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("q_dedup_canonical", oracle=_CANON_ORACLE)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized dedup with a KEEP-BEST policy: documents are
+    grouped by the md5 of their SORTED word multiset (so re-orderings
+    of the same content collapse to one fingerprint — the cheap
+    canonical form between exact-bytes dedup and Jaccard near-dup),
+    and each group keeps its highest-quality copy (longest, then
+    lowest doc_id) instead of first-seen.
+
+    Keep-best is the policy real corpus dedup wants — when a page is
+    crawled five times you keep the least-truncated capture, not the
+    one that happened to sort first (cf. q_dedup_exact, which states
+    the first-seen variant). Shape: fingerprint is expression-only at
+    scan speed; ONE hash shuffle on the 16-byte digest (never the
+    text); the window state per group is the copy count. The
+    fingerprint column doubles as the join key for incremental runs
+    exactly like the sha-256 digest index in q_dedup_incremental."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " "))))
+    from pyspark.sql.window import Window
+
+    base = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        fp.alias("fingerprint"),
+    )
+    wrank = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wcnt = Window.partitionBy("fingerprint")
+    return (
+        base.withColumn("rk", F.row_number().over(wrank))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wcnt).cast("long"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

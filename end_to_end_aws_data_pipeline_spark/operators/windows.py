@@ -253,3 +253,71 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exponentially-weighted moving average via lag composition
+# ---------------------------------------------------------------------------
+
+_EWMA_DEPTH = 8  # taps: weights 2^-(i) for i = 0..7, alpha = 0.5
+_EWMA_WEIGHTS = [256 >> i for i in range(_EWMA_DEPTH)]  # 256,128,...,2
+_EWMA_WSUM = sum(_EWMA_WEIGHTS)  # 510
+
+_EWMA_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         {", ".join(
+            f"lag(CAST(round(value * 100) AS BIGINT), {i}) OVER w AS x{i}"
+            for i in range(1, _EWMA_DEPTH)
+         )}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(({" + ".join(
+          [f"{_EWMA_WEIGHTS[0]} * cents"]
+          + [f"{w} * x{i}" for i, w in enumerate(_EWMA_WEIGHTS[1:], start=1)]
+       )}) // {_EWMA_WSUM} AS BIGINT) AS ewma_cents
+FROM v WHERE rn >= {_EWMA_DEPTH}
+"""
+
+
+@register("q_window_ewma", oracle=_EWMA_ORACLE)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.5, 8 taps) of each
+    user's event values, exact in integer arithmetic: values quantized
+    to cents, binary weights 256..2 (so the weighted sum is a pure
+    int64 expression), floor-divided by the weight total. Warm-up rows
+    (fewer than 8 prior events) are excluded rather than renormalized —
+    the choice that keeps every emitted value a full-depth EWMA.
+
+    The recurrence form of EWMA (s_t = αx + (1-α)s_{t-1}) is
+    sequential and engine-hostile; the TAP form used here is one window
+    with {D} lag columns — a single shuffle on user_id, whole-stage
+    codegen'd, identical cost to any other framed window at 100 TB.
+    Eight binary taps carry 255/256 of the geometric mass, so the
+    truncation is below cent resolution for typical magnitudes."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    taps = [cents] + [F.lag(cents, i).over(w) for i in range(1, _EWMA_DEPTH)]
+    weighted = sum(
+        (F.lit(wt) * tap for wt, tap in zip(_EWMA_WEIGHTS, taps)),
+        start=F.lit(0).cast("long"),
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            weighted.alias("wsum"),
+        )
+        .filter(F.col("rn") >= _EWMA_DEPTH)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(f"wsum div {_EWMA_WSUM}").cast("long").alias("ewma_cents"),
+        )
+    )

