@@ -92,6 +92,12 @@ HEADLINE = (
     "q_agg_salted_skew",
     "q_embed_quantize",
     "q_contamination_semantic",
+    "q_etl_snapshot_diff",
+    "q_agg_countmin",
+    "q_graph_pagerank",
+    "q_window_ewma",
+    "q_dedup_canonical",
+    "q_text_vocab_oov",
 )
 
 
