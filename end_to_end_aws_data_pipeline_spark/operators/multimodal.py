@@ -991,3 +991,121 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thumb_edge int, thumb_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (decode → dHash → bucket → keep-one)
+# ---------------------------------------------------------------------------
+
+# dHash (difference hash): nearest-resize to 9×8 grayscale, bit k
+# (k = row*8 + col) set iff pixel(col+1, row) > pixel(col, row). The
+# standard cheap perceptual fingerprint for crawl-scale image dedup
+# (robust to re-encoding and scale, which is exactly what the fixtures
+# exercise: the same gradient arrives as BMP, PPM or filtered PNG).
+# The 64-bit hash is carried as two 32-bit halves so neither engine
+# touches the int64 sign bit with 1<<63.
+_DH_W, _DH_H = 9, 8
+
+_PHASH_ORACLE = f"""
+WITH dh AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 64), k -> CASE WHEN
+             ((((k % 8) + 1) * {_DEC_W} // {_DH_W}
+               + (k // 8) * {_DEC_H} // {_DH_H} + doc_id) % 256)
+           > ((((k % 8)) * {_DEC_W} // {_DH_W}
+               + (k // 8) * {_DEC_H} // {_DH_H} + doc_id) % 256)
+           THEN CASE WHEN k >= 32 THEN 0 ELSE 1 << k END ELSE 0 END))
+           AS lo,
+         list_sum(list_transform(range(0, 64), k -> CASE WHEN
+             ((((k % 8) + 1) * {_DEC_W} // {_DH_W}
+               + (k // 8) * {_DEC_H} // {_DH_H} + doc_id) % 256)
+           > ((((k % 8)) * {_DEC_W} // {_DH_W}
+               + (k // 8) * {_DEC_H} // {_DH_H} + doc_id) % 256)
+           THEN CASE WHEN k >= 32 THEN 1 << (k - 32) ELSE 0 END ELSE 0 END))
+           AS hi
+  FROM documents
+)
+SELECT CAST(hi AS BIGINT) AS dhash_hi, CAST(lo AS BIGINT) AS dhash_lo,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(sum(doc_id) - min(doc_id) AS BIGINT) AS dropped_id_checksum
+FROM dh GROUP BY hi, lo
+"""
+
+
+@register("q_multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image deduplication through the REAL codec path:
+    every synthetic gradient image is encoded to actual BMP/PPM/PNG
+    bytes, decoded back by the pure-python parsers, nearest-resized to
+    9×8, dHashed, and bucketed by the 64-bit hash with a keep-lowest-id
+    policy — the image-corpus analogue of exact text dedup (crawl-scale
+    multimodal pipelines dedup by pHash before any embedding work, cf.
+    LAION's pipeline).
+
+    Scale shape: decode+hash is one Arrow-batched mapInPandas pass
+    (CPU-bound, embarrassingly parallel, bytes never leave executors);
+    the dedup shuffle carries ONLY the 8-byte hash + id — identical
+    posture to sha256 text dedup. Bucket output is |distinct hashes|
+    rows. The oracle predicts every dHash bit arithmetically from the
+    gradient formula, so a decode, resize-index or bit-order bug is a
+    driver hash mismatch. dHash collisions between genuinely different
+    images (gradients are pathologically self-similar under dHash) are
+    the documented precision limit — production stacks verify within
+    buckets exactly like SemDeDup verifies within centroid buckets."""
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ii = np.arange(_DH_W - 1)
+        for pdf in it:
+            out = {"doc_id": [], "hi": [], "lo": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 29
+                h = 4 + (doc_id // 7) % 23
+                yy, xx = np.mgrid[0:h, 0:w]
+                val = ((xx + yy + doc_id) % 256).astype(np.uint8)
+                pix = np.repeat(val[:, :, None], 3, axis=2)
+                fmt = ("bmp", "ppm", "png")[doc_id % 3]
+                if fmt == "bmp":
+                    payload = encode_bmp(pix)
+                elif fmt == "ppm":
+                    payload = encode_ppm(pix)
+                else:
+                    payload = encode_png(pix, filter_type=doc_id % 5)
+                img = decode_image(payload)
+                gray = resize_nearest(img, _DH_W, _DH_H)[:, :, 0].astype(np.int64)
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                ks = (np.arange(_DH_H)[:, None] * 8 + ii[None, :]).astype(np.int64)
+                # pack halves separately: bit 63 would wrap int64 in one sum
+                lo = int((bits[:4] << ks[:4]).sum())
+                hi = int((bits[4:] << (ks[4:] - 32)).sum())
+                out["doc_id"].append(doc_id)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "hi": pd.Series(out["hi"], dtype="int64"),
+                    "lo": pd.Series(out["lo"], dtype="int64"),
+                }
+            )
+
+    dh = docs.mapInPandas(_batches, schema="doc_id long, hi long, lo long")
+    return dh.groupBy("hi", "lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("doc_id").cast("long").alias("keeper_id"),
+        (F.sum("doc_id") - F.min("doc_id")).cast("long").alias("dropped_id_checksum"),
+    ).select(
+        F.col("hi").alias("dhash_hi"),
+        F.col("lo").alias("dhash_lo"),
+        "n_images",
+        "keeper_id",
+        "dropped_id_checksum",
+    )

@@ -466,3 +466,22 @@ def test_canonical_dedup_partition(spark):
     fps = [r.fingerprint for r in rows]
     assert len(fps) == len(set(fps))
     assert sum(r.n_copies for r in rows) == n_corpus
+
+
+def test_phash_dedup_partitions_corpus(spark):
+    """pHash buckets partition the image corpus; keepers are bucket
+    minima; checksum equals the non-keeper id sum."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        q_multimodal_phash_dedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_multimodal_phash_dedup(spark, SF_SMOKE).collect()
+    n_corpus = table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_images for r in rows) == n_corpus
+    assert len(rows) > 1  # hashing actually separates images
+    for r in rows:
+        assert r.n_images >= 1
+        assert r.dropped_id_checksum >= 0
+        assert 0 <= r.dhash_lo < (1 << 32) and 0 <= r.dhash_hi < (1 << 32)
