@@ -98,6 +98,8 @@ HEADLINE = (
     "q_window_ewma",
     "q_dedup_canonical",
     "q_text_vocab_oov",
+    # round-5 third wave
+    "q_ann_rhp_lsh",
 )
 
 

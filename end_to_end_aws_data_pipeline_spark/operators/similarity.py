@@ -1049,3 +1049,179 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("long").alias("n_hit"),
         F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (Charikar, STOC'02): cosine-space LSH whose
+# md5-derived hyperplanes BOTH engines recompute → full hash check.
+# The verified sibling of q_ann_lsh_projection (spark.ml, rows-only):
+# same problem, but every stage — signature, bands, candidates,
+# verification — replays in the DuckDB oracle exactly.
+# ---------------------------------------------------------------------------
+
+_RHP_BITS = 64
+_RHP_BAND_BITS = 8  # 8 bands × 8 bits (see q_ann_rhp_lsh docstring)
+_RHP_TAU_DOT = int(0.35 * _SCALE_SQ)  # τ on the exact quantized dot
+
+_RHP_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), hyp AS (
+  SELECT j,
+         ('0x' || substr(md5('rhp:' || CAST(j AS VARCHAR)), 1, 15))::BIGINT AS r1,
+         ('0x' || substr(md5('rhp:' || CAST(j AS VARCHAR)), 16, 15))::BIGINT AS r2
+  FROM range({_RHP_BITS}) t(j)
+), elem AS (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x FROM v
+), dots AS (
+  SELECT e.vec_id, h.j,
+         sum(CASE WHEN ((CASE WHEN e.i < 60 THEN h.r1 >> e.i
+                              ELSE h.r2 >> (e.i - 60) END) & 1) = 1
+                  THEN e.x ELSE -e.x END) AS dot_j
+  FROM elem e CROSS JOIN hyp h
+  GROUP BY e.vec_id, h.j
+), fp AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot_j > 0 THEN
+                CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE (CAST(1 AS BIGINT) << j) END
+                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
+), bands AS (
+  SELECT vec_id, b AS band,
+         (sig >> (b * {_RHP_BAND_BITS})) & {(1 << _RHP_BAND_BITS) - 1} AS bucket
+  FROM fp CROSS JOIN range({_RHP_BITS // _RHP_BAND_BITS}) t(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), verified AS (
+  SELECT c.vec_a, c.vec_b,
+         list_sum(list_transform(range(1, len(va.q) + 1),
+                  i -> va.q[i] * vb.q[i])) AS dot_q
+  FROM cand c JOIN v va ON va.vec_id = c.vec_a
+              JOIN v vb ON vb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b,
+       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+FROM verified WHERE dot_q >= {_RHP_TAU_DOT}
+"""
+
+
+def _rhp_planes(dim: int):
+    """±1 (Rademacher) hyperplane matrix, bits × dim, derived from
+    md5('rhp:<j>') — bit i of the two 60-bit hex halves, the same
+    extraction the oracle's `hyp`/`dots` CTEs do in SQL. Rademacher
+    signs are a valid rotation-free substitute for Gaussian planes
+    (Achlioptas '01 database-friendly projections) and, unlike floats,
+    make every projection an EXACT int64 sum both engines agree on."""
+    import hashlib
+
+    import numpy as np
+
+    if dim > 120:
+        raise ValueError(
+            f"_rhp_planes packs signs from two 60-bit md5 halves; dim "
+            f"{dim} > 120 needs more digest material per plane"
+        )
+    w = np.empty((_RHP_BITS, dim), dtype=np.int64)
+    for j in range(_RHP_BITS):
+        h = hashlib.md5(f"rhp:{j}".encode()).hexdigest()
+        r1, r2 = int(h[:15], 16), int(h[15:30], 16)
+        for i in range(dim):
+            bit = (r1 >> i) & 1 if i < 60 else (r2 >> (i - 60)) & 1
+            w[j, i] = 1 if bit else -1
+    return w
+
+
+@register("q_ann_rhp_lsh", oracle=_RHP_ORACLE)
+def q_ann_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-neighbor pairs via random-hyperplane LSH: 64-bit
+    signature (sign of 64 exact ±1-weighted int64 projections), banded
+    8×8 bits, candidates = any equal band, verified by the exact
+    quantized dot ≥ τ.
+
+    Scale shape: the signature pass is one Arrow-batched B×64 int64
+    matmul per batch (bytes never leave executors); banding is an
+    8-way explode of a LONG (not text); candidates come from an
+    equi-join on (band, bucket) — sub-quadratic, never all-pairs — and
+    only candidate pairs pay the exact-dot verification join. P[bucket
+    match] = (1 − θ/π)^8 per band: at the near-dup cosines this family
+    is deployed for (≥ 0.9) recall is ~1−(1−0.85⁸)⁸ ≈ 96%, while a
+    random pair (cos≈0) collides at 8·2⁻⁸ ≈ 3% — the knobs are band
+    width (precision) and band count (recall), and both replay in the
+    oracle because the planes are md5-derived constants, not engine
+    RNG. Recall on THIS fixture's 0.35-0.55 cosine range is inherently
+    partial (measured and pinned in tests/test_llm_ops.py) — RHP-LSH
+    is a high-similarity sieve, not a mid-similarity search index; for
+    cos≈0.4 targets use q_ann_ivf_* instead.
+    """
+    import numpy as np
+
+    v = _quantized(spark, sf_dir)
+
+    def _sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            if planes is None:
+                planes = _rhp_planes(m.shape[1])
+            dots = m @ planes.T  # B×bits exact int64 (|Σ| ≤ dim·1e8)
+            bits = (dots > 0).astype(np.uint64)
+            sig = np.zeros(len(m), dtype=np.uint64)
+            for j in range(_RHP_BITS):
+                sig |= bits[:, j] << np.uint64(j)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "sig": sig.view(np.int64),
+                }
+            )
+
+    sigs = spread(v).mapInPandas(_sig, schema="vec_id long, sig long")
+    n_bands = _RHP_BITS // _RHP_BAND_BITS
+    mask = (1 << _RHP_BAND_BITS) - 1
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * _RHP_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("dot_q", dot)
+        .filter(F.col("dot_q") >= F.lit(_RHP_TAU_DOT))
+        .select("vec_a", "vec_b", _cosine_out())
+    )

@@ -853,3 +853,41 @@ def test_repeated_ngrams_pairs(spark):
     assert len(rep) > 0
     assert all(r.n_shared >= _REP_MIN for r in rows)
     assert jac <= rep  # near-dup docs necessarily share exact passages
+
+
+def test_rhp_lsh_subset_and_recall(spark):
+    """RHP-LSH output is a verified subset of the exact cosine pairs
+    (perfect precision by construction), with the deterministic
+    md5-plane recall pinned for this fixture's 0.35-0.55 cosine range
+    (RHP is a high-similarity sieve; see q_ann_rhp_lsh docstring)."""
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_dedup_embedding_cosine,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_ann_rhp_lsh,
+    )
+
+    rhp = q_ann_rhp_lsh(spark, SF_SMOKE).toPandas()
+    exact = q_dedup_embedding_cosine(spark, SF_SMOKE).toPandas()
+    rp = set(zip(rhp.vec_a, rhp.vec_b))
+    ep = set(zip(exact.vec_a, exact.vec_b))
+    assert rp <= ep  # exact-dot verification ⇒ no false positives
+    assert rhp.cosine.min() >= 0.35
+    assert len(rp) / len(ep) >= 0.15  # measured 0.183, deterministic
+
+
+def test_rhp_planes_deterministic_and_duplicate_collision():
+    """Hyperplanes derive from md5 constants (no RNG), so identical
+    vectors always produce identical signatures — cosine-1 duplicates
+    collide in EVERY band at any corpus size."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _rhp_planes,
+    )
+
+    p1, p2 = _rhp_planes(64), _rhp_planes(64)
+    assert np.array_equal(p1, p2)
+    assert set(np.unique(p1)) == {-1, 1}
+    v = np.arange(64, dtype=np.int64) - 7
+    assert np.array_equal(p1 @ v, p2 @ v)
