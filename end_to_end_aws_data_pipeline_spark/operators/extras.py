@@ -4,6 +4,8 @@ types, exact moment statistics, unpivot (wide→long).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -234,4 +236,66 @@ def q_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k.bitwiseXOR(F.col("o_custkey"))).alias("min_xor"),
         F.max(k.bitwiseAND(F.lit(255))).alias("max_low_byte"),
         F.max(F.shiftright(F.shiftleft(k, 1), 1)).alias("max_shift_roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the last cell of the UDF matrix: scalar
+# pandas_udf, mapInPandas, applyInPandas, UDTF, and row-wise udf are
+# covered elsewhere; GROUPED_AGG is the Series→scalar reduction form)
+# ---------------------------------------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT event_type,
+       round(median(value), 6) AS median_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_udaf_grouped_median", oracle=_UDAF_ORACLE)
+def q_udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via a GROUPED_AGG pandas UDF — the
+    Series→scalar aggregation form of the Python UDF surface. Each
+    group's values arrive as ONE Arrow batch and reduce in C
+    (numpy partition-select), so the Python boundary is crossed per
+    GROUP, not per row.
+
+    The scale caveat is the same as any holistic aggregate: a group's
+    values must fit one executor's Arrow buffer. That holds for
+    bounded-cardinality groups like these; for high-cardinality or
+    giant groups use the iterative histogram percentiles in
+    operators/percentiles.py (bounded state at any group size) —
+    this query exists to cover the UDAF escape hatch itself.
+
+    Median semantics match the oracle's quantile_cont(0.5): numpy and
+    DuckDB both average the two middle doubles on even counts, and
+    both operate on the identical parquet doubles, so the rounded
+    result is bit-stable cross-engine.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    # the Series→scalar type hints select the GROUPED_AGG eval type
+    # (without them a pandas_udf defaults to SCALAR, which agg()
+    # rejects); `pd` must be module-global for get_type_hints to
+    # resolve the stringified annotations under `from __future__
+    # import annotations`
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas aggregate rather than F.count
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(_median(F.col("value")), 6).alias("median_value"),
+        _n(F.col("value")).alias("n"),
     )
