@@ -100,6 +100,8 @@ HEADLINE = (
     "q_text_vocab_oov",
     # round-5 third wave
     "q_ann_rhp_lsh",
+    "q_udaf_grouped_median",
+    "q_text_bpe_merges",
 )
 
 

@@ -724,3 +724,169 @@ def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("long").alias("n_oov"),
         F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich ACL'16): tokenizer training as an
+# iterative Spark job with a fully unrolled DuckDB oracle replay
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_word_filter() -> str:
+    # ASCII-only gate BEFORE lowercasing: A-Za-z lowercase is
+    # bit-identical across engines, where full-Unicode lower() is not
+    return "^[A-Za-z]{2,}$"
+
+
+def _bpe_oracle() -> str:
+    """Unrolled {_BPE_ROUNDS}-round BPE training: each round's CTE
+    chain recomputes the pair counts, re-derives the argmax pair
+    (count DESC, pair ASC — the same total order Spark uses), and
+    applies the merge with gaps-and-islands window logic that matches
+    the engine's greedy left-to-right fold exactly (within a run of
+    consecutive matching positions, merges start at even offsets)."""
+    parts = [
+        f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), words AS (
+  SELECT lower(t) AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE regexp_matches(t, '{_bpe_word_filter()}')
+  GROUP BY lower(t)
+), v0 AS (
+  SELECT word, cnt, string_split(word, '') AS s FROM words
+)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""", pos{r} AS (
+  SELECT word, cnt, generate_subscripts(s, 1) AS i, unnest(s) AS sym
+  FROM v{p}
+), pr{r} AS (
+  SELECT word, cnt, i, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM pos{r}
+), t{r} AS (
+  SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM pr{r} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY pc DESC, a, b LIMIT 1
+), mk{r} AS (
+  SELECT p.word, p.cnt, p.i, p.sym, t.a, t.b,
+         coalesce(p.sym = t.a AND p.nxt = t.b, false) AS mtch,
+         row_number() OVER (
+           PARTITION BY p.word, coalesce(p.sym = t.a AND p.nxt = t.b, false)
+           ORDER BY p.i) AS rnm
+  FROM pr{r} p CROSS JOIN t{r} t
+), st{r} AS (
+  SELECT word, cnt, i, sym, a, b,
+         CASE WHEN mtch THEN
+           (i - min(i) OVER (PARTITION BY word, mtch, i - rnm)) % 2 = 0
+         ELSE false END AS strt
+  FROM mk{r}
+), cv{r} AS (
+  SELECT word, cnt, i, sym, a, b, strt,
+         coalesce(lag(strt) OVER (PARTITION BY word ORDER BY i), false)
+           AS covered
+  FROM st{r}
+), v{r} AS (
+  SELECT word, cnt,
+         list(CASE WHEN strt THEN a || b ELSE sym END ORDER BY i) AS s
+  FROM cv{r} WHERE NOT covered GROUP BY word, cnt
+)"""
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS step, a AS lhs, b AS rhs, "
+        f"a || b AS merged, pc AS pair_count FROM t{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append(f"\n{unions}")
+    return "".join(parts)
+
+
+def _bpe_apply_merge(s: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) in a symbol array
+    — one codegen'd fold, no shuffle, no UDF. The accumulator's last
+    element can only equal ``a`` when it is an UNMERGED symbol (a
+    merged token is strictly longer than ``a``), so a merge result
+    never chains into another merge within the same round — exactly
+    the non-overlapping semantics of Sennrich's reference BPE."""
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@register("q_text_bpe_merges", oracle=_bpe_oracle())
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {ROUNDS} BPE merge rules from the corpus — the
+    tokenizer-training step of an LLM data pipeline, run as an
+    iterative Spark job (the q_graph_pagerank playbook applied to
+    subword learning).
+
+    Shape: ONE corpus pass builds the word-frequency table (the only
+    scan that grows with data); every training round then runs on the
+    VOCABULARY (thousands of rows at any corpus size): posexplode →
+    lead-window adjacent pairs → weighted pair counts → a 1-row argmax
+    collect (bounded driver state, like the k-means centroid collects)
+    → merge application as a per-word fold (no shuffle). Per-round
+    persist keeps lineage linear in rounds.
+
+    Determinism: counts are exact integers; the argmax tie-break is
+    (count DESC, pair ASC); merge application is greedy
+    left-to-right (within a run of identical overlapping matches,
+    merges land at even offsets). The oracle unrolls all {ROUNDS}
+    rounds as CTE chains and re-derives every argmax and every merge,
+    so tokenizer TRAINING — not just application — is hash-verified.
+    Output: (step, lhs, rhs, merged, pair_count) — the merges file a
+    BPE tokenizer ships."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t").rlike(_bpe_word_filter()))
+    )
+    words = (
+        toks.select(F.lower("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    vocab = persisted(words.select("word", "cnt", F.split("word", "").alias("s")))
+    merges: list[tuple] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pos = vocab.select(
+            "word", "cnt", F.posexplode("s").alias("i", "sym")
+        )
+        pr = pos.withColumn(
+            "nxt", F.lead("sym").over(W.partitionBy("word").orderBy("i"))
+        )
+        top = (
+            pr.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError("BPE vocabulary exhausted before round "
+                             f"{r} — corpus too small for {_BPE_ROUNDS} merges")
+        a, b, pc = top[0]["sym"], top[0]["nxt"], int(top[0]["pc"])
+        merges.append((r, a, b, a + b, pc))
+        vocab = persisted(
+            vocab.withColumn("s", _bpe_apply_merge(F.col("s"), a, b))
+        )
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count long"
+    )

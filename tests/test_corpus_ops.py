@@ -293,3 +293,51 @@ def test_incremental_bloom_equals_exact_and_screens(spark):
         assert n_hits < n_batch  # the screen actually pruned
     finally:
         release_all()
+
+
+def test_bpe_apply_merge_greedy_runs(spark):
+    """Greedy left-to-right merge semantics, including the identical-
+    pair run case where naive string replace diverges from classic
+    BPE ([a,a,a,a] with (a,a) must give [aa,aa], not [aa,a,a])."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _bpe_apply_merge,
+    )
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("aabab",), ("abb",), ("b",)], "w string"
+    )
+    out = {
+        r.w: r.m
+        for r in df.select(
+            "w", _bpe_apply_merge(F.split("w", ""), "a", "b").alias("m")
+        ).collect()
+    }
+    assert out["aabab"] == ["a", "ab", "ab"]
+    assert out["abb"] == ["ab", "b"]
+    assert out["b"] == ["b"]
+    aa = {
+        r.w: r.m
+        for r in df.select(
+            "w", _bpe_apply_merge(F.split("w", ""), "a", "a").alias("m")
+        ).collect()
+    }
+    assert aa["aaaa"] == ["aa", "aa"]
+
+
+def test_bpe_merge_counts_non_increasing(spark):
+    """Each learned pair's count is <= the previous round's: merging
+    the argmax pair can only create pairs bounded by its own count and
+    can only shrink existing ones — a structural invariant of BPE
+    training that a buggy recount would violate."""
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        q_text_bpe_merges,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_text_bpe_merges(spark, SF_SMOKE).orderBy("step").collect()
+    counts = [r.pair_count for r in rows]
+    assert len(counts) == 6
+    assert all(c > 0 for c in counts)
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
