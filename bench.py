@@ -102,6 +102,7 @@ HEADLINE = (
     "q_ann_rhp_lsh",
     "q_udaf_grouped_median",
     "q_text_bpe_merges",
+    "q_agg_regression",
 )
 
 

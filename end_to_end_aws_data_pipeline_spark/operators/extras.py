@@ -299,3 +299,78 @@ def q_udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_median(F.col("value")), 6).alias("median_value"),
         _n(F.col("value")).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group OLS regression from exact decimal moments (trend fitting:
+# slope/intercept/r² of event value over time, one aggregation pass)
+# ---------------------------------------------------------------------------
+
+# hour index base: 2023-12-19T08:00Z in hours — keeps x small (hundreds)
+# so every moment fits comfortably in its exact domain
+_REG_X0 = 473000
+
+_REG_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS sx,
+         sum(x * x) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(y * x) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 3600 - {_REG_X0} AS x,
+           CAST(value AS DECIMAL(18,2)) AS y
+    FROM events
+  ) GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sx) / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
+@register("q_agg_regression", oracle=_REG_ORACLE)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (slope per hour,
+    intercept, r²) from EXACT moments — the q_agg_stats_exact recipe
+    extended to bivariate regression.
+
+    Native regr_slope/corr are one-pass float accumulations whose
+    result depends on row order; here the five moments (Σx, Σx², Σy,
+    Σxy, Σy² — x an integer hour index, y a DECIMAL(18,2)) are exact
+    and order-free, so the closed-form OLS formulas evaluate to the
+    bit-identical double in any engine at any parallelism. Still ONE
+    map-side-combinable aggregation pass over the scan — the moments
+    shuffle, never the rows — which is the 100 TB shape for fitting
+    millions of per-group trends (one row of state per group)."""
+    e = table(spark, sf_dir, "events")
+    x = (F.expr("unix_timestamp(ts) div 3600") - _REG_X0).alias("x")
+    y = F.col("value").cast("decimal(18,2)")
+    m = e.select("event_type", x, y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    sy, sxy, sxx, syy = F.col("sy"), F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx.cast("double") * sx
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(num / den, 6).alias("slope"),
+        F.round((sy - num / den * sx) / n, 6).alias("intercept"),
+        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
