@@ -1179,7 +1179,13 @@ def q_ann_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sigs = spread(v).mapInPandas(_sig, schema="vec_id long, sig long")
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    # the band table self-joins below: without a persist Spark would
+    # run the signature matmul pass once per join side
+    sigs = persisted(
+        spread(v).mapInPandas(_sig, schema="vec_id long, sig long")
+    )
     n_bands = _RHP_BITS // _RHP_BAND_BITS
     mask = (1 << _RHP_BAND_BITS) - 1
     bands = sigs.select(
