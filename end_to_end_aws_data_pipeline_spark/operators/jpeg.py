@@ -388,14 +388,18 @@ def decode_jpeg(payload: bytes):
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries, Pq=1: 16-bit)
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtabs[tq] = list(body[off + 1 : off + 65])
-                off += 65
+                if pq:
+                    qtabs[tq] = list(
+                        struct.unpack_from(">64H", body, off + 1)
+                    )
+                    off += 129
+                else:
+                    qtabs[tq] = list(body[off + 1 : off + 65])
+                    off += 65
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):

@@ -891,3 +891,41 @@ def test_rhp_planes_deterministic_and_duplicate_collision():
     assert set(np.unique(p1)) == {-1, 1}
     v = np.arange(64, dtype=np.int64) - 7
     assert np.array_equal(p1 @ v, p2 @ v)
+
+
+def test_jpeg_16bit_quant_table_decodes():
+    """A DQT with Pq=1 (16-bit entries) decodes identically to the
+    same table in 8-bit form — exercised by rewriting a real encoded
+    stream's DQT segment into the wide format."""
+    import struct
+
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 256, (2, 3), dtype=np.uint8), 8, 0), 8, 1
+    )
+    img = np.stack([img] * 3, axis=2)
+    data = encode_jpeg(img)
+    i = data.find(b"\xff\xdb")
+    assert i >= 0
+    (seglen,) = struct.unpack_from(">H", data, i + 2)
+    body = data[i + 4 : i + 2 + seglen]
+    pq_tq, entries = body[0], body[1:65]
+    assert pq_tq >> 4 == 0
+    wide = bytes([0x10 | (pq_tq & 0x0F)]) + struct.pack(
+        ">64H", *entries
+    ) + body[65:]
+    rebuilt = (
+        data[:i]
+        + b"\xff\xdb"
+        + struct.pack(">H", len(wide) + 2)
+        + wide
+        + data[i + 2 + seglen :]
+    )
+    assert np.array_equal(decode_jpeg(rebuilt), decode_jpeg(data))
