@@ -103,6 +103,7 @@ HEADLINE = (
     "q_udaf_grouped_median",
     "q_text_bpe_merges",
     "q_agg_regression",
+    "q_etl_profile",
 )
 
 

@@ -186,3 +186,112 @@ def q_etl_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = infer_schema_first_row(header, first_row)
     rows = [(f.name, SPARK_TO_REF[f.dataType.simpleString()]) for f in schema.fields]
     return spark.createDataFrame(rows, schema="column_name string, data_type string")
+
+
+# ---------------------------------------------------------------------------
+# table profiling: per-column cardinality/null/extent audit in ONE pass
+# (the reference's null audit generalized to the summary a data
+# catalog publishes for every ingested table)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
+         round(min(o_orderkey), 2) AS mn_k, round(max(o_orderkey), 2) AS mx_k,
+         count(o_custkey) AS nn_c, count(DISTINCT o_custkey) AS nd_c,
+         round(min(o_custkey), 2) AS mn_c, round(max(o_custkey), 2) AS mx_c,
+         count(o_totalprice) AS nn_p, count(DISTINCT o_totalprice) AS nd_p,
+         round(min(o_totalprice), 2) AS mn_p, round(max(o_totalprice), 2) AS mx_p,
+         count(o_orderstatus) AS nn_s, count(DISTINCT o_orderstatus) AS nd_s,
+         min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+         count(o_orderpriority) AS nn_o, count(DISTINCT o_orderpriority) AS nd_o,
+         min(o_orderpriority) AS mn_o, max(o_orderpriority) AS mx_o,
+         count(o_orderdate) AS nn_d, count(DISTINCT o_orderdate) AS nd_d
+  FROM orders
+)
+SELECT 'o_orderkey' AS col, CAST(n AS BIGINT) AS n,
+       CAST(nn_k AS BIGINT) AS n_nonnull, CAST(nd_k AS BIGINT) AS n_distinct,
+       CAST(mn_k AS DOUBLE) AS min_num, CAST(mx_k AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM a
+UNION ALL SELECT 'o_custkey', n, nn_c, nd_c, mn_c, mx_c, NULL, NULL FROM a
+UNION ALL SELECT 'o_totalprice', n, nn_p, nd_p, mn_p, mx_p, NULL, NULL FROM a
+UNION ALL SELECT 'o_orderstatus', n, nn_s, nd_s, NULL, NULL, mn_s, mx_s FROM a
+UNION ALL SELECT 'o_orderpriority', n, nn_o, nd_o, NULL, NULL, mn_o, mx_o FROM a
+UNION ALL SELECT 'o_orderdate', n, nn_d, nd_d, NULL, NULL, NULL, NULL FROM a
+"""
+
+
+@register("q_etl_profile", oracle=_PROFILE_ORACLE)
+def q_etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile — row count, non-null count, exact
+    distinct count, numeric/string extents — in ONE aggregation pass
+    (multiple DISTINCT aggregates plan as one Expand + aggregate, not
+    one scan per column), then a stack() to long form.
+
+    This is the catalog-facing generalization of the reference's
+    per-row null audit (ref delta_load.py:66-84): the summary an
+    ingest pipeline publishes per table version for drift detection
+    (n_distinct collapse, extent jumps, null-rate spikes). At 100 TB
+    swap the exact distinct counts for the oracle-verified HLL in
+    operators/percentiles.py — same shape, bounded state; timestamp
+    extents are omitted here because engines format them differently
+    (counts are the drift signal)."""
+    o = table(spark, sf_dir, "orders")
+
+    def _num(c: str):
+        return [
+            F.count(c).cast("long").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
+            F.round(F.min(c), 2).cast("double").alias(f"mn_{c}"),
+            F.round(F.max(c), 2).cast("double").alias(f"mx_{c}"),
+        ]
+
+    def _str(c: str):
+        return [
+            F.count(c).cast("long").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+
+    a = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *_num("o_orderkey"),
+        *_num("o_custkey"),
+        *_num("o_totalprice"),
+        *_str("o_orderstatus"),
+        *_str("o_orderpriority"),
+        F.count("o_orderdate").cast("long").alias("nn_d"),
+        F.count_distinct(F.col("o_orderdate")).cast("long").alias("nd_d"),
+    )
+    rows = ", ".join(
+        [
+            "'o_orderkey', n, nn_o_orderkey, nd_o_orderkey, "
+            "mn_o_orderkey, mx_o_orderkey, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)",
+            "'o_custkey', n, nn_o_custkey, nd_o_custkey, "
+            "mn_o_custkey, mx_o_custkey, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)",
+            "'o_totalprice', n, nn_o_totalprice, nd_o_totalprice, "
+            "mn_o_totalprice, mx_o_totalprice, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)",
+            "'o_orderstatus', n, nn_o_orderstatus, nd_o_orderstatus, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "mn_o_orderstatus, mx_o_orderstatus",
+            "'o_orderpriority', n, nn_o_orderpriority, nd_o_orderpriority, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "mn_o_orderpriority, mx_o_orderpriority",
+            "'o_orderdate', n, nn_d, nd_d, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)",
+        ]
+    )
+    return a.select(
+        F.expr(
+            f"stack(6, {rows}) AS "
+            "(col, n, n_nonnull, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        )
+    )
