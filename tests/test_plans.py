@@ -684,3 +684,44 @@ def test_round5_second_wave_plan_posture(spark):
     assert "Cartesian" not in pvoc
     assert count_broadcast_joins(voc) >= 1
     assert "TakeOrdered" in pvoc
+
+
+def test_round5_fourth_wave_plan_posture(spark):
+    """Plan gates for the fourth wave:
+
+    - exact-moment OLS: a single two-phase aggregate — at most one
+      exchange of per-group moment partials, no Python, codegen on.
+    - table profile: ONE aggregation pass (the multi-DISTINCT plans as
+      Expand + aggregate, not one scan per column) — the scan appears
+      once, no Python.
+    - RHP-LSH: candidate generation is an equi-join on (band, bucket)
+      — never a cartesian; Python appears only as the one Arrow
+      signature stage (ArrowEvalPython/MapInPandas), not per-pair.
+    """
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import q_etl_profile
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_regression,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_ann_rhp_lsh,
+    )
+
+    reg = q_agg_regression(spark, SF_SMOKE)
+    assert count_shuffles(reg) <= 1
+    assert "Python" not in physical_plan(reg)
+    assert has_wholestage_codegen(reg)
+
+    prof = q_etl_profile(spark, SF_SMOKE)
+    pprof = physical_plan(prof)
+    assert pprof.count("Scan parquet") == 1
+    assert "Expand" in pprof
+    assert "Python" not in pprof
+
+    rhp = q_ann_rhp_lsh(spark, SF_SMOKE)
+    prhp = physical_plan(rhp)
+    assert "Cartesian" not in prhp
+    # both sides of the band self-join read the PERSISTED signature
+    # table (the MapInPandas text appears only inside the cached
+    # relation's description, i.e. the matmul runs once)
+    assert prhp.count("InMemoryTableScan") == 2
+    assert prhp.count("MapInPandas") == prhp.count("InMemoryRelation")
