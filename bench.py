@@ -104,6 +104,9 @@ HEADLINE = (
     "q_text_bpe_merges",
     "q_agg_regression",
     "q_etl_profile",
+    # round-5 fifth wave
+    "q_cdc_point_in_time",
+    "q_etl_mv_incremental",
 )
 
 

@@ -309,3 +309,93 @@ def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (temporal) lookup over the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = f"""
+WITH feed AS ({_FEED_SQL}),
+scd AS (
+  SELECT okey, seq AS valid_from,
+         lead(seq) OVER (PARTITION BY okey ORDER BY seq) AS valid_to,
+         op AS chg_op, price_i
+  FROM feed
+),
+probe AS (
+  SELECT o_orderkey AS pkey, o_orderpriority,
+         1 + o_orderkey % 2 AS as_of
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(pkey) AS BIGINT) AS key_checksum,
+       CAST(sum(price_i) AS BIGINT) AS price_checksum,
+       CAST(sum(valid_from) AS BIGINT) AS version_checksum
+FROM probe JOIN scd
+  ON pkey = okey
+ AND valid_from <= as_of
+ AND (valid_to IS NULL OR as_of < valid_to)
+WHERE chg_op <> 'D'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_cdc_point_in_time", oracle=_PIT_ORACLE)
+def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup: resolve, for every probe row,
+    the dimension version that was valid at the probe's as-of instant —
+    the read side of the SCD2 pair (q_etl_scd2_build writes the
+    intervals; this query consumes them), and the batch shape of
+    "reproduce yesterday's report" / ML feature time-travel.
+
+    Probes carry as_of ∈ {{1, 2}} (named to dodge DuckDB's ASOF keyword) derived from the order key; the match
+    condition is the half-open interval containment
+    valid_from <= as_of < valid_to (NULL valid_to = current). A probe
+    that resolves to a delete tombstone is a miss (the entity did not
+    exist at that instant), so tombstone versions are filtered AFTER
+    interval resolution — dropping them before the join would wrongly
+    let an older 'U' version shadow the delete.
+
+    Scale shape: the join is an EQUI join on the entity key with the
+    interval containment as a residual filter — Spark hash-partitions
+    both sides on the key (or broadcasts the dimension when it is
+    small), and each key's version chain is short (bounded by change
+    frequency), so the residual scan per probe is O(versions-per-key),
+    never a cross product. Output aggregates to per-priority checksums
+    to pin exact row membership, resolved values, AND the resolved
+    version number (version_checksum catches a lookup that returns the
+    right price via the wrong interval).
+    """
+    feed = _feed(spark, sf_dir).withColumnRenamed("op", "chg_op")
+    w = W.partitionBy("okey").orderBy("seq")
+    scd = feed.select(
+        "okey",
+        F.col("seq").alias("valid_from"),
+        F.lead("seq").over(w).alias("valid_to"),
+        "chg_op",
+        "price_i",
+    )
+    o = table(spark, sf_dir, "orders")
+    probe = o.select(
+        F.col("o_orderkey").alias("pkey"),
+        "o_orderpriority",
+        (F.lit(1) + F.col("o_orderkey") % 2).alias("as_of"),
+    )
+    hits = (
+        probe.join(
+            scd,
+            (F.col("pkey") == F.col("okey"))
+            & (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to"))),
+            "inner",
+        )
+        .filter(F.col("chg_op") != "D")
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum("pkey").cast("long").alias("key_checksum"),
+        F.sum("price_i").cast("long").alias("price_checksum"),
+        F.sum("valid_from").cast("long").alias("version_checksum"),
+    )
