@@ -107,6 +107,8 @@ HEADLINE = (
     # round-5 fifth wave
     "q_cdc_point_in_time",
     "q_etl_mv_incremental",
+    "q_text_classifier",
+    "q_events_anomaly",
 )
 
 

@@ -374,3 +374,81 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - num / den * sx) / n, 6).alias("intercept"),
         F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact z-score anomaly detection (no sqrt, no float: the |v-μ| > 3σ
+# test rearranged into integer arithmetic that both engines do exactly)
+# ---------------------------------------------------------------------------
+
+_ANOM_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(vc) AS HUGEINT) AS s,
+         CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS sq
+  FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(m.n AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (m.n * vc - m.s) * (m.n * vc - m.s)
+                          > 9 * (m.n * m.sq - m.s * m.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN (m.n * vc - m.s) * (m.n * vc - m.s)
+                          > 9 * (m.n * m.sq - m.s * m.s)
+                     THEN vc ELSE 0 END) AS BIGINT) AS outlier_checksum
+FROM v JOIN m ON v.event_type = m.event_type
+GROUP BY v.event_type, m.n
+"""
+
+_D38 = "decimal(38,0)"
+
+
+@register("q_events_anomaly", oracle=_ANOM_ORACLE)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outlier detection with EXACT arithmetic:
+    |v - mean| > 3*stddev rearranged as (n*v - S)^2 > 9*(n*Sq - S^2)
+    over integer cents, so no sqrt, no division, and no float ever
+    enters the comparison — the boundary decision for every row is
+    bit-identical in any engine (DuckDB runs it in HUGEINT, Spark in
+    DECIMAL(38,0); both are exact at these magnitudes: with row counts
+    to ~1e9 and cent values to ~1e7, every intermediate stays under
+    1e38).
+
+    Plan shape: one pass computes per-group (n, S=sum v, Sq=sum v^2);
+    the per-group moments (|event types| rows) broadcast back onto the
+    stream of values; one more aggregate counts the flagged rows and
+    checksums their values (pinning WHICH rows were flagged, not just
+    how many). At 100 TB: two scans of the fact (or one with the
+    moments from the previous watermark window - the streaming
+    variant), a broadcast of a handful of rows, zero wide shuffles
+    beyond the two tiny aggregates.
+    """
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("vc").cast(_D38).alias("s"),
+        F.sum(F.col("vc").cast(_D38) * F.col("vc")).cast(_D38).alias("sq"),
+    )
+    j = v.join(F.broadcast(m), "event_type")
+    dev = F.col("n") * F.col("vc") - F.col("s")
+    is_out = (dev * dev) > F.lit(9).cast(_D38) * (
+        F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    )
+    return j.groupBy("event_type", "n").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.sum(F.when(is_out, F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("outlier_checksum"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        "n_outliers",
+        "outlier_checksum",
+    )

@@ -890,3 +890,94 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear (fastText-style) quality classifier
+# ---------------------------------------------------------------------------
+
+_CLF_BUCKET_MOD = 33  # weight domain: md5(bigram) % 33 - 16 ∈ [-16, 16]
+_CLF_BIAS = -3
+
+_CLF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         {_CLF_BIAS} + coalesce(list_sum(
+           list_transform(
+             range(1, len(w)),
+             i -> CAST(('0x' || substr(md5(w[i] || '_' || w[i + 1]), 1, 15))
+                       ::BIGINT % {_CLF_BUCKET_MOD} - 16 AS BIGINT)
+           )
+         ), 0) AS score
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(score) AS BIGINT) AS score_checksum,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM scored
+GROUP BY source
+"""
+
+
+@register("q_text_classifier", oracle=_CLF_ORACLE)
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering with a hashed linear classifier —
+    the fastText architecture every major LLM corpus uses for quality
+    gating (CCNet, GPT-3's WebText classifier, RedPajama): score =
+    bias + Σ weight[h(bigram)] over the document's token bigrams,
+    keep if score > 0.
+
+    Weights here are md5-derived integers in [-16, 16] standing in for
+    trained parameters (the sandbox has no trained model), but the
+    serving plumbing is the real thing and is what matters at 100 TB:
+    the HASHING TRICK means there is no vocabulary table at all — no
+    broadcast, no join, no OOV path; the weight of any bigram is a
+    pure expression of its hash. Bigrams are built with
+    transform(sequence(...)) over the split array and folded with
+    aggregate(), so the whole classifier is one codegen'd projection
+    over the scan: per-doc cost is O(tokens), cluster cost is exactly
+    one pass over the corpus. A real deployment swaps the md5-mod
+    expression for `weights[h]` lookups against a broadcast int array
+    (a few MB for 2^21 buckets) — same plan shape.
+
+    Integer weights keep the fold exact and order-independent, so the
+    DuckDB oracle (same md5 arithmetic via list_transform/list_sum)
+    hash-matches bit-for-bit; per-source score extrema and checksum
+    pin every document's score, not just the keep decision.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), '_', element_at(w, i + 1)))"
+    )
+    score = F.lit(_CLF_BIAS) + F.coalesce(
+        F.aggregate(
+            bigrams,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + (
+                F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+                % _CLF_BUCKET_MOD
+                - 16
+            ),
+        ),
+        F.lit(0).cast("long"),
+    )
+    scored = d.select("doc_id", "source", w.alias("w")).select(
+        "doc_id", "source", score.alias("score")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("score").cast("long").alias("score_checksum"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
