@@ -109,6 +109,8 @@ HEADLINE = (
     "q_etl_mv_incremental",
     "q_text_classifier",
     "q_events_anomaly",
+    "q_curation_dsir",
+    "q_stream_static_join",
 )
 
 

@@ -579,3 +579,141 @@ def q_curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _SOURCE_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al., NeurIPS
+# 2023) over hashed unigram features, in exact fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # hashed feature buckets
+_DSIR_TARGET = "de"  # target distribution: the minority-language slice
+_DSIR_TOP = 25
+
+
+def _l2fp(x: str) -> str:
+    """Fixed-point log2 with 4 fractional bits, pure integer arithmetic
+    (valid for x >= 1): 16*floor(log2 x) + linear interpolation of the
+    mantissa between powers of two. Same text parses in Spark SQL and
+    DuckDB except for the integer-division spelling, handled below."""
+    e = f"(length(bin({x})) - 1)"
+    return f"(16 * {e} + ({x}) * 16 {{div}} (CAST(1 AS BIGINT) << {e}) - 16)"
+
+
+def _dsir_lw(div: str) -> str:
+    """The per-bucket log importance weight
+    L(ct+1) + L(Nr+B) - L(cr+1) - L(Nt+B)  ~  16*log2 of the smoothed
+    target/raw probability ratio."""
+    t = _l2fp(f"ct + 1")
+    r = _l2fp(f"cr + 1")
+    nt = _l2fp(f"nt + {_DSIR_B}")
+    nr = _l2fp(f"nr + {_DSIR_B}")
+    return f"({t} + {nr} - {r} - {nt})".replace("{div}", div)
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t.t), 1, 15))::BIGINT % {_DSIR_B} AS b,
+         CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END AS is_t
+  FROM documents, unnest(string_split(text, ' ')) AS t(t)
+), hist AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         CAST(sum(is_t) AS BIGINT) AS ct
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM hist
+), lw AS (
+  SELECT b, {_dsir_lw("//")} AS w FROM hist, tot
+), docw AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS weight,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN lw USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, weight FROM docw
+ORDER BY weight DESC, doc_id
+LIMIT {_DSIR_TOP}
+"""
+
+
+@register("q_curation_dsir", oracle=_DSIR_ORACLE)
+def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every document by the
+    log-likelihood ratio of a hashed bag-of-words model of the TARGET
+    distribution (here the '{tgt}' slice) against the RAW corpus, and
+    keep the top-weighted documents — the importance-resampling recipe
+    of Xie et al. (NeurIPS 2023) used to select web data that "looks
+    like" a trusted corpus.
+
+    Cross-engine exactness: instead of float log-probabilities (whose
+    sums are order-dependent and libm-dependent), the log2 of each
+    smoothed bucket probability is computed in FIXED POINT — 16 *
+    floor(log2 x) plus a linearly-interpolated mantissa, all from
+    integer bit-length arithmetic (length(bin(x))). Per-token weights
+    are integers, so document scores are exact sums, and the DuckDB
+    oracle replays the whole pipeline (md5 bucketing, histograms,
+    fixed-point logs, top-k) bit-for-bit. Max interpolation error vs
+    true log2 is 0.086 (~1/11 bit) per term - far below the
+    inter-document spread that drives selection.
+
+    Scale shape: one pass builds the {B}-bucket histogram
+    (hash-partition aggregate over tokens, map-side combined); the
+    per-bucket weight table is tiny and broadcasts back onto the token
+    stream; one more aggregate sums per-doc weights; a
+    TakeOrderedAndProject keeps the global top-k without a full sort.
+    The corpus is scanned twice (histogram + scoring) exactly like the
+    two-model pass of the published pipeline; at 100 TB both passes
+    are embarrassingly parallel and the only shuffled payloads are
+    (bucket, count) partials and (doc_id, weight_sum) partials.
+
+    On this synthetic corpus all languages draw from one shared
+    vocabulary, so the target/raw ratio sits near 1 and the selection
+    uplift is mild (target share roughly 1.4x its base rate in the
+    top-k) — the point here is the exact, replayable plumbing; on a
+    real corpus the n-gram distributions differ and the ratio bites.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("t"),
+        F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0).alias("is_t"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+        "is_t",
+    )
+    hist = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum("is_t").cast("long").alias("ct"),
+    )
+    tot = hist.agg(
+        F.sum("cr").cast("long").alias("nr"), F.sum("ct").cast("long").alias("nt")
+    )
+    lw = hist.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_dsir_lw("div")).cast("long").alias("w")
+    )
+    docw = (
+        toks.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").cast("long").alias("weight"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docw.orderBy(F.col("weight").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+        .select("doc_id", "n_tokens", "weight")
+    )
+
+
+_DSIR_DOC = q_curation_dsir.__doc__
+if _DSIR_DOC is not None:
+    q_curation_dsir.__doc__ = _DSIR_DOC.replace("{tgt}", _DSIR_TARGET).replace(
+        "{B}", str(_DSIR_B)
+    )

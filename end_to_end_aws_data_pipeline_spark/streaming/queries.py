@@ -288,3 +288,70 @@ def q_stream_stateful_user_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"),
                 "first_ts", "last_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+_STREAM_STATIC_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+       CAST(round(e.value * 100) AS BIGINT) AS value_c
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase' AND e.value > 150.0
+"""
+
+
+@register("q_stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment executed for real inside the gate: a
+    file stream of purchase events joined per-micro-batch against the
+    STATIC customer dimension (the canonical "enrich the event stream
+    with reference data" pattern — fraud rules, user tiers, geo
+    lookups). The static side is a plain batch DataFrame: Spark
+    re-plans it into every micro-batch as a broadcast hash join, so
+    the stream side never shuffles and no join state accumulates —
+    unlike the stream-stream join there is nothing to watermark; the
+    join is stateless and append-safe by construction.
+
+    With availableNow the streamed append output equals the batch
+    join, which is exactly what the oracle computes. Value travels as
+    integer cents in the compared output (float-free hash).
+
+    At 100 TB: the dimension broadcast is per-executor O(|dim|); for
+    dimensions too big to broadcast, the scale path is the same query
+    with the dimension bucketed on the join key (plans/scale.py) so
+    each micro-batch does a co-located join, or a state-store-backed
+    stream-stream join with the dimension replayed as a CDC stream.
+    """
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    name = f"__stream_static_{next(_counter)}"
+    src = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    )
+    purchases = src.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    ).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    joined = purchases.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value_c"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
