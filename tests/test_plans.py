@@ -728,3 +728,66 @@ def test_round5_fourth_wave_plan_posture(spark):
     # relations", not exact equality.
     assert prhp.count("InMemoryTableScan") == 2
     assert 0 < prhp.count("MapInPandas") <= prhp.count("InMemoryRelation")
+
+
+def test_round5_fifth_wave_plan_posture(spark):
+    """Plan gates for the fifth wave:
+
+    - point-in-time lookup: the interval containment rides as a
+      residual on an EQUI join (hash/sort-merge on the entity key) —
+      never a nested-loop over probes x versions.
+    - incremental MV: base and delta are separate pushed-filter scans
+      (two scans, zero Python); the partial merge stays codegen'd.
+    - hashed classifier: the entire score is one codegen'd projection
+      — a single scan, no joins, at most the one final aggregate
+      exchange.
+    - exact anomaly: the per-group moments come back as a BROADCAST
+      (the fact side never reshuffles for the join).
+    - DSIR: top-k via TakeOrderedAndProject, weight table broadcast;
+      no Python anywhere in the wave.
+    """
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import (
+        q_etl_mv_incremental,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.cdc import (
+        q_cdc_point_in_time,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        q_curation_dsir,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_events_anomaly,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        q_text_classifier,
+    )
+
+    pit = physical_plan(q_cdc_point_in_time(spark, SF_SMOKE))
+    assert "Cartesian" not in pit
+    assert ("SortMergeJoin" in pit) or ("BroadcastHashJoin" in pit)
+    assert "Python" not in pit
+
+    mv = q_etl_mv_incremental(spark, SF_SMOKE)
+    pmv = physical_plan(mv)
+    assert pmv.count("Scan parquet") == 2
+    assert has_pushed_filters(mv, "l_shipdate")
+    assert "Python" not in pmv
+
+    clf = q_text_classifier(spark, SF_SMOKE)
+    pclf = physical_plan(clf)
+    assert pclf.count("Scan parquet") == 1
+    assert "Join" not in pclf
+    assert count_shuffles(clf) <= 1
+    assert "Python" not in pclf
+
+    anom = q_events_anomaly(spark, SF_SMOKE)
+    panom = physical_plan(anom)
+    assert "BroadcastHashJoin" in panom
+    assert "SortMergeJoin" not in panom
+    assert "Python" not in panom
+
+    dsir = q_curation_dsir(spark, SF_SMOKE)
+    pdsir = physical_plan(dsir)
+    assert uses_take_ordered(dsir)
+    assert "BroadcastHashJoin" in pdsir
+    assert "Python" not in pdsir
