@@ -111,6 +111,8 @@ HEADLINE = (
     "q_events_anomaly",
     "q_curation_dsir",
     "q_stream_static_join",
+    "q_source_xml_scan",
+    "q_sql_recursive_cte",
 )
 
 

@@ -384,3 +384,67 @@ def read_evolving_parquet(spark: SparkSession, path: str) -> DataFrame:
     schema, so the helper belongs on evolving RAW zones, not curated
     ones."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# XML source (built-in in Spark 4: the spark-xml package was merged
+# upstream — SPARK-44265), exercised parquet → XML → schema'd scan
+# ---------------------------------------------------------------------------
+
+
+def _ensure_supplier_xml(spark: SparkSession, sf_dir: str) -> str:
+    out = _derived_dir(sf_dir, "xml")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # types that XML round-trips exactly: longs + strings (acctbal
+        # travels as integer cents, not a float lexical form)
+        table(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+        ).coalesce(2).write.mode("overwrite").format("xml").option(
+            "rootTag", "suppliers"
+        ).option("rowTag", "supplier").save(out)
+    return out
+
+
+_XML_ORACLE = """
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_c_sum
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("q_source_xml_scan", oracle=_XML_ORACLE)
+def q_source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source scan through Spark 4's built-in XML data source
+    (spark-xml merged upstream, SPARK-44265): parquet → XML files
+    (rowTag=supplier) → schema'd distributed read → aggregate, with
+    value-level equality against the parquet original as the check.
+
+    Schema-on-read with an explicit schema (no sampling inference
+    pass) is the production posture, same as the CSV/JSON twins.
+    Money travels as integer cents so the round-trip is exact — XML
+    has no numeric type system, so floats would depend on lexical
+    formatting. At 100 TB the XML reader parallelizes per file (and
+    within a file when rows are newline-separable); the aggregate
+    after the scan is the standard partial+final shape.
+    """
+    path = _ensure_supplier_xml(spark, sf_dir)
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(
+            "s_suppkey long, s_name string, s_nationkey long, acctbal_c long"
+        )
+        .load(path)
+    )
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("s_suppkey").cast("long").alias("key_checksum"),
+        F.sum("acctbal_c").cast("long").alias("acctbal_c_sum"),
+    )

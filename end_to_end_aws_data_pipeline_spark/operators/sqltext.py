@@ -140,3 +140,29 @@ FROM lineitem
 GROUP BY l_linestatus
 """,
 )
+
+# recursive CTE through both parsers (Spark 4 gained WITH RECURSIVE —
+# SPARK-24497): walk the implicit customer "org forest" where each
+# key's parent is floor(key/10), roots are keys < 10. Depth is bounded
+# by log10(max key), so the iteration count is tiny and deterministic.
+# Dialect-neutral integer division: floor(x / 10.0) is exact in DOUBLE
+# for any key < 2^53, so both engines derive identical parents.
+q_sql_recursive_cte = _sql_query(
+    "q_sql_recursive_cte",
+    """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS k, 0 AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, chain.depth + 1
+  FROM customer c
+  JOIN chain ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = chain.k
+  WHERE c.c_custkey >= 10
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(k) AS BIGINT) AS key_checksum
+FROM chain
+GROUP BY depth
+""",
+)
