@@ -113,6 +113,8 @@ HEADLINE = (
     "q_stream_static_join",
     "q_source_xml_scan",
     "q_sql_recursive_cte",
+    "q_join_null_aware_anti",
+    "q_text_kl_divergence",
 )
 
 

@@ -364,3 +364,48 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("bal_b") - F.col("bal_a"), 2).alias("bal_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# null-aware anti join (NOT IN with a nullable subquery column)
+# ---------------------------------------------------------------------------
+
+_NAAJ_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("q_join_null_aware_anti", oracle=_NAAJ_ORACLE)
+def q_join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLABLE subquery column — semantically distinct
+    from a plain anti join: if the subquery produced even one NULL,
+    three-valued logic would make every NOT IN test UNKNOWN and the
+    result empty. Because parquet columns are nullable-typed, Spark
+    cannot prove no-null statically and plans its dedicated
+    single-column null-aware anti join (BroadcastHashJoin
+    isNullAware=true) instead of a regular anti — the plan shape this
+    query pins (see the fifth-wave plan gate).
+
+    At scale the null-aware variant broadcasts the subquery side and
+    short-circuits on the first NULL it finds in the build set; the
+    streamed side never shuffles. DuckDB evaluates the same NOT IN
+    text with identical three-valued semantics, so the hash match
+    checks the semantics, not just the row count.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    load = {"customer": c, "orders": o}
+    for name, df in load.items():
+        df.createOrReplaceTempView(f"__naaj_{name}")
+    return c.sparkSession.sql(
+        _NAAJ_ORACLE.replace("FROM customer", "FROM __naaj_customer").replace(
+            "FROM orders", "FROM __naaj_orders"
+        )
+    )

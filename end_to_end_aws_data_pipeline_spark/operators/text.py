@@ -981,3 +981,109 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("long").alias("min_score"),
         F.max("score").cast("long").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source KL divergence against the corpus (fixed-point log2)
+# ---------------------------------------------------------------------------
+
+_KL_B = 64  # hashed token buckets (shared recipe with q_curation_dsir)
+
+
+def _kl_lw(div: str) -> str:
+    """Fixed-point log2 of the smoothed source/corpus probability
+    ratio for one bucket: L(cs+1) + L(n+B) - L(c+1) - L(ns+B)."""
+    from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
+
+    s = _l2fp("cs + 1")
+    g = _l2fp("c + 1")
+    ns = _l2fp(f"ns + {_KL_B}")
+    n = _l2fp(f"n + {_KL_B}")
+    return f"({s} + {n} - {g} - {ns})".replace("{div}", div)
+
+
+def _kl_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source,
+         ('0x' || substr(md5(t.t), 1, 15))::BIGINT % {_KL_B} AS b
+  FROM documents, unnest(string_split(text, ' ')) AS t(t)
+), hs AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS cs
+  FROM toks GROUP BY source, b
+), hg AS (
+  SELECT b, CAST(sum(cs) AS BIGINT) AS c FROM hs GROUP BY b
+), ts AS (
+  SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM hs GROUP BY source
+), tg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM hg
+)
+SELECT hs.source,
+       CAST(ts.ns AS BIGINT) AS n_tokens,
+       round(CAST(sum(hs.cs * {_kl_lw("//")}) AS DOUBLE)
+             / (16.0 * ts.ns), 6) AS kl_bits
+FROM hs
+JOIN hg USING (b)
+JOIN ts ON hs.source = ts.source
+CROSS JOIN tg
+GROUP BY hs.source, ts.ns
+"""
+
+
+@register("q_text_kl_divergence", oracle=_kl_oracle())
+def q_text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source ∥ corpus) in bits over
+    hashed unigram buckets — the corpus-health audit that flags a
+    source whose token distribution diverges from the mixture (scraper
+    rot, language drift, template spam) and the quantitative basis for
+    mixture reweighting.
+
+    Same cross-engine-exact recipe as q_curation_dsir: per-bucket
+    log2-probability ratios in FIXED POINT (integer bit-length +
+    interpolated mantissa, 4 fractional bits), weighted by the
+    source's raw bucket counts and summed exactly as integers; the
+    single final division to bits happens once per source on identical
+    int64 operands, so the rounded double is bit-identical in both
+    engines. Laplace smoothing (+1 per bucket) keeps empty buckets
+    finite.
+
+    Scale shape: one token pass → (source, bucket) histogram
+    (map-side combined, |sources|·B rows), everything downstream is
+    arithmetic on that tiny table: the bucket-global histogram and the
+    per-source totals are second-level aggregates of it; joins touch
+    at most |sources|·B rows. At 100 TB the corpus is read once,
+    shuffles carry only histogram partials.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).select(
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+            % _KL_B
+        ).alias("b"),
+    )
+    hs = toks.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    hg = hs.groupBy("b").agg(F.sum("cs").cast("long").alias("c"))
+    ts = hs.groupBy("source").agg(F.sum("cs").cast("long").alias("ns"))
+    tg = hg.agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        hs.join(F.broadcast(hg), "b")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tg))
+    )
+    contrib = F.col("cs") * F.expr(_kl_lw("div")).cast("long")
+    return (
+        j.groupBy("source", "ns")
+        .agg(F.sum(contrib).cast("long").alias("klsum"))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("klsum").cast("double") / (16.0 * F.col("ns")), 6
+            ).alias("kl_bits"),
+        )
+    )
