@@ -115,6 +115,7 @@ HEADLINE = (
     "q_sql_recursive_cte",
     "q_join_null_aware_anti",
     "q_text_kl_divergence",
+    "q_multimodal_decode_gif",
 )
 
 

@@ -1109,3 +1109,89 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_id",
         "dropped_id_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (LZW) through the binary-column path
+# ---------------------------------------------------------------------------
+
+_GIF_W = "(4 + doc_id % 29)"
+_GIF_H = "(4 + (doc_id // 7) % 23)"
+
+_DECODE_GIF_ORACLE = f"""
+SELECT doc_id,
+       CAST(doc_id % 2 = 1 AS BOOLEAN) AS interlaced,
+       CAST({_GIF_W} AS INT) AS width,
+       CAST({_GIF_H} AS INT) AS height,
+       CAST(3 * list_sum(list_transform(
+             range(0, {_GIF_W} * {_GIF_H}),
+             i -> (i % {_GIF_W} + i // {_GIF_W} + doc_id) % 256))
+            AS BIGINT) AS pixel_sum
+FROM documents
+"""
+
+
+@register("q_multimodal_decode_gif", oracle=_DECODE_GIF_ORACLE)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode — the LZW member of the codec family (BMP/PPM
+    raw, PNG zlib, JPEG Huffman+DCT, WAV PCM): per document the
+    deterministic gradient image is palette-indexed, LZW-compressed
+    into an actual GIF89a container (odd doc_ids in 4-pass INTERLACED
+    row order with the descriptor flag set), then decoded back by the
+    from-spec codec in operators/gif.py — variable-width LSB-first
+    codes widening 9→12 bits, KwKwK self-reference handling,
+    de-interlacing — inside one Arrow-batched mapInPandas pass. The
+    oracle recomputes width/height/pixel_sum arithmetically, so any
+    bit-packing, width-bump-timing, palette or interlace bug is a hash
+    mismatch. Bytes never leave the executors; the driver sees only
+    the per-image summary rows.
+    """
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "interlaced", "width", "height", "pixel_sum"
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 29
+                h = 4 + (doc_id // 7) % 23
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = ((xx + yy + doc_id) % 256).astype(np.uint8)
+                inter = bool(doc_id % 2)
+                rgb = decode_gif(encode_gif(idx, gray, interlace=inter))
+                rows["doc_id"].append(doc_id)
+                rows["interlaced"].append(inter)
+                rows["width"].append(rgb.shape[1])
+                rows["height"].append(rgb.shape[0])
+                rows["pixel_sum"].append(int(rgb.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "interlaced": pd.Series(rows["interlaced"], dtype="bool"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, interlaced boolean, width int, height int, "
+            "pixel_sum long"
+        ),
+    )

@@ -929,3 +929,51 @@ def test_jpeg_16bit_quant_table_decodes():
         + data[i + 2 + seglen :]
     )
     assert np.array_equal(decode_jpeg(rebuilt), decode_jpeg(data))
+
+
+def test_gif_lzw_roundtrip_and_edges():
+    """GIF LZW: random data (forces width growth to 12 bits AND the
+    4096-entry dictionary reset), runs (KwKwK self-reference case),
+    empty input, and truncation detection."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.gif import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    big = bytes(rng.integers(0, 256, 30000, dtype=np.uint8))
+    for data in (b"", b"\x00" * 5000, b"ababababab" * 50, big):
+        assert lzw_decode(lzw_encode(data)) == data
+    # KwKwK: 'aaa...' makes the decoder hit code == len(table)
+    assert lzw_decode(lzw_encode(b"aaaaaaa")) == b"aaaaaaa"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        lzw_decode(lzw_encode(big)[: 40])
+
+
+def test_gif_container_interlace_and_refusals():
+    import numpy as np
+    import pytest as _pytest
+
+    from end_to_end_aws_data_pipeline_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    yy, xx = np.mgrid[0:23, 0:32]
+    idx = ((xx + 2 * yy + 5) % 256).astype(np.uint8)
+    for inter in (False, True):
+        rgb = decode_gif(encode_gif(idx, pal, interlace=inter))
+        assert rgb.shape == (23, 32, 3)
+        assert (rgb[:, :, 1] == idx).all()
+    # named refusal for unsupported block types
+    plain = bytearray(encode_gif(idx, pal))
+    plain[13 + 768] = 0x99  # overwrite image-descriptor introducer
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_gif(bytes(plain))
+    with _pytest.raises(ValueError, match="magic"):
+        decode_gif(b"NOTGIF" + bytes(plain[6:]))
