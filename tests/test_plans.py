@@ -791,3 +791,30 @@ def test_round5_fifth_wave_plan_posture(spark):
     assert uses_take_ordered(dsir)
     assert "BroadcastHashJoin" in pdsir
     assert "Python" not in pdsir
+
+
+def test_round5_sixth_wave_plan_posture(spark):
+    """Sixth wave gates:
+
+    - NOT IN with a nullable subquery column must plan Spark's
+      dedicated single-column null-aware anti join (rendered as the
+      trailing `true` on the BroadcastHashJoin) — not a nested loop.
+    - KL divergence: everything after the one token-histogram
+      aggregate is broadcast arithmetic on tiny tables; no Python.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.joins import (
+        q_join_null_aware_anti,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        q_text_kl_divergence,
+    )
+
+    naaj = physical_plan(q_join_null_aware_anti(spark, SF_SMOKE))
+    assert "LeftAnti, BuildRight, true" in naaj
+    assert "BroadcastNestedLoop" not in naaj
+
+    kl = q_text_kl_divergence(spark, SF_SMOKE)
+    pkl = physical_plan(kl)
+    assert count_broadcast_joins(kl) >= 2
+    assert "Python" not in pkl
+    assert "SortMergeJoin" not in pkl
