@@ -116,6 +116,8 @@ HEADLINE = (
     "q_join_null_aware_anti",
     "q_text_kl_divergence",
     "q_multimodal_decode_gif",
+    "q_etl_expectations",
+    "q_agg_hll_merge",
 )
 
 

@@ -372,3 +372,117 @@ def q_etl_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MV_DOC_FIX = q_etl_mv_incremental.__doc__
 if _MV_DOC_FIX is not None:
     q_etl_mv_incremental.__doc__ = _MV_DOC_FIX.replace("{split}", _MV_SPLIT)
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality expectations (Deequ/dbt-test-style
+# constraint verification) evaluated in one pass + one FK anti-join
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = """
+WITH scan AS (
+  SELECT
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_notnull_custkey,
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_range_totalprice,
+    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_accepted_status,
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      AS v_unique_orderkey,
+    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01'
+              THEN 0 ELSE 1 END) AS BIGINT) AS v_date_window
+  FROM orders
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_fk_custkey
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT rule, n_violations, passed FROM (
+  SELECT 'not_null(o_custkey)' AS rule, v_notnull_custkey AS n_violations,
+         v_notnull_custkey = 0 AS passed FROM scan
+  UNION ALL
+  SELECT 'unique(o_orderkey)', v_unique_orderkey, v_unique_orderkey = 0
+  FROM scan
+  UNION ALL
+  SELECT 'range(o_totalprice > 0)', v_range_totalprice,
+         v_range_totalprice = 0 FROM scan
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)', v_accepted_status,
+         v_accepted_status = 0 FROM scan
+  UNION ALL
+  SELECT 'in_window(o_orderdate)', v_date_window, v_date_window = 0
+  FROM scan
+  UNION ALL
+  SELECT 'fk(o_custkey -> customer)', v_fk_custkey, v_fk_custkey = 0 FROM fk
+)
+"""
+
+
+@register("q_etl_expectations", oracle=_EXPECT_ORACLE)
+def q_etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations — the constraint-suite
+    shape of AWS Deequ / dbt tests / Great Expectations, and the
+    warehouse-grade generalization of the reference's per-file null
+    audit (ref delta_load.py:66-84): not-null, uniqueness, value
+    range, accepted values, and date-window rules all evaluate in ONE
+    aggregation pass over the table (each rule is a conditional-sum
+    column of the same scan — adding a rule adds an expression, not a
+    pass), plus one left-anti join for the referential-integrity rule.
+    Output is the audit artifact: one row per rule with its violation
+    count and pass flag.
+
+    At 100 TB this is the difference between a usable expectations
+    engine and an unusable one: N rules cost one scan + one shuffle-
+    free conditional aggregate (the FK rule alone shuffles, keyed on
+    the FK), not N scans. The uniqueness rule rides the same pass as
+    count(*) - count(DISTINCT key) rather than a groupBy-having
+    detour.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    scan = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_notnull"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_accepted"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("v_unique"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")),
+                0,
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("v_window"),
+    )
+    fk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("v_fk"))
+    )
+    rules = scan.crossJoin(fk).select(
+        F.expr(
+            "stack(6,"
+            " 'not_null(o_custkey)', v_notnull,"
+            " 'unique(o_orderkey)', v_unique,"
+            " 'range(o_totalprice > 0)', v_range,"
+            " 'accepted_values(o_orderstatus)', v_accepted,"
+            " 'in_window(o_orderdate)', v_window,"
+            " 'fk(o_custkey -> customer)', v_fk"
+            ") AS (rule, n_violations)"
+        )
+    )
+    return rules.select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )

@@ -744,3 +744,130 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("long").alias("cms_estimate"),
         (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
     )
+
+
+_HLL_MERGE_ORACLE = f"""
+WITH h AS (
+  SELECT l_returnflag, l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS hx
+  FROM lineitem
+), rb AS (
+  SELECT l_returnflag,
+         ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+         least(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+               ELSE {_HLL_WBITS + 1} - length(bin(w)) END,
+               {_HLL_RHO_CAP}) AS rho
+  FROM (
+    SELECT l_returnflag, hx,
+           ('0x' || substr(hx, 3, 14))::BIGINT AS w
+    FROM h
+  )
+), group_regs AS (
+  SELECT l_returnflag, bucket, max(rho) AS m_j
+  FROM rb GROUP BY l_returnflag, bucket
+), merged_regs AS (
+  SELECT bucket, max(m_j) AS m_j FROM group_regs GROUP BY bucket
+), direct_regs AS (
+  SELECT bucket, max(rho) AS m_j FROM rb GROUP BY bucket
+), est AS (
+  SELECT which,
+         round(CASE WHEN ({_HLL_M} - v_cnt) > 0 AND {_HLL_NUM!r} /
+                    (denom_ne + ({_HLL_M} - v_cnt)
+                     * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP})) <= {2.5 * _HLL_M}
+               THEN {float(_HLL_M)!r} * ({_HLL_LNTAB_SQL})[{_HLL_M} - v_cnt]
+               ELSE {_HLL_NUM!r} /
+                    (denom_ne + ({_HLL_M} - v_cnt)
+                     * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}))
+               END, 2) AS hll_parts
+  FROM (
+    SELECT 'merged' AS which,
+           sum(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m_j)) AS denom_ne,
+           count(*) AS v_cnt
+    FROM merged_regs
+    UNION ALL
+    SELECT 'direct',
+           sum(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m_j)),
+           count(*)
+    FROM direct_regs
+  )
+)
+SELECT e1.hll_parts AS hll_merged,
+       e2.hll_parts AS hll_direct,
+       e1.hll_parts = e2.hll_parts AS merge_lossless,
+       (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+         AS exact_parts
+FROM est e1, est e2
+WHERE e1.which = 'merged' AND e2.which = 'direct'
+"""
+
+
+@register("q_agg_hll_merge", oracle=_HLL_MERGE_ORACLE)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, proven in-engine: the global HLL built by
+    MAX-merging the per-group register tables equals the HLL built
+    directly from the union of values — register-for-register, hence
+    estimate-for-estimate (`merge_lossless` is computed in the result,
+    not asserted offline). This is THE property that lets 100 TB
+    distinct counts run as per-partition/per-day sketches rolled up
+    later (cube/rollup of sketches, incremental daily merges) instead
+    of re-scanning history: max() is associative, commutative and
+    idempotent, so any merge tree over any partitioning of the data
+    yields the identical 256-register sketch.
+
+    Same replayable-register recipe as q_agg_hll_distinct (md5 hash,
+    bin() leading-zero rho, integer-scaled harmonic sum, shared
+    injected constants), so DuckDB replays both the per-group sketches
+    and the merge and the driver hash-checks all of it.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    hx = F.md5(F.col("l_partkey").cast("string"))
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
+    rho = F.least(
+        F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+        ),
+        F.lit(_HLL_RHO_CAP),
+    )
+    rb = li.select("l_returnflag", bucket.alias("bucket"), rho.alias("rho"))
+    group_regs = rb.groupBy("l_returnflag", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    merged_regs = group_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    direct_regs = rb.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+
+    def estimate(regs):
+        agg = regs.agg(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")
+            ).alias("denom_ne"),
+            F.count(F.lit(1)).alias("v_cnt"),
+        )
+        denom = F.col("denom_ne") + (_HLL_M - F.col("v_cnt")) * F.lit(
+            1 << _HLL_RHO_CAP
+        ).cast("long")
+        raw = F.lit(_HLL_NUM) / denom
+        v_empty = (F.lit(_HLL_M) - F.col("v_cnt")).cast("int")
+        lntab = F.array(*[F.lit(x) for x in _HLL_LNTAB])
+        est = F.when(
+            (v_empty > 0) & (raw <= F.lit(2.5 * _HLL_M)),
+            F.lit(float(_HLL_M)) * F.element_at(lntab, v_empty),
+        ).otherwise(raw)
+        return agg.select(F.round(est, 2).alias("hll_parts"))
+
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts")
+    )
+    m = estimate(merged_regs).withColumnRenamed("hll_parts", "hll_merged")
+    d = estimate(direct_regs).withColumnRenamed("hll_parts", "hll_direct")
+    return (
+        m.crossJoin(d)
+        .crossJoin(exact)
+        .select(
+            "hll_merged",
+            "hll_direct",
+            (F.col("hll_merged") == F.col("hll_direct")).alias(
+                "merge_lossless"
+            ),
+            "exact_parts",
+        )
+    )
