@@ -118,6 +118,8 @@ HEADLINE = (
     "q_multimodal_decode_gif",
     "q_etl_expectations",
     "q_agg_hll_merge",
+    "q_scalar_variant",
+    "q_sql_lateral_topk",
 )
 
 

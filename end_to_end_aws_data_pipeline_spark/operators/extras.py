@@ -452,3 +452,51 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "outlier_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: Spark 4's semi-structured type (parse_json / variant_get)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_scalar_variant", oracle=_VARIANT_ORACLE)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type
+    (SPARK-45827): the JSON props column is parsed ONCE into a binary
+    variant value (`parse_json`), then fields are extracted with typed
+    `variant_get` paths — the open-format answer to storing ragged
+    event payloads without a schema migration per new key.
+
+    Why VARIANT and not get_json_object: the variant binary encoding
+    is parsed at ingest, so repeated field access does no re-parsing
+    of text, predicate pushdown on shredded variant columns can skip
+    row groups (Parquet variant shredding), and type errors surface as
+    NULLs per the try_ semantics rather than silent string coercions.
+    The oracle reads the same field with DuckDB's JSON extraction —
+    integer payloads make the comparison exact.
+    """
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+    )

@@ -166,3 +166,34 @@ FROM chain
 GROUP BY depth
 """,
 )
+
+# correlated LATERAL subquery with LIMIT through both parsers: top-2
+# customers per nation without a window function — the plan Spark
+# rewrites to a ranked join (DomainJoin), DuckDB to a lateral
+# dependent join; one text, two engines, identical rows
+q_sql_lateral_topk = _sql_query(
+    "q_sql_lateral_topk",
+    """
+SELECT n.n_name, l.c_name, l.bal_c
+FROM nation n, LATERAL (
+  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) l
+""",
+)
+
+# GROUP BY ALL (DuckDB-originated sugar, adopted by Spark 4): every
+# non-aggregate select item becomes a grouping key — pinned here so
+# both engines agree on WHICH items those are
+q_sql_group_by_all = _sql_query(
+    "q_sql_group_by_all",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_c
+FROM lineitem
+GROUP BY ALL
+""",
+)
