@@ -120,6 +120,8 @@ HEADLINE = (
     "q_agg_hll_merge",
     "q_scalar_variant",
     "q_sql_lateral_topk",
+    "q_join_fuzzy_editdist",
+    "q_agg_winsorized",
 )
 
 

@@ -409,3 +409,95 @@ def q_join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM orders", "FROM __naaj_orders"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy self-join via deletion neighborhoods (FastSS, edit distance <= 1)
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT c_custkey AS k, c_name AS s, c_nationkey AS nk FROM customer
+), keyed AS (
+  SELECT k, s, nk, u.key AS key
+  FROM names, unnest(list_distinct(
+    list_transform(range(1, length(s) + 1),
+                   i -> substr(s, 1, i - 1) || substr(s, i + 1)) || [s]
+  )) AS u(key)
+), cand AS (
+  SELECT DISTINCT a.k AS ka, a.s AS sa, a.nk AS nka, b.k AS kb, b.s AS sb
+  FROM keyed a JOIN keyed b ON a.key = b.key AND a.s < b.s
+), verified AS (
+  SELECT ka, nka, kb FROM cand WHERE levenshtein(sa, sb) <= 1
+)
+SELECT nka AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ka + kb) AS BIGINT) AS key_checksum
+FROM verified
+GROUP BY nka
+"""
+
+
+@register("q_join_fuzzy_editdist", oracle=_FUZZY_ORACLE)
+def q_join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join (edit distance <= 1) via DELETION NEIGHBORHOODS
+    — the FastSS / SymSpell method: each string is keyed by itself
+    plus its |s| single-character deletions; any pair within edit
+    distance 1 (equal, one substitution, one insert/delete) must share
+    at least one key, so candidate generation is an inverted-index
+    EQUI-join on the key — never an all-pairs cross product — and an
+    exact `levenshtein` check verifies the survivors (sharing a
+    deletion is necessary, not sufficient: 'ab'/'ba' share keys at
+    distance 2).
+
+    Both engines generate identical deletion keys (pure substr
+    arithmetic), and both have exact levenshtein, so verified pairs
+    hash-match. Scale: the blowup is x(|s|+1) keys — for names, tens —
+    and candidate work is sum of squared bucket sizes like every
+    inverted index in this repo (the n-gram/minhash dedup family);
+    for edit distance k the same construction uses k-deletion
+    neighborhoods, trading key count for bucket selectivity. The
+    pair-level DISTINCT before verification stops double-counting
+    pairs that share several keys.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("s"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    keyed = c.select(
+        "k",
+        "s",
+        "nk",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "array_append(transform(sequence(1, length(s)), "
+                    "i -> concat(substring(s, 1, i - 1), "
+                    "substring(s, i + 1, length(s)))), s)"
+                )
+            )
+        ).alias("key"),
+    )
+    a = keyed.select(
+        F.col("key"),
+        F.col("k").alias("ka"),
+        F.col("s").alias("sa"),
+        F.col("nk").alias("nka"),
+    )
+    b = keyed.select(
+        F.col("key"),
+        F.col("k").alias("kb"),
+        F.col("s").alias("sb"),
+    )
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("sa") < F.col("sb"))
+        .select("ka", "sa", "nka", "kb", "sb")
+        .distinct()
+    )
+    verified = cand.filter(F.levenshtein("sa", "sb") <= 1)
+    return verified.groupBy(F.col("nka").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("ka") + F.col("kb")).cast("long").alias("key_checksum"),
+    )
