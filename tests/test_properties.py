@@ -485,3 +485,54 @@ def test_phash_dedup_partitions_corpus(spark):
         assert r.n_images >= 1
         assert r.dropped_id_checksum >= 0
         assert 0 <= r.dhash_lo < (1 << 32) and 0 <= r.dhash_hi < (1 << 32)
+
+
+def test_l2fp_fixed_point_log2_monotone_and_tight():
+    """The fixed-point log2 used by DSIR/KL (16*floor(log2 x) +
+    interpolated mantissa) must be (a) nondecreasing, (b) exact at
+    powers of two, (c) within the documented 0.086-bit bound of true
+    log2 — all checked in pure integer arithmetic against math.log2."""
+    import math
+
+    def l2fp(x: int) -> int:
+        e = x.bit_length() - 1
+        return 16 * e + (x * 16) // (1 << e) - 16
+
+    prev = None
+    for x in list(range(1, 4097)) + [10**6, 10**9, 2**40, 2**40 + 12345]:
+        v = l2fp(x)
+        if prev is not None and x <= 4096:
+            assert v >= prev
+        prev = v if x <= 4096 else prev
+        assert abs(v / 16.0 - math.log2(x)) <= 0.0861 + 1 / 16.0
+    for e in range(0, 50):
+        assert l2fp(1 << e) == 16 * e
+
+
+def test_fastss_deletion_neighborhood_complete():
+    """Deletion-neighborhood candidate generation (q_join_fuzzy_editdist)
+    must be COMPLETE for edit distance <= 1: brute-force levenshtein
+    over a small vocab, assert every true pair shares a key."""
+
+    def keys(s: str) -> set[str]:
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    vocab = [
+        "cat", "cats", "bat", "at", "act", "tac", "cart", "card",
+        "cord", "care", "car", "ca", "c", "", "dog", "dig", "dug",
+        "abcd", "abce", "abde", "axcd", "bcd",
+    ]
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1 :]:
+            if lev(a, b) <= 1:
+                assert keys(a) & keys(b), (a, b)
