@@ -818,3 +818,45 @@ def test_round5_sixth_wave_plan_posture(spark):
     assert count_broadcast_joins(kl) >= 2
     assert "Python" not in pkl
     assert "SortMergeJoin" not in pkl
+
+
+def test_round5_seventh_wave_plan_posture(spark):
+    """Seventh wave gates:
+
+    - expectations: the five scan rules share ONE aggregation pass
+      (orders appears exactly twice: rules scan + FK anti-join side).
+    - fuzzy join: deletion-neighborhood candidates come from an
+      equi-join — no cartesian/nested-loop anywhere.
+    - winsorized mean: the per-group bounds come back BROADCAST onto
+      the ranked stream.
+    - variant: parse_json/variant_get stay JVM-side (no Python).
+    """
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import (
+        q_etl_expectations,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_scalar_variant,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.joins import (
+        q_join_fuzzy_editdist,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        q_agg_winsorized,
+    )
+
+    exp = physical_plan(q_etl_expectations(spark, SF_SMOKE))
+    assert exp.count("Scan parquet") == 3  # orders x2 + customer
+    assert "Python" not in exp
+
+    fz = physical_plan(q_join_fuzzy_editdist(spark, SF_SMOKE))
+    assert "Cartesian" not in fz and "NestedLoop" not in fz
+    assert "Python" not in fz
+
+    win = q_agg_winsorized(spark, SF_SMOKE)
+    pwin = physical_plan(win)
+    assert "BroadcastHashJoin" in pwin
+    assert "Python" not in pwin
+
+    var = physical_plan(q_scalar_variant(spark, SF_SMOKE))
+    assert "Python" not in var
+    assert "variant_get" in var.lower()
