@@ -122,6 +122,7 @@ HEADLINE = (
     "q_sql_lateral_topk",
     "q_join_fuzzy_editdist",
     "q_agg_winsorized",
+    "q_multimodal_audio_resample",
 )
 
 

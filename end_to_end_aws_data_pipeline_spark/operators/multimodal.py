@@ -1195,3 +1195,113 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio resampling (rational 2:3 upsample, exact integer interpolation)
+# ---------------------------------------------------------------------------
+
+# output sample j sits at input position j*2/3; with values scaled x3
+# the linear interpolation is pure integer: y3[j] = 3*x[i] + (x[i+1]-x[i])*f
+_RS_NUM, _RS_DEN = 2, 3  # 16 kHz -> 24 kHz
+_RS_NOUT = f"(({_WAV_N} - 1) * {_RS_DEN} // {_RS_NUM} + 1)"
+_RS_X = "((({i}) * {step}) % 2048 - 1024)"
+
+_AUDIO_RESAMPLE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_WAV_N} AS BIGINT) AS n_in,
+       CAST({_RS_NOUT} AS BIGINT) AS n_out,
+       CAST(24000 AS INT) AS out_rate,
+       CAST(list_sum(list_transform(range(0, {_RS_NOUT}), j ->
+         abs({_RS_DEN} * {_RS_X.format(i=f"j * {_RS_NUM} // {_RS_DEN}", step=_WAV_STEP)}
+             + (j * {_RS_NUM}) % {_RS_DEN}
+               * ({_RS_X.format(i=f"least(j * {_RS_NUM} // {_RS_DEN} + 1, {_WAV_N} - 1)", step=_WAV_STEP)}
+                  - {_RS_X.format(i=f"j * {_RS_NUM} // {_RS_DEN}", step=_WAV_STEP)}))
+       )) AS BIGINT) AS sum_abs3,
+       CAST(list_sum(list_transform(range(0, {_RS_NOUT}), j ->
+         CAST({_RS_DEN} * {_RS_X.format(i=f"j * {_RS_NUM} // {_RS_DEN}", step=_WAV_STEP)}
+             + (j * {_RS_NUM}) % {_RS_DEN}
+               * ({_RS_X.format(i=f"least(j * {_RS_NUM} // {_RS_DEN} + 1, {_WAV_N} - 1)", step=_WAV_STEP)}
+                  - {_RS_X.format(i=f"j * {_RS_NUM} // {_RS_DEN}", step=_WAV_STEP)}) AS BIGINT)
+         * ({_RS_DEN} * {_RS_X.format(i=f"j * {_RS_NUM} // {_RS_DEN}", step=_WAV_STEP)}
+             + (j * {_RS_NUM}) % {_RS_DEN}
+               * ({_RS_X.format(i=f"least(j * {_RS_NUM} // {_RS_DEN} + 1, {_WAV_N} - 1)", step=_WAV_STEP)}
+                  - {_RS_X.format(i=f"j * {_RS_NUM} // {_RS_DEN}", step=_WAV_STEP)}))
+       )) AS BIGINT) AS sum_sq9
+FROM documents
+"""
+
+
+@register("q_multimodal_audio_resample", oracle=_AUDIO_RESAMPLE_ORACLE)
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling through the real codec path: decode the PCM16
+    WAV, upsample 16 kHz → 24 kHz by RATIONAL linear interpolation —
+    output sample j sits at input position j·2/3, and with amplitudes
+    scaled ×3 the interpolation is pure integer arithmetic
+    (y3 = 3·x[i] + f·(x[i+1]−x[i]), f ∈ {0,1,2}), so resampled-signal
+    features are exact and the oracle replays them to the bit. The
+    boundary sample clamps (least(i+1, n−1)) instead of reading past
+    the end.
+
+    This is the standard-data-pipeline normalization step (every ASR /
+    audio-LM corpus resamples to one rate) in the shape it must take
+    at 100 TB: stateless per-clip arithmetic inside Arrow-batched
+    mapInPandas, no driver involvement, bytes never leaving executors.
+    A production polyphase filter replaces the interpolation kernel;
+    the pipeline shape is identical.
+    """
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 800 + (doc_id % 5) * 160
+                step = 1 + doc_id % 7
+                i = np.arange(nf, dtype=np.int64)
+                pcm = ((i * step) % 2048 - 1024).astype(np.int16)
+                rate, ch, frames = decode_wav(encode_wav(pcm, _WAV_RATE))
+                x = frames[:, 0].astype(np.int64)
+                n_out = (nf - 1) * _RS_DEN // _RS_NUM + 1
+                j = np.arange(n_out, dtype=np.int64)
+                pos = j * _RS_NUM
+                i0 = pos // _RS_DEN
+                f = pos % _RS_DEN
+                i1 = np.minimum(i0 + 1, nf - 1)
+                y3 = _RS_DEN * x[i0] + f * (x[i1] - x[i0])
+                out.append(
+                    (
+                        doc_id,
+                        nf,
+                        n_out,
+                        rate * _RS_DEN // _RS_NUM,
+                        int(np.abs(y3).sum()),
+                        int((y3 * y3).sum()),
+                    )
+                )
+            cols = ("doc_id", "n_in", "n_out", "out_rate",
+                    "sum_abs3", "sum_sq9")
+            yield pd.DataFrame(
+                {
+                    c: pd.Series(
+                        [r[k] for r in out],
+                        dtype="int32" if c == "out_rate" else "int64",
+                    )
+                    for k, c in enumerate(cols)
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, n_in long, n_out long, out_rate int, "
+            "sum_abs3 long, sum_sq9 long"
+        ),
+    )
