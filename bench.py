@@ -123,6 +123,7 @@ HEADLINE = (
     "q_join_fuzzy_editdist",
     "q_agg_winsorized",
     "q_multimodal_audio_resample",
+    "q_text_bpe_encode",
 )
 
 

@@ -797,13 +797,16 @@ WITH toks AS (
   FROM cv{r} WHERE NOT covered GROUP BY word, cnt
 )"""
         )
+    return parts
+
+
+def _bpe_oracle_from(parts: list[str]) -> str:
     unions = "\n  UNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS step, a AS lhs, b AS rhs, "
         f"a || b AS merged, pc AS pair_count FROM t{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    parts.append(f"\n{unions}")
-    return "".join(parts)
+    return "".join(parts) + f"\n{unions}"
 
 
 def _bpe_apply_merge(s: Column, a: str, b: str) -> Column:
@@ -827,29 +830,12 @@ def _bpe_apply_merge(s: Column, a: str, b: str) -> Column:
     )
 
 
-@register("q_text_bpe_merges", oracle=_bpe_oracle())
-def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first {ROUNDS} BPE merge rules from the corpus — the
-    tokenizer-training step of an LLM data pipeline, run as an
-    iterative Spark job (the q_graph_pagerank playbook applied to
-    subword learning).
-
-    Shape: ONE corpus pass builds the word-frequency table (the only
-    scan that grows with data); every training round then runs on the
-    VOCABULARY (thousands of rows at any corpus size): posexplode →
-    lead-window adjacent pairs → weighted pair counts → a 1-row argmax
-    collect (bounded driver state, like the k-means centroid collects)
-    → merge application as a per-word fold (no shuffle). Per-round
-    persist keeps lineage linear in rounds.
-
-    Determinism: counts are exact integers; the argmax tie-break is
-    (count DESC, pair ASC); merge application is greedy
-    left-to-right (within a run of identical overlapping matches,
-    merges land at even offsets). The oracle unrolls all {ROUNDS}
-    rounds as CTE chains and re-derives every argmax and every merge,
-    so tokenizer TRAINING — not just application — is hash-verified.
-    Output: (step, lhs, rhs, merged, pair_count) — the merges file a
-    BPE tokenizer ships."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], DataFrame]:
+    """Run the {ROUNDS}-round training loop; returns (merges, final
+    vocab DataFrame (word, cnt, s)) — shared by the merges query and
+    the encode query so both verify the same learned tokenizer."""
     from end_to_end_aws_data_pipeline_spark.cache import persisted
 
     toks = (
@@ -887,6 +873,33 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = persisted(
             vocab.withColumn("s", _bpe_apply_merge(F.col("s"), a, b))
         )
+    return merges, vocab
+
+
+@register("q_text_bpe_merges", oracle=_bpe_oracle_from(_bpe_oracle()))
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {ROUNDS} BPE merge rules from the corpus — the
+    tokenizer-training step of an LLM data pipeline, run as an
+    iterative Spark job (the q_graph_pagerank playbook applied to
+    subword learning).
+
+    Shape: ONE corpus pass builds the word-frequency table (the only
+    scan that grows with data); every training round then runs on the
+    VOCABULARY (thousands of rows at any corpus size): posexplode →
+    lead-window adjacent pairs → weighted pair counts → a 1-row argmax
+    collect (bounded driver state, like the k-means centroid collects)
+    → merge application as a per-word fold (no shuffle). Per-round
+    persist keeps lineage linear in rounds.
+
+    Determinism: counts are exact integers; the argmax tie-break is
+    (count DESC, pair ASC); merge application is greedy
+    left-to-right (within a run of identical overlapping matches,
+    merges land at even offsets). The oracle unrolls all {ROUNDS}
+    rounds as CTE chains and re-derives every argmax and every merge,
+    so tokenizer TRAINING — not just application — is hash-verified.
+    Output: (step, lhs, rhs, merged, pair_count) — the merges file a
+    BPE tokenizer ships."""
+    merges, _vocab = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count long"
     )
@@ -1086,4 +1099,76 @@ def q_text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("klsum").cast("double") / (16.0 * F.col("ns")), 6
             ).alias("kl_bits"),
         )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTE prefix (which re-derives every merge) + encode:
+    the per-source token stream left-joins the final vocabulary; a
+    token that passes the word filter maps to its learned subword
+    count, anything else stays one token."""
+    parts = _bpe_oracle()
+    flt = _bpe_word_filter()
+    return "".join(parts) + f""",
+stoks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), enc AS (
+  SELECT s.source,
+         coalesce(CASE WHEN regexp_matches(s.t, '{flt}')
+                       THEN len(v.s) END, 1) AS n_sub
+  FROM stoks s LEFT JOIN v{_BPE_ROUNDS} v ON lower(s.t) = v.word
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subwords_per_token
+FROM enc GROUP BY source
+"""
+
+
+@register("q_text_bpe_encode", oracle=_bpe_encode_oracle())
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the BPE merges
+    just learned by `_bpe_train` (the q_text_bpe_merges loop) and
+    report per-source token statistics — the pipeline step that sizes
+    training shards and packing budgets after tokenizer training.
+
+    The crucial scale property: encoding work is VOCABULARY-sized,
+    not corpus-sized. The learned merges fold over the distinct-word
+    table (thousands of rows at any corpus size); the corpus-sized
+    token stream then BROADCAST-joins to (word → subword count) —
+    one pass, no shuffle of text, no per-token Python. Tokens outside
+    the trained word filter pass through as single tokens, decided by
+    the same regexp in both engines BEFORE the join so an untrained
+    token can never borrow a trained word's count.
+
+    The oracle re-derives the full training (every argmax, every
+    merge) AND the encoding join, so this is a second, independent
+    hash check over the learned tokenizer — training and application
+    must agree cross-engine simultaneously for this row to go green.
+    """
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    wc = vocab.select(
+        "word", F.size("s").cast("long").alias("n_sub_trained")
+    )
+    stoks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    enc = stoks.join(
+        F.broadcast(wc), F.lower(F.col("t")) == F.col("word"), "left"
+    ).select(
+        "source",
+        F.coalesce(
+            F.when(
+                F.col("t").rlike(_bpe_word_filter()), F.col("n_sub_trained")
+            ),
+            F.lit(1),
+        ).alias("n_sub"),
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+        ).alias("subwords_per_token"),
     )
