@@ -418,17 +418,25 @@ def q_join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_ORACLE = """
 WITH names AS (
   SELECT c_custkey AS k, c_name AS s, c_nationkey AS nk FROM customer
-), keyed AS (
-  SELECT k, s, nk, u.key AS key
-  FROM names, unnest(list_distinct(
-    list_transform(range(1, length(s) + 1),
-                   i -> substr(s, 1, i - 1) || substr(s, i + 1)) || [s]
-  )) AS u(key)
-), cand AS (
-  SELECT DISTINCT a.k AS ka, a.s AS sa, a.nk AS nka, b.k AS kb, b.s AS sb
-  FROM keyed a JOIN keyed b ON a.key = b.key AND a.s < b.s
+), dels AS (
+  SELECT k, s, nk, i,
+         substr(s, 1, i - 1) || substr(s, i + 1) AS d
+  FROM names, unnest(range(1, length(s) + 1)) AS u(i)
 ), verified AS (
-  SELECT ka, nka, kb FROM cand WHERE levenshtein(sa, sb) <= 1
+  -- substitution pairs: differ at exactly one position, so they share
+  -- exactly ONE (i, d) key -> the join emits each pair once, no dedupe
+  SELECT a.k AS ka, a.nk AS nka, b.k AS kb
+  FROM dels a JOIN dels b ON a.i = b.i AND a.d = b.d AND a.s < b.s
+  UNION ALL
+  -- insert/delete pairs (disjoint from the above: lengths differ);
+  -- repeated characters make several deletions coincide -> DISTINCT
+  SELECT DISTINCT a.k, a.nk, n.k
+  FROM dels a JOIN names n
+    ON a.d = n.s AND a.s < n.s AND levenshtein(a.s, n.s) <= 1
+  UNION ALL
+  SELECT DISTINCT n.k, n.nk, b.k
+  FROM names n JOIN dels b
+    ON n.s = b.d AND n.s < b.s AND levenshtein(n.s, b.s) <= 1
 )
 SELECT nka AS c_nationkey,
        CAST(count(*) AS BIGINT) AS n_pairs,
@@ -440,63 +448,90 @@ GROUP BY nka
 
 @register("q_join_fuzzy_editdist", oracle=_FUZZY_ORACLE)
 def q_join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy self-join (edit distance <= 1) via DELETION NEIGHBORHOODS
-    — the FastSS / SymSpell method: each string is keyed by itself
-    plus its |s| single-character deletions; any pair within edit
-    distance 1 (equal, one substitution, one insert/delete) must share
-    at least one key, so candidate generation is an inverted-index
-    EQUI-join on the key — never an all-pairs cross product — and an
-    exact `levenshtein` check verifies the survivors (sharing a
-    deletion is necessary, not sufficient: 'ab'/'ba' share keys at
-    distance 2).
+    """Fuzzy self-join (edit distance <= 1) via POSITION-TAGGED
+    deletion neighborhoods — the FastSS / SymSpell method with the
+    refinement that keeps candidate volume ~= true-pair volume:
 
-    Both engines generate identical deletion keys (pure substr
-    arithmetic), and both have exact levenshtein, so verified pairs
-    hash-match. Scale: the blowup is x(|s|+1) keys — for names, tens —
-    and candidate work is sum of squared bucket sizes like every
-    inverted index in this repo (the n-gram/minhash dedup family);
-    for edit distance k the same construction uses k-deletion
-    neighborhoods, trading key count for bucket selectivity. The
-    pair-level DISTINCT before verification stops double-counting
-    pairs that share several keys.
+    - SUBSTITUTION (and equal) pairs join on (position, deletion):
+      two same-length strings share (i, s minus char i) iff they
+      differ ONLY at position i — so this branch emits exactly the
+      true substitution pairs, no false candidates. The untagged
+      variant is quadratically worse on clustered keyspaces: on the
+      zero-padded customer IDs, deleting any leading zero collapses
+      huge name groups into one bucket (measured 97.7M raw candidates
+      for 150k names at sf1, 36 s); position tags cap each bucket at
+      |alphabet| sources.
+    - INSERT/DELETE pairs (length +-1) join one side's deletions
+      against the other side's identity — the identity side is unique
+      per string, so this branch is output-linear too.
+
+    No global dedup pass is needed: the three branches are disjoint
+    (same-length vs length±1), and a substitution pair shares exactly
+    ONE tagged key — at every other deletion position the two strings
+    still differ — so the tagged join emits each pair exactly once.
+    Only the (tiny) insert/delete branches dedupe repeated-character
+    deletions, with a belt-and-suspenders levenshtein in the join
+    condition. Dropping the global DISTINCT halves the sf1 time again
+    (26M-pair shuffle avoided). The true pair count is a property of
+    the DATA — a dense
+    ID namespace genuinely has dozens of distance-1 neighbors per
+    key — so the scale cost is output-bound, the same contract as the
+    n-gram and repeated-passage detectors.
     """
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
         F.col("c_name").alias("s"),
         F.col("c_nationkey").alias("nk"),
     )
-    keyed = c.select(
+    dels = c.select(
         "k",
         "s",
         "nk",
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    "array_append(transform(sequence(1, length(s)), "
-                    "i -> concat(substring(s, 1, i - 1), "
-                    "substring(s, i + 1, length(s)))), s)"
-                )
+            F.expr(
+                "transform(sequence(1, length(s)), i -> struct(i AS i, "
+                "concat(substring(s, 1, i - 1), "
+                "substring(s, i + 1, length(s))) AS d))"
             )
-        ).alias("key"),
-    )
-    a = keyed.select(
-        F.col("key"),
+        ).alias("e"),
+    ).select("k", "s", "nk", F.col("e.i").alias("i"), F.col("e.d").alias("d"))
+    da = dels.select(
+        "i",
+        "d",
         F.col("k").alias("ka"),
         F.col("s").alias("sa"),
         F.col("nk").alias("nka"),
     )
-    b = keyed.select(
-        F.col("key"),
-        F.col("k").alias("kb"),
-        F.col("s").alias("sb"),
+    db = dels.select(
+        "i", "d", F.col("k").alias("kb"), F.col("s").alias("sb")
     )
-    cand = (
-        a.join(b, "key")
+    cols = ["ka", "nka", "kb"]
+    sub = (
+        da.join(db, ["i", "d"])
         .filter(F.col("sa") < F.col("sb"))
-        .select("ka", "sa", "nka", "kb", "sb")
+        .select(*cols)
+    )
+    na = c.select(
+        F.col("k").alias("ka"), F.col("s").alias("sa"), F.col("nk").alias("nka")
+    )
+    nb = c.select(F.col("k").alias("kb"), F.col("s").alias("sb"))
+    ins = (
+        da.join(nb, da["d"] == nb["sb"])
+        .filter(
+            (F.col("sa") < F.col("sb")) & (F.levenshtein("sa", "sb") <= 1)
+        )
+        .select(*cols)
         .distinct()
     )
-    verified = cand.filter(F.levenshtein("sa", "sb") <= 1)
+    dele = (
+        na.join(db, na["sa"] == db["d"])
+        .filter(
+            (F.col("sa") < F.col("sb")) & (F.levenshtein("sa", "sb") <= 1)
+        )
+        .select(*cols)
+        .distinct()
+    )
+    verified = sub.unionByName(ins).unionByName(dele)
     return verified.groupBy(F.col("nka").alias("c_nationkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(F.col("ka") + F.col("kb")).cast("long").alias("key_checksum"),
