@@ -124,6 +124,8 @@ HEADLINE = (
     "q_agg_winsorized",
     "q_multimodal_audio_resample",
     "q_text_bpe_encode",
+    "q_source_csv_malformed",
+    "q_source_parquet_merge_schema",
 )
 
 

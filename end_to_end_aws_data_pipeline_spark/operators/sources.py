@@ -448,3 +448,158 @@ def q_source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_suppkey").cast("long").alias("key_checksum"),
         F.sum("acctbal_c").cast("long").alias("acctbal_c_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# malformed-CSV handling (PERMISSIVE mode + corrupt-record column)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_malformed_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministically corrupt every 5th supplier row (non-numeric
+    text in the integer nationkey column) so the corrupt-row set is
+    derivable from the clean table by arithmetic."""
+    out = _derived_dir(sf_dir, "csv_malformed")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            "s_name",
+            F.when(F.col("s_suppkey") % 5 == 0, F.lit("notanint"))
+            .otherwise(F.col("s_nationkey").cast("string"))
+            .alias("s_nationkey"),
+        ).coalesce(2).write.mode("overwrite").option("header", True).csv(out)
+    return out
+
+
+_CSV_MALFORMED_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN s_suppkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN s_suppkey % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN s_suppkey % 5 <> 0 THEN s_nationkey ELSE 0 END)
+            AS BIGINT) AS nationkey_checksum,
+       CAST(sum(CASE WHEN s_suppkey % 5 = 0 THEN s_suppkey ELSE 0 END)
+            AS BIGINT) AS corrupt_key_checksum
+FROM supplier
+"""
+
+
+@register("q_source_csv_malformed", oracle=_CSV_MALFORMED_ORACLE)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling on the CSV source — the production
+    posture for dirty feeds: PERMISSIVE mode with an explicit
+    `columnNameOfCorruptRecord`, so a bad row becomes (nulls + the
+    raw line preserved in the corrupt column) instead of a job abort
+    (FAILFAST) or a silent drop (DROPMALFORMED). Every 5th supplier
+    row carries a non-numeric nationkey; the query audits good/corrupt
+    counts and checksums BOTH populations — the corrupt rows by key
+    (their suppkey still parses), the good rows by the value that had
+    to survive parsing. The oracle derives all of it arithmetically
+    from the clean table, so any row misclassified by the reader
+    breaks the hash.
+
+    At 100 TB this is the difference between one bad upstream export
+    quarantining a table and one bad export killing the nightly load:
+    corrupt rows flow to a dead-letter sink (here: counted and
+    checksummed), good rows flow through, and the scan stays a
+    parallel schema'd read with no inference pass.
+    """
+    path = _ensure_malformed_csv(spark, sf_dir)
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("s_suppkey long, s_name string, s_nationkey long, _corrupt string")
+        .csv(path)
+    )
+    is_bad = F.col("_corrupt").isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(is_bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(is_bad, 0).otherwise(1)).cast("long").alias("n_good"),
+        F.sum(F.when(~is_bad, F.col("s_nationkey")).otherwise(0))
+        .cast("long")
+        .alias("nationkey_checksum"),
+        F.sum(F.when(is_bad, F.col("s_suppkey")).otherwise(0))
+        .cast("long")
+        .alias("corrupt_key_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# parquet schema evolution (mergeSchema read over mixed-schema batches)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_evolving_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet batches of the orders table with different schemas:
+    batch 1 (keys % 2 = 0) has (okey, price_c); batch 2 (% 2 = 1) adds
+    a `priority` column — the additive-column evolution every
+    long-lived lakehouse table goes through."""
+    out = _derived_dir(sf_dir, "parquet_evolve")
+    if not os.path.exists(os.path.join(out, "batch2", "_SUCCESS")):
+        o = table(spark, sf_dir, "orders")
+        base = o.select(
+            F.col("o_orderkey").alias("okey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        base.filter(F.col("okey") % 2 == 0).drop("priority").coalesce(
+            2
+        ).write.mode("overwrite").parquet(os.path.join(out, "batch1"))
+        base.filter(F.col("okey") % 2 == 1).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "batch2"))
+    return out
+
+
+_MERGE_SCHEMA_ORACLE = """
+SELECT coalesce(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                '<pre-evolution>') AS priority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_checksum
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("q_source_parquet_merge_schema", oracle=_MERGE_SCHEMA_ORACLE)
+def q_source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the parquet source: two batches of the same
+    table written under DIFFERENT schemas (the second adds a column),
+    read back as one DataFrame with `mergeSchema=true` — Spark unions
+    the footers' schemas and fills the missing column with NULL for
+    pre-evolution files, which the query surfaces as an explicit
+    '<pre-evolution>' bucket. The oracle reconstructs the same view
+    from the original table by parity, so a reader that dropped
+    pre-evolution rows, misaligned columns, or defaulted the new
+    column wrongly breaks the hash.
+
+    Scale note: mergeSchema reads EVERY file footer at planning time —
+    fine per-batch, expensive over millions of files; the production
+    posture is a table format (or an explicit unified schema, as the
+    other source queries use) once the schema stabilizes. That trade
+    is the point this query pins.
+    """
+    root = _ensure_evolving_parquet(spark, sf_dir)
+    df = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(root, "batch1"), os.path.join(root, "batch2")
+    )
+    return (
+        df.select(
+            F.coalesce(F.col("priority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            ),
+            "okey",
+            "price_c",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("okey").cast("long").alias("key_checksum"),
+            F.sum("price_c").cast("long").alias("price_checksum"),
+        )
+    )
