@@ -126,6 +126,8 @@ HEADLINE = (
     "q_text_bpe_encode",
     "q_source_csv_malformed",
     "q_source_parquet_merge_schema",
+    "q_events_transition_matrix",
+    "q_agg_corr_matrix",
 )
 
 

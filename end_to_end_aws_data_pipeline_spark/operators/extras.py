@@ -500,3 +500,168 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-sequence transition matrix (Markov chain counts)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(CAST(count(*) AS DOUBLE) /
+             sum(count(*)) OVER (PARTITION BY event_type), 6) AS p_next
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register("q_events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: count (state → next state) pairs via one lead() window
+    per user stream, then normalize rows into transition
+    probabilities — the behavioral-analytics building block for
+    session modeling, anomaly detection on event order, and
+    next-action prediction baselines.
+
+    Determinism: the sequence order is (ts, event_id) — the unique id
+    breaks timestamp ties identically in both engines; probabilities
+    are one division of exact counts (identical operands → identical
+    IEEE doubles → exact hash match). Scale: one shuffle on user_id
+    for the lead window (each user's history sorts independently),
+    then an aggregate on the |states|² matrix — the wide data never
+    moves again. The row-normalization window runs on the tiny
+    aggregated matrix, not the event stream.
+    """
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(
+        W.partitionBy("event_type")
+    )
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / row_total, 6
+        ).alias("p_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix from exact decimal moments
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+         sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd,
+         sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd
+  FROM (
+    SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS q,
+           CAST(round(l_extendedprice * 100) AS HUGEINT) AS p,
+           CAST(round(l_discount * 100) AS HUGEINT) AS d
+    FROM lineitem
+  )
+)
+SELECT col_x, col_y,
+       round((n * sxy - sx * sy) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         CAST(n AS DOUBLE) AS n, CAST(sq AS DOUBLE) AS sx,
+         CAST(sp AS DOUBLE) AS sy, CAST(sqp AS DOUBLE) AS sxy,
+         CAST(sqq AS DOUBLE) AS sxx, CAST(spp AS DOUBLE) AS syy
+  FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount',
+         CAST(n AS DOUBLE), CAST(sq AS DOUBLE), CAST(sd AS DOUBLE),
+         CAST(sqd AS DOUBLE), CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE)
+  FROM m
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         CAST(n AS DOUBLE), CAST(sp AS DOUBLE), CAST(sd AS DOUBLE),
+         CAST(spd AS DOUBLE), CAST(spp AS DOUBLE), CAST(sdd AS DOUBLE)
+  FROM m
+)
+"""
+
+_D38C = "decimal(38,0)"
+
+
+@register("q_agg_corr_matrix", oracle=_CORR_ORACLE)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of (quantity, price,
+    discount) from EXACT integer-cent moments in ONE aggregation pass
+    — the q_agg_regression recipe extended to every column pair: all
+    nine sums accumulate exactly (DECIMAL(38,0) / HUGEINT), and only
+    the final correlation formula touches floating point, on operands
+    both engines cast from the same exact integers in the same order.
+
+    One pass means k columns cost k(k+1)/2 moment expressions in a
+    single scan+combine, not k² scans — at 100 TB the matrix is one
+    map-side-combinable aggregate producing a single row, then pure
+    literal arithmetic. (Spark's own `df.stat.corr` computes one pair
+    per call and float-accumulates; this shape is both cheaper and
+    reproducible.)
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast(_D38C)
+    p = F.round(F.col("l_extendedprice") * 100).cast(_D38C)
+    d = F.round(F.col("l_discount") * 100).cast(_D38C)
+    m = li.agg(
+        F.count(F.lit(1)).cast(_D38C).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+
+    def pair(cx, cy, sx, sy, sxy, sxx, syy):
+        n = F.col("n").cast("double")
+        ex, ey = F.col(sx).cast("double"), F.col(sy).cast("double")
+        exy = F.col(sxy).cast("double")
+        exx, eyy = F.col(sxx).cast("double"), F.col(syy).cast("double")
+        corr = (n * exy - ex * ey) / (
+            F.sqrt(n * exx - ex * ex) * F.sqrt(n * eyy - ey * ey)
+        )
+        return F.struct(
+            F.lit(cx).alias("col_x"),
+            F.lit(cy).alias("col_y"),
+            F.round(corr, 6).alias("corr"),
+        )
+
+    pairs = F.array(
+        pair("l_quantity", "l_extendedprice", "sq", "sp", "sqp", "sqq", "spp"),
+        pair("l_quantity", "l_discount", "sq", "sd", "sqd", "sqq", "sdd"),
+        pair("l_extendedprice", "l_discount", "sp", "sd", "spd", "spp", "sdd"),
+    )
+    return m.select(F.explode(pairs).alias("e")).select(
+        "e.col_x", "e.col_y", "e.corr"
+    )
