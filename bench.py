@@ -128,6 +128,7 @@ HEADLINE = (
     "q_source_parquet_merge_schema",
     "q_events_transition_matrix",
     "q_agg_corr_matrix",
+    "q_join_salted_skew",
 )
 
 

@@ -536,3 +536,65 @@ def q_join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(F.col("ka") + F.col("kb")).cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# salted skew join (oracle = the PLAIN join: the salt is an identity)
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = """
+WITH skewed AS (
+  SELECT CASE WHEN o_orderkey % 10 < 9 THEN 0
+         ELSE o_custkey % 100 END AS hot_key,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), dim AS (
+  SELECT DISTINCT c_custkey % 100 AS hot_key,
+         CASE WHEN c_custkey % 100 = 0 THEN 'hot' ELSE 'cold' END AS tier
+  FROM customer
+)
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_c) AS BIGINT) AS price_checksum
+FROM skewed JOIN dim USING (hot_key)
+GROUP BY tier
+"""
+
+
+@register("q_join_salted_skew", oracle=_SALTED_JOIN_ORACLE)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join under deliberate 90% single-key skew, proven an
+    IDENTITY on results: ~90% of fact rows collapse onto hot_key=0,
+    the dimension replicates once per salt, the join runs on
+    (key, salt) — and the oracle computes the PLAIN join, so the
+    hash-green row is a proof that salting changed the partitioning,
+    not the answer (the q_agg_salted_skew contract, extended to
+    joins).
+
+    Without salting, one reducer owns 90% of the probe side at any
+    scale — AQE can re-split a sort-merge join's skewed partition,
+    but not a join that must respect an existing layout. The salt
+    spreads the hot key over n_salts reducers at the bounded price of
+    replicating the (tiny) build side n_salts times.
+    """
+    from end_to_end_aws_data_pipeline_spark.plans.scale import salted_join
+
+    o = table(spark, sf_dir, "orders")
+    skewed = o.select(
+        F.when(F.col("o_orderkey") % 10 < 9, 0)
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("hot_key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    c = table(spark, sf_dir, "customer")
+    dim = c.select(
+        (F.col("c_custkey") % 100).alias("hot_key"),
+        F.when(F.col("c_custkey") % 100 == 0, "hot")
+        .otherwise("cold")
+        .alias("tier"),
+    ).distinct()
+    joined = salted_join(skewed, dim, "hot_key")
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("price_c").cast("long").alias("price_checksum"),
+    )

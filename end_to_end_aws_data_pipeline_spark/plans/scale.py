@@ -210,3 +210,33 @@ def bucketed_write(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted equi-join for a skewed BIG side: the big side gets a
+    deterministic per-row salt in [0, n_salts), the small side is
+    replicated once per salt value, and the join runs on (key, salt) —
+    a hot key's rows spread over ``n_salts`` reducers instead of
+    pinning one straggler task.
+
+    The salt is a content hash of the big side's full row (same
+    retry-safety argument as :func:`salted_agg` — partition-id or
+    monotonic-id salts move rows between buckets when tasks retry).
+    Cost model: the small side's shuffle volume multiplies by
+    ``n_salts``; worth it exactly when one key's row count exceeds
+    what one reducer should own. AQE's skew-join split handles the
+    SORT-MERGE case adaptively (tests/test_plans.py pins that); this
+    helper is the explicit form that also composes with bucketed or
+    pre-partitioned layouts where AQE cannot re-split.
+    """
+    salt = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [key, "__salt"]).drop("__salt")
