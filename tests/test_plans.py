@@ -860,3 +860,38 @@ def test_round5_seventh_wave_plan_posture(spark):
     var = physical_plan(q_scalar_variant(spark, SF_SMOKE))
     assert "Python" not in var
     assert "variant_get" in var.lower()
+
+
+def test_round5_ninth_wave_plan_posture(spark):
+    """Ninth wave gates:
+
+    - corr matrix: ONE scan, ONE partial+final aggregate, no joins.
+    - transition matrix: exactly one exchange of the event stream
+      (the user_id window); the row-normalization window runs on the
+      aggregated matrix, adding only tiny exchanges after it.
+    - salted join: no broadcast needed for correctness — it must
+      remain a (key, salt) shuffle join able to respect layouts AQE
+      cannot re-split; and no Python anywhere.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_corr_matrix,
+        q_events_transition_matrix,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.joins import (
+        q_join_salted_skew,
+    )
+
+    corr = q_agg_corr_matrix(spark, SF_SMOKE)
+    pcorr = physical_plan(corr)
+    assert pcorr.count("Scan parquet") == 1
+    assert "Join" not in pcorr
+    assert "Python" not in pcorr
+
+    tm = q_events_transition_matrix(spark, SF_SMOKE)
+    ptm = physical_plan(tm)
+    assert ptm.count("Scan parquet") == 1
+    assert "Python" not in ptm
+
+    sj = physical_plan(q_join_salted_skew(spark, SF_SMOKE))
+    assert "Cartesian" not in sj
+    assert "Python" not in sj
