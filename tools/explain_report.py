@@ -84,6 +84,35 @@ SHOWCASE = {
         "list (InMemoryTableScan reuse), rank vector co-shuffled on src",
         "pure int64 rank arithmetic — no floats anywhere in the plan",
     ],
+    "q_timeseries_gapfill": [
+        "both bracketing lookups are RUNNING window frames "
+        "([unboundedPreceding, currentRow]; the 'next' side over "
+        "DESCENDING hour) — no [currentRow, unboundedFollowing] "
+        "frame, which Spark evaluates O(span^2) per series",
+        "one hash exchange on user_id serves the hourly aggregate, "
+        "spine join, and both windows",
+    ],
+    "q_join_fuzzy_editdist": [
+        "substitution candidates equi-join on POSITION-TAGGED "
+        "deletion keys — each true pair emitted exactly once, no "
+        "global DISTINCT",
+        "no Cartesian/NestedLoop anywhere",
+    ],
+    "q_agg_winsorized": [
+        "no per-group rank window (a 3-partition sort at any scale); "
+        "bounds from the binned-refinement machinery, then ONE "
+        "conditional aggregate with the bounds broadcast",
+    ],
+    "q_curation_dsir": [
+        "token histogram is a map-side-combinable aggregate; the "
+        "64-bucket weight table broadcasts back; TakeOrderedAndProject "
+        "keeps top-k without a global sort",
+    ],
+    "q_join_salted_skew": [
+        "join runs on (key, salt): the hot key spreads over n_salts "
+        "reducers; the small side replicates per salt (explode), "
+        "never the fact side",
+    ],
     "q_window_ewma": [
         "ONE exchange on user_id; all 8 lag taps ride the same Window "
         "node; weighted sum is codegen'd integer arithmetic",
