@@ -129,6 +129,8 @@ HEADLINE = (
     "q_events_transition_matrix",
     "q_agg_corr_matrix",
     "q_join_salted_skew",
+    "q_embed_dim_stats",
+    "q_text_source_overlap",
 )
 
 

@@ -1231,3 +1231,77 @@ def q_ann_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dot_q") >= F.lit(_RHP_TAU_DOT))
         .select("vec_a", "vec_b", _cosine_out())
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics (normalization parameters)
+# ---------------------------------------------------------------------------
+
+_DIMSTAT_SCALE = 1_000_000  # float32 ~7 significant digits → micro-units
+
+_DIMSTATS_ORACLE = f"""
+WITH d AS (
+  SELECT i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {_DIMSTAT_SCALE}) AS BIGINT) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), m AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sq,
+         CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
+  FROM d GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, n,
+       round(CAST(s AS DOUBLE) / (n * {_DIMSTAT_SCALE}.0), 6) AS mean,
+       round(sqrt((n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * n)) / {_DIMSTAT_SCALE}.0, 6) AS std,
+       round(mn / {_DIMSTAT_SCALE}.0, 6) AS min_v,
+       round(mx / {_DIMSTAT_SCALE}.0, 6) AS max_v
+FROM m
+"""
+
+
+@register("q_embed_dim_stats", oracle=_DIMSTATS_ORACLE)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the mean/std/extent table
+    that parameterizes input normalization (whitening, clipping,
+    drift monitors) for every downstream embedding consumer, and the
+    first audit to run when a new encoder version lands.
+
+    Exactness: float32 components quantize to integer micro-units
+    (exact for ~7-significant-digit inputs), moments accumulate as
+    integers (squares in HUGEINT/DECIMAL38), and mean/std come from
+    one division+sqrt on identical operands — both engines emit
+    bit-identical rounded doubles. Scale: posexplode fans N×64 rows
+    into a 64-group map-side-combinable aggregate; no joins, no
+    windows, executor state is 64 moment rows.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode("embedding").alias("dim0", "ef")
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("ef").cast("double") * _DIMSTAT_SCALE)
+        .cast("long")
+        .alias("v"),
+    )
+    m = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("sq"),
+        F.min("v").cast("long").alias("mn"),
+        F.max("v").cast("long").alias("mx"),
+    )
+    n = F.col("n").cast("double")
+    sd = F.sqrt(
+        (n * F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (n * n)
+    )
+    return m.select(
+        "dim",
+        "n",
+        F.round(F.col("s").cast("double") / (F.col("n") * float(_DIMSTAT_SCALE)), 6).alias("mean"),
+        F.round(sd / _DIMSTAT_SCALE, 6).alias("std"),
+        F.round(F.col("mn") / float(_DIMSTAT_SCALE), 6).alias("min_v"),
+        F.round(F.col("mx") / float(_DIMSTAT_SCALE), 6).alias("max_v"),
+    )

@@ -1172,3 +1172,84 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
         ).alias("subwords_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source-pair vocabulary overlap (exact Jaccard matrix)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH st AS (
+  SELECT DISTINCT source, t.t AS tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(t)
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_common,
+       sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b,
+       round(CAST(n_common AS DOUBLE)
+             / (sa.n_vocab + sb.n_vocab - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
+@register("q_text_source_overlap", oracle=_OVERLAP_ORACLE)
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between SOURCES — the corpus-level
+    dedup signal (two feeds scraping the same sites share vocabulary
+    long before they share exact documents) and the redundancy input
+    to mixture design.
+
+    Scale shape — the reason this is safe at 100 TB: the self-join
+    runs on the DISTINCT (source, token) table, and a token's bucket
+    is bounded by the number of SOURCES carrying it (≤ |sources|,
+    here 20), not by its corpus frequency — so join work is
+    O(|vocab| · |sources|²) worst case and typically far less, never
+    O(corpus²). Distinct-ing first also means the hot shuffle carries
+    each (source, token) once. Counts are exact integers; the single
+    Jaccard division runs on identical operands in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    st = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab")
+    )
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_vocab").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
