@@ -131,6 +131,8 @@ HEADLINE = (
     "q_join_salted_skew",
     "q_embed_dim_stats",
     "q_text_source_overlap",
+    "q_events_burst",
+    "q_pipeline_curation_v3",
 )
 
 

@@ -665,3 +665,84 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(pairs).alias("e")).select(
         "e.col_x", "e.col_y", "e.corr"
     )
+
+
+# ---------------------------------------------------------------------------
+# burst detection: trailing event-time window counts per user
+# ---------------------------------------------------------------------------
+
+_BURST_WINDOW_S = 3600  # trailing hour
+_BURST_THRESHOLD = 3  # >= 3 events in the window flags a burst
+
+_BURST_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), w AS (
+  SELECT user_id, event_id, event_type,
+         count(*) OVER (PARTITION BY user_id ORDER BY es
+                        RANGE BETWEEN {_BURST_WINDOW_S} PRECEDING
+                        AND CURRENT ROW) AS n_trailing
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN n_trailing >= {_BURST_THRESHOLD}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_events,
+       CAST(sum(CASE WHEN n_trailing >= {_BURST_THRESHOLD}
+                THEN event_id ELSE 0 END) AS BIGINT) AS burst_checksum,
+       CAST(max(n_trailing) AS BIGINT) AS max_trailing
+FROM w GROUP BY event_type
+"""
+
+
+@register("q_events_burst", oracle=_BURST_ORACLE)
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection — the alerting primitive ("N events from one
+    user inside an hour"): a trailing EVENT-TIME range frame counts
+    each user's activity in the preceding hour; rows at or above
+    the threshold are flagged and checksummed by event id, so the
+    hash pins exactly WHICH events were burst members, not just how
+    many.
+
+    The frame is RANGE over integer epoch seconds (identical
+    arithmetic both engines, no interval-type conventions), running
+    [N PRECEDING, CURRENT ROW] — the incremental frame shape, never
+    the O(n²) following-scan (see the gapfill fix). Partitioning is
+    user_id — cardinality grows with the data, so the window
+    parallelizes at any scale; the per-type rollup afterwards touches
+    only flag counts. The streaming twin is the sliding window in
+    streaming/queries.py; this is the batch/backfill form over the
+    same event log.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-_BURST_WINDOW_S, W.currentRow)
+    )
+    flagged = base.select(
+        "event_type",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+    is_burst = F.col("n_trailing") >= _BURST_THRESHOLD
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(is_burst, 1).otherwise(0))
+        .cast("long")
+        .alias("n_burst_events"),
+        F.sum(F.when(is_burst, F.col("event_id")).otherwise(0))
+        .cast("long")
+        .alias("burst_checksum"),
+        F.max("n_trailing").cast("long").alias("max_trailing"),
+    )

@@ -311,3 +311,189 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_q").cast("double") / F.count(F.lit(1)) / 1000.0, 6
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# capstone v3: model-based selection funnel
+# (classifier gate → canonical dedup → DSIR top-k), one lazy plan
+# ---------------------------------------------------------------------------
+
+_V3_TOP = 100
+
+
+def _v3_oracle() -> str:
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        _DSIR_B,
+        _DSIR_TARGET,
+        _dsir_lw,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _CLF_BIAS,
+        _CLF_BUCKET_MOD,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text, n_chars,
+         {_CLF_BIAS} + coalesce(list_sum(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> CAST(('0x' || substr(md5(string_split(text, ' ')[i] || '_' ||
+                      string_split(text, ' ')[i + 1]), 1, 15))::BIGINT
+                     % {_CLF_BUCKET_MOD} - 16 AS BIGINT))), 0) AS score
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE score > 0
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY md5(array_to_string(
+             list_sort(string_split(text, ' ')), ' '))
+           ORDER BY n_chars DESC, doc_id) AS rk
+  FROM kept
+), deduped AS (
+  SELECT doc_id, lang, text FROM ranked WHERE rk = 1
+), toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t.t), 1, 15))::BIGINT % {_DSIR_B} AS b,
+         CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END AS is_t
+  FROM deduped, unnest(string_split(text, ' ')) AS t(t)
+), hist AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cr, CAST(sum(is_t) AS BIGINT) AS ct
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM hist
+), lw AS (
+  SELECT b, {_dsir_lw("//")} AS w FROM hist, tot
+), docw AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS weight
+  FROM toks JOIN lw USING (b) GROUP BY doc_id
+), sel AS (
+  SELECT doc_id FROM docw ORDER BY weight DESC, doc_id LIMIT {_V3_TOP}
+)
+SELECT stage, n_docs, id_checksum FROM (
+  SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM documents
+  UNION ALL
+  SELECT 'classifier', CAST(count(*) AS BIGINT),
+         CAST(sum(doc_id) AS BIGINT) FROM kept
+  UNION ALL
+  SELECT 'dedup', CAST(count(*) AS BIGINT),
+         CAST(sum(doc_id) AS BIGINT) FROM deduped
+  UNION ALL
+  SELECT 'dsir_top{_V3_TOP}', CAST(count(*) AS BIGINT),
+         CAST(sum(doc_id) AS BIGINT) FROM sel
+)
+"""
+
+
+@register("q_pipeline_curation_v3", oracle=_v3_oracle())
+def q_pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 capstone: the MODEL-BASED selection funnel — hashed
+    linear classifier gate (fastText shape, q_text_classifier) →
+    canonical keep-best dedup (sorted-multiset fingerprint,
+    q_dedup_canonical) → DSIR importance selection toward the target
+    distribution (fixed-point log2, q_curation_dsir) — with per-stage
+    document counts and id checksums as the audit artifact, so the
+    hash pins exactly which documents survived each stage.
+
+    Composition posture: one lazy plan; the classifier score is a
+    codegen'd projection pushed before any shuffle, dedup shuffles
+    16-byte fingerprints (never text), the DSIR histogram is built on
+    the POST-dedup corpus (duplicate families must not skew the
+    target model — same ordering argument as the v2 LM), and the
+    final selection is a TakeOrderedAndProject. The survivor corpus
+    persists once and feeds the histogram, the scoring join, and the
+    stage accounting.
+    """
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+    from end_to_end_aws_data_pipeline_spark.operators.curation import (
+        _DSIR_B,
+        _DSIR_TARGET,
+        _dsir_lw,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _CLF_BIAS,
+        _CLF_BUCKET_MOD,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), '_', element_at(w, i + 1)))"
+    )
+    score = F.lit(_CLF_BIAS) + F.coalesce(
+        F.aggregate(
+            bigrams,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + (
+                F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+                % _CLF_BUCKET_MOD
+                - 16
+            ),
+        ),
+        F.lit(0).cast("long"),
+    )
+    kept = persisted(
+        docs.select("doc_id", "lang", "text", "n_chars", w.alias("w"))
+        .withColumn("score", score)
+        .filter(F.col("score") > 0)
+    )
+    from pyspark.sql import Window as W
+
+    fp = F.md5(F.array_join(F.array_sort("w"), " "))
+    rk = F.row_number().over(
+        W.partitionBy("fp").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    deduped = persisted(
+        kept.withColumn("fp", fp)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "w")
+    )
+    toks = deduped.select(
+        "doc_id",
+        F.explode("w").alias("t"),
+        F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0).alias("is_t"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+        "is_t",
+    )
+    hist = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum("is_t").cast("long").alias("ct"),
+    )
+    tot = hist.agg(
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("ct").cast("long").alias("nt"),
+    )
+    lw = hist.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_dsir_lw("div")).cast("long").alias("lw")
+    )
+    sel = (
+        toks.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lw").cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(_V3_TOP)
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        ).select("stage", "n_docs", "id_checksum")
+
+    return (
+        stage(docs, "raw")
+        .unionByName(stage(kept, "classifier"))
+        .unionByName(stage(deduped, "dedup"))
+        .unionByName(stage(sel, f"dsir_top{_V3_TOP}"))
+    )
