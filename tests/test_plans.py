@@ -895,3 +895,47 @@ def test_round5_ninth_wave_plan_posture(spark):
     sj = physical_plan(q_join_salted_skew(spark, SF_SMOKE))
     assert "Cartesian" not in sj
     assert "Python" not in sj
+
+
+def test_round5_tenth_wave_plan_posture(spark):
+    """Tenth wave gates:
+
+    - embedding dim stats: one scan, no joins, no Python — a
+      64-group map-side-combinable aggregate.
+    - source overlap: the self-join runs on the DISTINCT
+      (source, token) table; no cartesian.
+    - burst detection: one scan, a running range frame, no Python.
+    - capstone v3: fully JVM-side (the classifier is a codegen'd
+      fold, unlike v2's NFC pandas stage); top-k via
+      TakeOrderedAndProject; the survivor corpus is persisted
+      (InMemoryTableScan present).
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_events_burst,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.pipeline_demo import (
+        q_pipeline_curation_v3,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_embed_dim_stats,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        q_text_source_overlap,
+    )
+
+    ds = physical_plan(q_embed_dim_stats(spark, SF_SMOKE))
+    assert ds.count("Scan parquet") == 1
+    assert "Join" not in ds and "Python" not in ds
+
+    ov = physical_plan(q_text_source_overlap(spark, SF_SMOKE))
+    assert "Cartesian" not in ov and "Python" not in ov
+
+    bu = physical_plan(q_events_burst(spark, SF_SMOKE))
+    assert bu.count("Scan parquet") == 1
+    assert "Window" in bu and "Python" not in bu
+
+    v3 = q_pipeline_curation_v3(spark, SF_SMOKE)
+    pv3 = physical_plan(v3)
+    assert "Python" not in pv3
+    assert "InMemoryTableScan" in pv3
+    assert uses_take_ordered(v3)
