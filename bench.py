@@ -133,6 +133,7 @@ HEADLINE = (
     "q_text_source_overlap",
     "q_events_burst",
     "q_pipeline_curation_v3",
+    "q_stream_python_datasource",
 )
 
 

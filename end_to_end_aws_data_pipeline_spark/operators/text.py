@@ -1253,3 +1253,48 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF (useArrow=True — the middle rung of the
+# Python UDF ladder: row semantics, Arrow-batched transport)
+# ---------------------------------------------------------------------------
+
+_ARROWUDF_ORACLE = """
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+         AS n_consonant_chars,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@register("q_udf_arrow", oracle=_ARROWUDF_ORACLE)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (`@udf(..., useArrow=True)`,
+    SPARK-40307) — completes the Python-UDF ladder this repo covers:
+    row-wise pickled UDF (q_udf_rowwise, the anti-pattern) → THIS
+    (row-call semantics, Arrow-batched transport: one serialization
+    round per batch instead of per row) → pandas_udf vectorized →
+    mapInPandas / applyInPandas / GROUPED_AGG / UDTF.
+
+    Still a deliberately tiny slice: the function body executes per
+    ROW in Python, so even Arrow transport leaves ~10× on the table
+    vs a vectorized pandas_udf, and ~100× vs the built-in regexp the
+    oracle uses — the ladder exists in the repo precisely to make
+    that routing decision legible.
+    """
+    from pyspark.sql import types as T
+
+    @F.udf(T.LongType(), useArrow=True)
+    def consonant_chars(s: str) -> int:
+        if s is None:
+            return None
+        return sum(1 for ch in s if ch not in "aeiou")
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return d.select(
+        "doc_id",
+        consonant_chars(F.col("text")).alias("n_consonant_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

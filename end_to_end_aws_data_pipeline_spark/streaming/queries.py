@@ -509,3 +509,84 @@ if _has_protobuf():  # pragma: no cover — env-bound (see _has_protobuf)
     register("q_stream_transform_with_state", oracle=_TWS_ORACLE)(
         q_stream_transform_with_state
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python streaming source executed in-gate
+# ---------------------------------------------------------------------------
+
+_PYDS_STREAM_N = 5000
+_PYDS_STREAM_BATCH = 700  # 8 uneven micro-batches
+
+_PYDS_STREAM_ORACLE = f"""
+WITH ev AS (
+  SELECT range AS event_id,
+         ['view','click','purchase','refund','idle'][range % 5 + 1] AS kind,
+         (range * range) % 10000 AS value_cents
+  FROM range(0, {_PYDS_STREAM_N})
+)
+SELECT kind,
+       count(*) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS cents_checksum,
+       CAST(min(event_id) AS BIGINT) AS first_id,
+       CAST(max(event_id) AS BIGINT) AS last_id
+FROM ev GROUP BY kind
+"""
+
+
+@register("q_stream_python_datasource", oracle=_PYDS_STREAM_ORACLE)
+def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pure-Python STREAMING connector executed for real inside the
+    gate: the custom data source's `simpleStreamReader` face
+    (operators/sources.py — same registration serves spark.read and
+    spark.readStream) advances a cursor offset 700 rows per
+    micro-batch over 5 000 deterministic events; the complete-mode
+    aggregate after processAllAvailable must equal the DuckDB
+    regeneration of the same arithmetic — so a dropped, duplicated,
+    or re-ordered micro-batch breaks the hash, which is precisely the
+    exactly-once contract (offset log + deterministic
+    readBetweenOffsets replay) a Kafka-style source provides.
+
+    This is the connector extension point for feeds Spark has no
+    native reader for — internal APIs, bespoke binary logs — written
+    entirely in Python and still getting checkpointed offsets,
+    recovery replay, and per-partition parallel reads from the
+    engine.
+    """
+    import tempfile
+
+    from end_to_end_aws_data_pipeline_spark.operators.sources import (
+        SyntheticEventsDataSource,
+    )
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    if SyntheticEventsDataSource is None:
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4+")
+    ensure_runtime_confs(spark)
+    spark.dataSource.register(SyntheticEventsDataSource)
+    name = f"__pyds_stream_{next(_counter)}"
+    ev = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", _PYDS_STREAM_N)
+        .option("batch_rows", _PYDS_STREAM_BATCH)
+        .load()
+    )
+    agg = ev.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").cast("long").alias("cents_checksum"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="pyds_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
