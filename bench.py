@@ -134,6 +134,8 @@ HEADLINE = (
     "q_events_burst",
     "q_pipeline_curation_v3",
     "q_stream_python_datasource",
+    "q_text_langid_confusion",
+    "q_etl_timestamp_parse",
 )
 
 

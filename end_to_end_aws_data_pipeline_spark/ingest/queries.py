@@ -486,3 +486,98 @@ def q_etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.select(
         "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust multi-format timestamp parsing (try-parse chain + dead letter)
+# ---------------------------------------------------------------------------
+
+_TSPARSE_ORACLE = """
+WITH raw AS (
+  SELECT o_orderkey AS k,
+         CASE o_orderkey % 4
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+           WHEN 1 THEN strftime(o_orderdate, '%d-%m-%Y')
+           WHEN 2 THEN CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                            AS VARCHAR)
+           ELSE 'not-a-date'
+         END AS s,
+         o_orderkey % 4 AS fmt
+  FROM orders
+), parsed AS (
+  SELECT k, fmt,
+         coalesce(
+           try_strptime(s, '%Y-%m-%d'),
+           try_strptime(s, '%d-%m-%Y'),
+           CASE WHEN TRY_CAST(s AS BIGINT) IS NOT NULL
+                THEN to_timestamp(TRY_CAST(s AS BIGINT))::TIMESTAMP END
+         ) AS ts
+  FROM raw
+)
+SELECT CAST(fmt AS INT) AS fmt,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_failed,
+       CAST(coalesce(sum(CAST(floor(epoch(ts)) AS BIGINT)), 0) AS BIGINT)
+         AS epoch_checksum
+FROM parsed
+GROUP BY fmt
+"""
+
+
+@register("q_etl_timestamp_parse", oracle=_TSPARSE_ORACLE)
+def q_etl_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust timestamp ingestion: a try-parse chain over the formats
+    real feeds actually mix — ISO dates, the reference's European
+    dd-MM-yyyy (ref fixture TEACHER_DETAILS dates, SURVEY.md §3),
+    and raw epoch seconds — with unparseable rows surviving as NULLs
+    to be counted into a dead-letter bucket rather than aborting the
+    load (the q_source_csv_malformed posture applied to time).
+
+    Order matters and is pinned by the oracle: a dd-MM-yyyy string
+    must FALL THROUGH the ISO pattern (4-digit-year position makes
+    the day field invalid) rather than mis-parse — the classic
+    ambiguity trap this chain's priority order resolves identically
+    in both engines. Self-contained round-trip fixture: each row
+    formats its own o_orderdate by key mod 4, parses it back, and the
+    epoch checksum per format pins value-level agreement.
+    """
+    o = table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).cast("int").alias("fmt"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.date_format("o_orderdate", "dd-MM-yyyy"),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.unix_timestamp("o_orderdate").cast("string"),
+        )
+        .otherwise(F.lit("not-a-date"))
+        .alias("s"),
+    )
+    parsed = raw.select(
+        "k",
+        "fmt",
+        F.coalesce(
+            F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd")),
+            F.try_to_timestamp(F.col("s"), F.lit("dd-MM-yyyy")),
+            F.expr("try_cast(s AS BIGINT)").cast("timestamp"),
+        ).alias("ts"),
+    )
+    return parsed.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_failed"),
+        F.coalesce(
+            F.sum(F.floor(F.unix_timestamp("ts")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("epoch_checksum"),
+    )

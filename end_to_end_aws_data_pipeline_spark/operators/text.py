@@ -1298,3 +1298,101 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         consonant_chars(F.col("text")).alias("n_consonant_chars"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: language-ID confusion matrix + per-class PRF
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    lex = ", ".join(f"('{lang}', '{w}')" for lang, w in _LANG_LEXICON)
+    return f"""
+WITH lex(lex_lang, word) AS (
+  VALUES {lex}
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), hits AS (
+  SELECT doc_id, lex_lang, count(*) AS n_hits
+  FROM tok JOIN lex USING (word)
+  GROUP BY doc_id, lex_lang
+), ranked AS (
+  SELECT doc_id, lex_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, lex_lang) AS rn
+  FROM hits
+), pred AS (
+  SELECT d.doc_id, d.lang AS labeled,
+         coalesce(r.lex_lang, 'unknown') AS predicted
+  FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+), cm AS (
+  SELECT labeled, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY labeled, predicted
+)
+SELECT labeled, predicted, n,
+       round(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY labeled), 6) AS recall_share,
+       round(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY predicted), 6) AS precision_share
+FROM cm
+"""
+
+
+@register("q_text_langid_confusion", oracle=_langid_confusion_oracle())
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION in-engine: the labeled-vs-predicted
+    confusion matrix for the marker-word language identifier, with
+    each cell's share of its true-label row (recall direction) and
+    predicted column (precision direction) — the quality-monitoring
+    twin of q_ann_recall: the pipeline measures its own heuristics
+    instead of shipping them on faith, and a drifting upstream corpus
+    shows up as matrix mass moving off the diagonal.
+
+    Everything reuses the production prediction path (same lexicon
+    broadcast join + argmax), then aggregates to a |langs|² matrix;
+    the share divisions run on exact counts over the tiny matrix.
+    """
+    d = table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(
+            _LANG_LEXICON, schema="lex_lang string, word string"
+        )
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    hits = tok.join(lex, "word").groupBy("doc_id", "lex_lang").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("lex_lang")
+    )
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pred = (
+        d.select("doc_id", F.col("lang").alias("labeled"))
+        .join(best, "doc_id", "left")
+        .select(
+            "labeled",
+            F.coalesce("lex_lang", F.lit("unknown")).alias("predicted"),
+        )
+    )
+    cm = pred.groupBy("labeled", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cm.select(
+        "labeled",
+        "predicted",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("labeled")),
+            6,
+        ).alias("recall_share"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("predicted")),
+            6,
+        ).alias("precision_share"),
+    )
