@@ -136,6 +136,8 @@ HEADLINE = (
     "q_stream_python_datasource",
     "q_text_langid_confusion",
     "q_etl_timestamp_parse",
+    "q_curation_temperature_mix",
+    "q_agg_mode",
 )
 
 

@@ -717,3 +717,114 @@ if _DSIR_DOC is not None:
     q_curation_dsir.__doc__ = _DSIR_DOC.replace("{tgt}", _DSIR_TARGET).replace(
         "{B}", str(_DSIR_B)
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture quotas (alpha = 0.5 via exact integer sqrt)
+# ---------------------------------------------------------------------------
+
+_TMIX_BUDGET = 1000  # total documents to sample across sources
+_TMIX_SCALE = 1_000_000  # w = isqrt(n * SCALE) = 1000*sqrt(n) as an integer
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt in portable SQL: floor of the double sqrt,
+    then ±1 integer corrections (a correctly-rounded double sqrt is at
+    most one off after floor for x < 2^52)."""
+    s = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({s} - CAST({s} * {s} > ({x}) AS INT)"
+        f" + CAST(({s} + 1) * ({s} + 1) <= ({x}) AS INT))"
+    )
+
+
+_TMIX_ORACLE = f"""
+WITH n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         {_isqrt_sql(f"n_docs * {_TMIX_SCALE}")} AS weight
+  FROM n
+), tot AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w
+), base AS (
+  SELECT source, n_docs, weight,
+         {_TMIX_BUDGET} * weight // wsum AS q0,
+         {_TMIX_BUDGET} * weight % wsum AS rem
+  FROM w, tot
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         (SELECT {_TMIX_BUDGET} - sum(q0) FROM base) AS shortfall
+  FROM base
+)
+SELECT source, n_docs, CAST(weight AS BIGINT) AS weight,
+       CAST(q0 + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked
+"""
+
+
+@register("q_curation_temperature_mix", oracle=_TMIX_ORACLE)
+def q_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture quotas (the T5/mT5 recipe, α = 0.5):
+    per-source sampling budgets proportional to n^α, flattening the
+    source distribution so head sources stop drowning the tail —
+    computed EXACTLY: w = isqrt(n·10⁶) is an integer 1000·√n (double
+    sqrt floored, then ±1 integer corrections, so the value is
+    provably the integer square root in both engines), floor quotas
+    by integer division, and the remaining budget assigned by
+    largest-remainder ranking (deterministic tie-break on source) so
+    quotas sum to the budget exactly.
+
+    Shape: one count aggregate over the corpus; everything after runs
+    on the |sources|-row table. The quota table then drives the
+    deterministic hash samplers (q_sample_stratified) — quota/n is
+    each source's Bernoulli rate.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    sx = F.floor(F.sqrt((F.col("n_docs") * _TMIX_SCALE).cast("double"))).cast(
+        "long"
+    )
+    x = F.col("n_docs") * _TMIX_SCALE
+    isq = (
+        sx
+        - (sx * sx > x).cast("int")
+        + ((sx + 1) * (sx + 1) <= x).cast("int")
+    )
+    w = n.select("source", "n_docs", isq.cast("long").alias("weight"))
+    tot = w.agg(F.sum("weight").cast("long").alias("wsum"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr(f"{_TMIX_BUDGET} * weight div wsum").alias("q0"),
+        F.expr(f"{_TMIX_BUDGET} * weight % wsum").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(_TMIX_BUDGET) - F.sum("q0")).cast("long").alias("shortfall")
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("rem").desc(), "source")
+    )
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rk", rk)
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            (
+                F.col("q0")
+                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

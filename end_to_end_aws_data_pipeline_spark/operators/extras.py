@@ -746,3 +746,52 @@ def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("burst_checksum"),
         F.max("n_trailing").cast("long").alias("max_trailing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mode (most frequent value) per group, deterministic tie-break
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, source) AS rk
+  FROM c
+)
+SELECT lang, source AS mode_source, n AS n_occurrences
+FROM r WHERE rk = 1
+"""
+
+
+@register("q_agg_mode", oracle=_MODE_ORACLE)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a PINNED tie-break
+    (count desc, then value asc) — written as count + ranked window
+    instead of an engine `mode()` aggregate precisely because engine
+    modes break ties arbitrarily (DuckDB's docs say "first value
+    encountered"), which can never hash-match across engines. The
+    deterministic formulation is also the scalable one: the count
+    aggregate is map-side combinable and the window runs on the
+    (groups × distinct values) table, not the raw rows.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("n").desc(), "source")
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("mode_source"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
