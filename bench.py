@@ -138,6 +138,7 @@ HEADLINE = (
     "q_etl_timestamp_parse",
     "q_curation_temperature_mix",
     "q_agg_mode",
+    "q_agg_higher_moments",
 )
 
 

@@ -795,3 +795,101 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# higher moments: skewness / kurtosis from exact integer sums
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_quantity * 100) AS HUGEINT) AS x
+  FROM lineitem
+), m AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS s1, sum(x * x) AS s2,
+         sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+  FROM v GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round((CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       * CAST(s2 AS DOUBLE)
+                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE)))
+             / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5), 6)
+         AS skewness,
+       round((CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(s4 AS DOUBLE)
+                 - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) - 3.0, 6)
+         AS excess_kurtosis
+FROM m
+"""
+
+
+@register("q_agg_higher_moments", oracle=_MOM_ORACLE)
+def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from EXACT raw moments:
+    Σx, Σx², Σx³, Σx⁴ accumulate as integers (DECIMAL(38,0)/HUGEINT —
+    4th powers of cent values stay under 10³⁴ even at 10⁹ rows), and
+    the standardized-moment formulas run once per group on identical
+    double operands in identical order, so both engines emit the same
+    rounded values — unlike float-accumulated skewness/kurtosis
+    aggregates, whose partial-merge order changes the answer between
+    runs, let alone engines.
+
+    Completes the distribution-shape family (exact mean/var →
+    regression → correlation → skew/kurtosis): one combinable
+    aggregate, a |groups|-row result, the tail-shape audit that flags
+    heavy-tailed value columns for winsorization (q_agg_winsorized)
+    or log-transform before modeling.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    m = li.select(F.col("l_returnflag").alias("g"), x.alias("x")).groupBy(
+        "g"
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    var_term = n * s2 - s1 * s1
+    skew = (
+        n * F.sqrt(n) * (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
+    ) / F.pow(var_term, 1.5)
+    kurt = (
+        n
+        * (
+            n * n * n * s4
+            - 4.0 * n * n * s1 * s3
+            + 6.0 * n * s1 * s1 * s2
+            - 3.0 * s1 * s1 * s1 * s1
+        )
+    ) / (var_term * var_term) - 3.0
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

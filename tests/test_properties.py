@@ -536,3 +536,57 @@ def test_fastss_deletion_neighborhood_complete():
         for b in vocab[i + 1 :]:
             if lev(a, b) <= 1:
                 assert keys(a) & keys(b), (a, b)
+
+
+def test_isqrt_correction_exact():
+    """The portable integer-sqrt used by temperature mixing (floored
+    double sqrt with ±1 corrections) must equal math.isqrt for every
+    input tried — including perfect squares, off-by-one neighbors,
+    and values near the 2^52 double-precision cliff."""
+    import math
+
+    def isqrt_sql(x: int) -> int:
+        s = int(math.floor(math.sqrt(float(x))))
+        return s - (s * s > x) + ((s + 1) * (s + 1) <= x)
+
+    cases = list(range(0, 3000))
+    for k in (10**6, 10**9, 2**26, 2**45, 2**52 - 1):
+        for d in (-2, -1, 0, 1, 2):
+            cases.append(max(0, k + d))
+    for base in (997, 2**20 + 7, 67_108_859):
+        sq = base * base
+        cases += [sq - 1, sq, sq + 1]
+    for x in cases:
+        assert isqrt_sql(x) == math.isqrt(x), x
+
+
+def test_temperature_quota_invariants():
+    """Largest-remainder temperature quotas (python mirror of
+    q_curation_temperature_mix): sum to budget exactly, never
+    negative, and monotone — a source with more docs never gets a
+    smaller quota."""
+    import math
+
+    def quotas(counts: dict[str, int], budget: int) -> dict[str, int]:
+        w = {s: math.isqrt(n * 1_000_000) for s, n in counts.items()}
+        wsum = sum(w.values())
+        q0 = {s: budget * wv // wsum for s, wv in w.items()}
+        rem = {s: budget * wv % wsum for s, wv in w.items()}
+        short = budget - sum(q0.values())
+        order = sorted(counts, key=lambda s: (-rem[s], s))
+        for s in order[:short]:
+            q0[s] += 1
+        return q0
+
+    for counts in (
+        {f"s{i}": (i + 1) * 7 for i in range(20)},
+        {"a": 1, "b": 1_000_000},
+        {"a": 5, "b": 5, "c": 5},
+    ):
+        q = quotas(counts, 1000)
+        assert sum(q.values()) == 1000
+        assert all(v >= 0 for v in q.values())
+        ranked = sorted(counts.items(), key=lambda kv: kv[1])
+        for (s1, n1), (s2, n2) in zip(ranked, ranked[1:]):
+            if n1 < n2:
+                assert q[s1] <= q[s2], (counts, q)
