@@ -139,6 +139,7 @@ HEADLINE = (
     "q_curation_temperature_mix",
     "q_agg_mode",
     "q_agg_higher_moments",
+    "q_cdc_scd2_compact",
 )
 
 

@@ -399,3 +399,111 @@ def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_i").cast("long").alias("price_checksum"),
         F.sum("valid_from").cast("long").alias("version_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 compaction: collapse adjacent versions with identical payload
+# ---------------------------------------------------------------------------
+
+# redundant-version chain derived from orders: seq 1/2/3 per key where
+# the seq-2 payload REPEATS seq-1 for keys % 2 = 0 (the no-op update
+# every CDC feed emits) and seq-3 always changes
+_COMPACT_FEED_SQL = """
+  SELECT o_orderkey AS okey, s.seq AS seq,
+         CAST(floor(o_totalprice) AS BIGINT)
+           + CASE WHEN s.seq = 3 THEN 30
+                  WHEN s.seq = 2 AND o_orderkey % 2 = 1 THEN 20
+                  ELSE 10 END AS price_i
+  FROM orders, (SELECT unnest([1, 2, 3]) AS seq) s
+  WHERE o_orderkey % 5 = 0
+"""
+
+_COMPACT_ORACLE = f"""
+WITH feed AS ({_COMPACT_FEED_SQL}),
+marked AS (
+  SELECT okey, seq, price_i,
+         CASE WHEN lag(price_i) OVER (PARTITION BY okey ORDER BY seq)
+                   IS DISTINCT FROM price_i THEN 1 ELSE 0 END AS is_new
+  FROM feed
+), islands AS (
+  SELECT okey, seq, price_i,
+         sum(is_new) OVER (PARTITION BY okey ORDER BY seq
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), compacted AS (
+  SELECT okey, price_i,
+         CAST(min(seq) AS INT) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_collapsed
+  FROM islands GROUP BY okey, island, price_i
+)
+SELECT CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(n_collapsed) AS BIGINT) AS n_raw_versions,
+       CAST(sum(okey) AS BIGINT) AS key_checksum,
+       CAST(sum(price_i * valid_from) AS BIGINT) AS payload_checksum
+FROM compacted
+"""
+
+
+@register("q_cdc_scd2_compact", oracle=_COMPACT_ORACLE)
+def q_cdc_scd2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version compaction: adjacent versions whose payload did
+    not change collapse into one validity interval — the
+    gaps-and-islands pass every dimension maintenance job needs,
+    because upstream CDC feeds emit no-op updates (touch timestamps,
+    replayed rows) that would otherwise bloat the version chain and
+    slow every point-in-time lookup.
+
+    Mechanics: lag() marks payload CHANGES per key (IS DISTINCT FROM
+    so NULL payloads compare correctly), a running sum turns the
+    marks into island ids, and a group-by per (key, island) keeps the
+    earliest valid_from. The fixture plants a no-op seq-2 update on
+    half the keys, so the compacted count is strictly between 2n and
+    3n — and the payload checksum weights price by valid_from,
+    pinning that each island kept its EARLIEST version boundary.
+
+    One shuffle on the entity key serves the lag, the island sum, and
+    the group-by; chains are short (bounded by change frequency), so
+    partitions stay balanced at any table size.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    seqs = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("seq")
+    feed = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor("o_totalprice").cast("long").alias("base"),
+        seqs,
+    ).select(
+        "okey",
+        "seq",
+        (
+            F.col("base")
+            + F.when(F.col("seq") == 3, 30)
+            .when((F.col("seq") == 2) & (F.col("okey") % 2 == 1), 20)
+            .otherwise(10)
+        ).alias("price_i"),
+    )
+    wk = W.partitionBy("okey").orderBy("seq")
+    lagged = F.lag("price_i").over(wk)
+    marked = feed.withColumn(
+        "is_new",
+        F.when(
+            ~lagged.eqNullSafe(F.col("price_i")), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("is_new").over(wk.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    compacted = islands.groupBy("okey", "island", "price_i").agg(
+        F.min("seq").cast("int").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_collapsed"),
+    )
+    return compacted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum("n_collapsed").cast("long").alias("n_raw_versions"),
+        F.sum("okey").cast("long").alias("key_checksum"),
+        F.sum(F.col("price_i") * F.col("valid_from"))
+        .cast("long")
+        .alias("payload_checksum"),
+    )

@@ -939,3 +939,38 @@ def test_round5_tenth_wave_plan_posture(spark):
     assert "Python" not in pv3
     assert "InMemoryTableScan" in pv3
     assert uses_take_ordered(v3)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime (injected) bloom-filter semi-join reduction: when a
+    selective dimension filter feeds a non-broadcast join, Spark's
+    optimizer builds a bloom filter on the dim keys and pushes a
+    `bloom_filter_might_contain` probe into the FACT scan — rows that
+    can't join die before the shuffle. At 100 TB this is the free
+    shuffle-volume reducer for selective star joins too big to
+    broadcast (the engine-native cousin of the explicit Bloom
+    incremental-dedup operator)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = table(spark, SF_SMOKE, "lineitem")
+        dim = table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+        plan = physical_plan(j)
+        assert "bloom_filter" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
