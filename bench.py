@@ -140,6 +140,7 @@ HEADLINE = (
     "q_agg_mode",
     "q_agg_higher_moments",
     "q_cdc_scd2_compact",
+    "q_agg_kmv_distinct",
 )
 
 

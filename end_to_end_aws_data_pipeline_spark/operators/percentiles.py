@@ -969,3 +969,107 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("raw_sum").cast("double") / (100.0 * F.col("n_rows")), 6
         ).alias("raw_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — third verifiable sketch
+# after the replayable HLL and Count-Min
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SALTS = 32  # phase-1 fan-out: per-(group, salt) local top-k
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS g,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM lineitem
+), ranked AS (
+  SELECT g, hv,
+         row_number() OVER (PARTITION BY g ORDER BY hv) AS rk
+  FROM h
+), kth AS (
+  SELECT g, max(hv) AS h_k, CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rk <= {_KMV_K} GROUP BY g
+), ex AS (
+  SELECT l_returnflag AS g,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+  FROM lineitem GROUP BY g
+)
+SELECT kth.g AS l_returnflag, ex.exact_parts,
+       CAST(kth.h_k AS BIGINT) AS h_k,
+       round(CASE WHEN kth.n_kept < {_KMV_K}
+             THEN CAST(kth.n_kept AS DOUBLE)
+             ELSE ({_KMV_K} - 1.0) * 1152921504606846976.0
+                  / CAST(kth.h_k AS DOUBLE) END, 2) AS kmv_parts
+FROM kth JOIN ex ON kth.g = ex.g
+"""
+
+
+@register("q_agg_kmv_distinct", oracle=_KMV_ORACLE)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch, the third
+    fully-verifiable sketch in the family (HLL registers, Count-Min
+    cells, now order statistics of a hash): keep the k smallest
+    60-bit md5 hashes per group; the k-th smallest estimates density
+    (D̂ = (k−1)·2⁶⁰ / h_k — Bar-Yossef et al., RANDOM'02), and when
+    fewer than k distinct hashes exist the sketch IS the exact count.
+
+    Scale shape is the point: "k smallest" is mergeable (the min-k of
+    min-k unions is the global min-k), so the plan fans out as a
+    per-(group, salt) local top-k window over {SALTS} hash-derived
+    salts — each sorting 1/{SALTS} of a group — then a final top-k
+    over the ≤ {SALTS}·k survivors. No group-sized sort anywhere; at
+    100 TB each phase-1 partition stays reducer-sized by
+    construction. The estimate's single division runs on identical
+    exact operands, so the driver hash pins the sketch AND the
+    estimator. KMV's extra trick vs HLL: bottom-k sets support set
+    OPERATIONS (intersection/Jaccard estimates) the HLL can't do
+    without inclusion-exclusion blowup.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = li.select(
+        F.col("l_returnflag").alias("g"), hv.alias("hv")
+    ).distinct()
+    salted = h.withColumn("salt", F.pmod(F.col("hv"), F.lit(_KMV_SALTS)))
+    w1 = W.partitionBy("g", "salt").orderBy("hv")
+    local = (
+        salted.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _KMV_K)
+        .drop("rk", "salt")
+    )
+    w2 = W.partitionBy("g").orderBy("hv")
+    kth = (
+        local.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("g")
+        .agg(
+            F.max("hv").alias("h_k"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts")
+    )
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        (_KMV_K - 1.0) * 1152921504606846976.0 / F.col("h_k").cast("double")
+    )
+    return kth.join(exact, "g").select(
+        F.col("g").alias("l_returnflag"),
+        "exact_parts",
+        F.col("h_k").cast("long").alias("h_k"),
+        F.round(est, 2).alias("kmv_parts"),
+    )
+
+
+_KMV_DOC = q_agg_kmv_distinct.__doc__
+if _KMV_DOC is not None:
+    q_agg_kmv_distinct.__doc__ = _KMV_DOC.replace("{SALTS}", str(_KMV_SALTS))
