@@ -141,6 +141,7 @@ HEADLINE = (
     "q_agg_higher_moments",
     "q_cdc_scd2_compact",
     "q_agg_kmv_distinct",
+    "q_text_zipf",
 )
 
 

@@ -1396,3 +1396,107 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("precision_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law audit: log-log rank-frequency slope in fixed-point integers
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 64  # fit over the head of the distribution
+
+
+def _zipf_oracle() -> str:
+    from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
+
+    lx = _l2fp("rk").replace("{div}", "//")
+    ly = _l2fp("freq").replace("{div}", "//")
+    return f"""
+WITH tf AS (
+  SELECT t.t AS tok, CAST(count(*) AS BIGINT) AS freq
+  FROM documents, unnest(string_split(text, ' ')) AS t(t)
+  GROUP BY t.t
+), ranked AS (
+  SELECT tok, freq,
+         row_number() OVER (ORDER BY freq DESC, tok) AS rk
+  FROM tf
+), pts AS (
+  SELECT CAST({lx} AS BIGINT) AS x, CAST({ly} AS BIGINT) AS y
+  FROM ranked WHERE rk <= {_ZIPF_TOP}
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_points,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sx) / (16.0 * n), 6) AS intercept_log2
+FROM m
+"""
+
+
+@register("q_text_zipf", oracle=_zipf_oracle())
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law audit: the OLS slope of log2(frequency) against
+    log2(rank) over the head of the token distribution — natural text
+    sits near −1; template spam, deduplication failures, and
+    synthetic filler push it far off, which makes the slope a cheap
+    single-number corpus-health monitor per crawl snapshot.
+
+    Both logs are the fixed-point integer log2 (the DSIR/KL recipe:
+    bit-length + interpolated mantissa), so the fitted points are
+    exact integers, the OLS moments are exact sums, and the two final
+    divisions run on identical operands — the regression itself is the
+    q_agg_regression shape applied to a derived log-log space.
+    One token pass (combinable counts), a {TOP}-row head via ranked
+    window over the aggregated frequency table, then literal
+    arithmetic.
+    """
+    from pyspark.sql import Window as W
+
+    from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.col("freq").desc(), "tok")),
+    ).filter(F.col("rk") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.expr(_l2fp("rk").replace("{div}", "div")).cast("long").alias("x"),
+        F.expr(_l2fp("freq").replace("{div}", "div")).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / (16.0 * n)
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept_log2"),
+    )
+
+
+_ZIPF_DOC = q_text_zipf.__doc__
+if _ZIPF_DOC is not None:
+    q_text_zipf.__doc__ = _ZIPF_DOC.replace("{TOP}", str(_ZIPF_TOP))
