@@ -142,6 +142,7 @@ HEADLINE = (
     "q_cdc_scd2_compact",
     "q_agg_kmv_distinct",
     "q_text_zipf",
+    "q_scalar_null_semantics",
 )
 
 

@@ -337,3 +337,88 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(st).alias("order_json"),
         st.getField("status").alias("status_via_struct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# null-semantics conformance (three-valued logic, null-safe equality)
+# ---------------------------------------------------------------------------
+
+_NULLSEM_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_custkey % 100 END AS a,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE o_custkey % 100 END AS b
+  FROM orders
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS eq_true,
+  CAST(sum(CASE WHEN a = b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS eq_unknown,
+  CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT)
+    AS nullsafe_eq_true,
+  CAST(sum(CASE WHEN a IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS in_true,
+  CAST(sum(CASE WHEN NOT (a IN (1, 2, 3)) THEN 1 ELSE 0 END) AS BIGINT)
+    AS not_in_true,
+  CAST(sum(CASE WHEN coalesce(a, b, -1) = -1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS both_null,
+  CAST(sum(CASE WHEN a IS NULL AND b IS NOT NULL THEN b ELSE 0 END)
+       AS BIGINT) AS b_when_a_null_checksum
+FROM t
+"""
+
+
+@register("q_scalar_null_semantics", oracle=_NULLSEM_ORACLE)
+def q_scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic conformance, value-checked between engines:
+    with NULLs injected on coprime key patterns (%7 / %11, so
+    null/null, null/value, and value/value rows all occur), the query
+    counts where `a = b` is TRUE vs UNKNOWN, where the NULL-SAFE
+    equality (Spark `<=>`, SQL IS NOT DISTINCT FROM) differs from
+    plain equality, and how IN / NOT IN / coalesce treat the NULL
+    rows. These are the semantics silently assumed by every join and
+    filter in the engine — the null-aware anti join
+    (q_join_null_aware_anti) is the plan-level face of the same
+    rules; this row pins the expression-level face.
+    """
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("a"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("b"),
+    )
+    eq = F.col("a") == F.col("b")
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(eq, 1).otherwise(0)).cast("long").alias("eq_true"),
+        F.sum(F.when(eq.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("eq_unknown"),
+        F.sum(F.when(F.col("a").eqNullSafe(F.col("b")), 1).otherwise(0))
+        .cast("long")
+        .alias("nullsafe_eq_true"),
+        F.sum(F.when(F.col("a").isin(1, 2, 3), 1).otherwise(0))
+        .cast("long")
+        .alias("in_true"),
+        F.sum(F.when(~F.col("a").isin(1, 2, 3), 1).otherwise(0))
+        .cast("long")
+        .alias("not_in_true"),
+        F.sum(
+            F.when(F.coalesce(F.col("a"), F.col("b"), F.lit(-1)) == -1, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("both_null"),
+        F.sum(
+            F.when(
+                F.col("a").isNull() & F.col("b").isNotNull(), F.col("b")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("b_when_a_null_checksum"),
+    )
