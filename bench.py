@@ -143,6 +143,8 @@ HEADLINE = (
     "q_agg_kmv_distinct",
     "q_text_zipf",
     "q_scalar_null_semantics",
+    "q_agg_bitmap_distinct",
+    "q_graph_degree_dist",
 )
 
 

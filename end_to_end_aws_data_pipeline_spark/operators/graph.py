@@ -149,3 +149,50 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOP)
         .drop("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# degree distribution of the purchase graph
+# ---------------------------------------------------------------------------
+
+_DEGREE_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), deg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY c
+)
+SELECT degree,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c) AS BIGINT) AS key_checksum
+FROM deg GROUP BY degree
+"""
+
+
+@register("q_graph_degree_dist", oracle=_DEGREE_ORACLE)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer→supplier purchase graph —
+    the first summary any graph workload computes (skew detection for
+    partitioning decisions, power-law checks, supernode discovery
+    before joins explode). Distinct edges first (the DISTINCT is the
+    graph-building step: multi-purchases collapse to one edge), then
+    two combinable aggregates; the heavy shuffle is the edge
+    distinct, keyed on the pair, and everything after runs on
+    |vertices| then |distinct degrees| rows.
+
+    The key checksum per degree pins WHICH customers sit at each
+    degree, so a dropped or duplicated edge cannot hide in the
+    histogram shape.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("c").cast("long").alias("key_checksum"),
+    )

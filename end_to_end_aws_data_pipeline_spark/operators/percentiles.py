@@ -1073,3 +1073,71 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_DOC = q_agg_kmv_distinct.__doc__
 if _KMV_DOC is not None:
     q_agg_kmv_distinct.__doc__ = _KMV_DOC.replace("{SALTS}", str(_KMV_SALTS))
+
+
+# ---------------------------------------------------------------------------
+# bitmap-exact distinct count (bit_or-mergeable, dense-domain path)
+# ---------------------------------------------------------------------------
+
+_BM_BITS = 62  # bits per word: keeps 1 << bit inside signed int64
+
+
+_BITMAP_ORACLE = f"""
+WITH b AS (
+  SELECT l_returnflag AS g,
+         l_partkey // {_BM_BITS} AS word,
+         bit_or(1::BIGINT << (l_partkey % {_BM_BITS})) AS bm
+  FROM lineitem
+  GROUP BY g, word
+)
+SELECT g AS l_returnflag,
+       CAST(sum(bit_count(bm)) AS BIGINT) AS distinct_parts,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(word * bit_count(bm)) AS BIGINT) AS word_checksum
+FROM b GROUP BY g
+"""
+
+
+@register("q_agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count over a dense integer domain via bitmap
+    words: key k sets bit k mod {bits} of word k div {bits}; words
+    combine with BIT_OR — an associative, idempotent, map-side-
+    combinable aggregate — and the distinct count is the popcount
+    sum. This is the poor-man's roaring bitmap: where count(DISTINCT)
+    shuffles every distinct VALUE, the bitmap shuffles
+    domain/{bits} words regardless of row count, and the same words
+    roll up across partitions/days by OR (the HLL-merge argument,
+    but EXACT — the trade is requiring a bounded integer domain,
+    which surrogate keys are).
+
+    The word checksum pins which words are populated, not just how
+    many bits survived; {bits}-bit words keep every shift inside
+    signed int64 in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.expr(f"l_partkey div {_BM_BITS}").alias("word"),
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), l_partkey % {_BM_BITS})")
+        ).alias("bm")
+    )
+    return b.groupBy("g").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("distinct_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("word") * F.bit_count("bm"))
+        .cast("long")
+        .alias("word_checksum"),
+    ).select(
+        F.col("g").alias("l_returnflag"),
+        "distinct_parts",
+        "n_words",
+        "word_checksum",
+    )
+
+
+_BM_DOC = q_agg_bitmap_distinct.__doc__
+if _BM_DOC is not None:
+    q_agg_bitmap_distinct.__doc__ = _BM_DOC.replace("{bits}", str(_BM_BITS))
