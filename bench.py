@@ -145,6 +145,7 @@ HEADLINE = (
     "q_scalar_null_semantics",
     "q_agg_bitmap_distinct",
     "q_graph_degree_dist",
+    "q_multimodal_img_histogram",
 )
 
 

@@ -1305,3 +1305,100 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_abs3 long, sum_sq9 long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# image intensity histogram through the decode path
+# ---------------------------------------------------------------------------
+
+_IH_BINS = 16
+
+_IMG_HIST_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, b.b AS bin,
+         CAST(list_sum(list_transform(
+           range(0, {_GIF_W} * {_GIF_H}),
+           i -> CASE WHEN (i % {_GIF_W} + i // {_GIF_W} + doc_id) % 256
+                          // {256 // _IH_BINS} = b.b THEN 1 ELSE 0 END))
+              AS BIGINT) AS n_px
+  FROM documents, (SELECT unnest(range(0, {_IH_BINS})) AS b) b
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(sum(n_px) AS BIGINT) AS n_pixels,
+       CAST(sum(doc_id * n_px) AS BIGINT) AS doc_checksum
+FROM per_doc GROUP BY bin
+"""
+
+
+@register("q_multimodal_img_histogram", oracle=_IMG_HIST_ORACLE)
+def q_multimodal_img_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level image intensity histogram computed from REAL
+    decodes: every document's gradient image round-trips the GIF/LZW
+    codec, the decoded pixels histogram into {bins} intensity bins
+    per image inside the Arrow batch, and per-image bin counts
+    aggregate to the corpus distribution — the exposure/brightness
+    audit an image-training pipeline runs to catch a miscalibrated
+    decode or a skewed source (all-black thumbnails, washed-out
+    scans). The doc-weighted checksum pins per-image histograms, not
+    just the corpus totals, so one wrong image can't hide.
+
+    Scale shape: decode CPU ∝ bytes inside mapInPandas (bytes never
+    reach the driver); the shuffle carries doc×{bins} small ints;
+    the final aggregate is {bins} rows.
+    """
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    width = 256 // _IH_BINS
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "bin": [], "n_px": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 29
+                h = 4 + (doc_id // 7) % 23
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = ((xx + yy + doc_id) % 256).astype(np.uint8)
+                rgb = decode_gif(encode_gif(idx, gray, interlace=bool(doc_id % 2)))
+                counts = np.bincount(
+                    rgb[:, :, 0].ravel() // width, minlength=_IH_BINS
+                )
+                for b in range(_IH_BINS):
+                    rows["doc_id"].append(doc_id)
+                    rows["bin"].append(b)
+                    rows["n_px"].append(int(counts[b]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "bin": pd.Series(rows["bin"], dtype="int32"),
+                    "n_px": pd.Series(rows["n_px"], dtype="int64"),
+                }
+            )
+
+    per_doc = docs.mapInPandas(
+        _batches, schema="doc_id long, bin int, n_px long"
+    )
+    return per_doc.groupBy("bin").agg(
+        F.sum("n_px").cast("long").alias("n_pixels"),
+        F.sum(F.col("doc_id") * F.col("n_px"))
+        .cast("long")
+        .alias("doc_checksum"),
+    )
+
+
+_IH_DOC = q_multimodal_img_histogram.__doc__
+if _IH_DOC is not None:
+    q_multimodal_img_histogram.__doc__ = _IH_DOC.replace(
+        "{bins}", str(_IH_BINS)
+    )
