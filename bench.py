@@ -146,6 +146,7 @@ HEADLINE = (
     "q_agg_bitmap_distinct",
     "q_graph_degree_dist",
     "q_multimodal_img_histogram",
+    "q_sample_exact_k",
 )
 
 

@@ -203,3 +203,43 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h_rank") < F.col("__t"))
         .drop("__t")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-k deterministic sample (hash-rank top-k)
+# ---------------------------------------------------------------------------
+
+_EXACTK = 100
+
+_EXACTK_ORACLE = f"""
+SELECT doc_id, source,
+       md5(CAST(doc_id AS VARCHAR)) AS rank_key
+FROM documents
+ORDER BY rank_key, doc_id
+LIMIT {_EXACTK}
+"""
+
+
+@register("q_sample_exact_k", oracle=_EXACTK_ORACLE)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample without replacement, deterministic:
+    rank every row by md5(id) and keep the k smallest — the eval-set
+    construction primitive, where "exactly 1 000 held-out documents,
+    the same ones on every run and every engine" is a correctness
+    requirement, not a nicety. The rate-based hash sampler
+    (q_sample_uniform_hash) can't promise an exact count; this one
+    can, at the cost of a top-k.
+
+    Scale: TakeOrderedAndProject — per-partition top-k then a k-sized
+    driver merge, never a global sort; adding data changes WHICH k
+    rows win but not the cost shape. Membership is stable under
+    repartitioning, retries, and engine choice because the rank key
+    is content-derived, not RNG.
+    """
+    d = table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("rank_key"),
+    )
+    return ranked.orderBy("rank_key", "doc_id").limit(_EXACTK)
