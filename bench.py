@@ -147,6 +147,7 @@ HEADLINE = (
     "q_graph_degree_dist",
     "q_multimodal_img_histogram",
     "q_sample_exact_k",
+    "q_scalar_url_funcs",
 )
 
 

@@ -422,3 +422,74 @@ def q_scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("b_when_a_null_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL functions (parse_url) against constructed ground truth
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com/docs/' ||
+           CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url,
+         lang
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       min(source || '.example.com') AS host,
+       CAST(sum(length('/docs/' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+         AS path_len_sum,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_en
+FROM u GROUP BY source
+"""
+
+
+@register("q_scalar_url_funcs", oracle=_URL_ORACLE)
+def q_scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with Spark's `parse_url` (HOST / PATH /
+    QUERY-key extraction) validated against CONSTRUCTED ground truth:
+    each document synthesizes its own URL from known parts, Spark
+    parses the parts back out, and the oracle computes the same
+    aggregates directly from the parts — so a parse_url that
+    mis-split host/path/query breaks the hash. (DuckDB has no
+    parse_url; constructing the truth side-steps needing one, the
+    same pattern as the codec oracles.)
+
+    URL parsing is a first-class crawl-pipeline need (domain-level
+    dedup, per-site caps, blocklists — q_curation_source_cap's keys
+    come from exactly this step in production). All string
+    expressions, fully codegen'd, one scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    parsed = u.select(
+        "source",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "q_lang"
+        ),
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.min("host").alias("host"),
+        F.sum(F.length("path")).cast("long").alias("path_len_sum"),
+        F.sum(F.when(F.col("q_lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_lang_en"),
+    )
