@@ -814,24 +814,22 @@ WITH v AS (
 )
 SELECT g AS l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
-       round((CAST(n AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
-              * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
-                 - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
-                       * CAST(s2 AS DOUBLE)
-                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                       * CAST(s1 AS DOUBLE)))
+       round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+              - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE)
+              + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE))
              / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5), 6)
          AS skewness,
-       round((CAST(n AS DOUBLE)
-              * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                   * CAST(s4 AS DOUBLE)
-                 - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                       * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
-                 + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
-                       * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                 - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                       * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+       round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(s4 AS DOUBLE)
+              - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+              + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
              / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
@@ -875,17 +873,19 @@ def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = F.col("s3").cast("double")
     s4 = F.col("s4").cast("double")
     var_term = n * s2 - s1 * s1
-    skew = (
-        n * F.sqrt(n) * (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
-    ) / F.pow(var_term, 1.5)
+    # Population skewness μ3/σ³ and excess kurtosis μ4/σ⁴−3 expanded in raw
+    # sums: multiplying central moments m3=(n²s3−3n·s1·s2+2s1³)/n³ and
+    # m2=(n·s2−s1²)/n² through cancels every power of n, so no leading n
+    # factor survives.  Cross-checked against F.skewness/F.kurtosis in
+    # tests/test_properties.py.
+    skew = (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1) / F.pow(
+        var_term, 1.5
+    )
     kurt = (
-        n
-        * (
-            n * n * n * s4
-            - 4.0 * n * n * s1 * s3
-            + 6.0 * n * s1 * s1 * s2
-            - 3.0 * s1 * s1 * s1 * s1
-        )
+        n * n * n * s4
+        - 4.0 * n * n * s1 * s3
+        + 6.0 * n * s1 * s1 * s2
+        - 3.0 * s1 * s1 * s1 * s1
     ) / (var_term * var_term) - 3.0
     return m.select(
         F.col("g").alias("l_returnflag"),

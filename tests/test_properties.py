@@ -590,3 +590,38 @@ def test_temperature_quota_invariants():
         for (s1, n1), (s2, n2) in zip(ranked, ranked[1:]):
             if n1 < n2:
                 assert q[s1] <= q[s2], (counts, q)
+
+
+def test_higher_moments_match_spark_builtins(spark):
+    """The raw-sum skewness/kurtosis expansion must agree with Spark's
+    own F.skewness/F.kurtosis (both population-moment definitions, and
+    both scale-invariant, so the x100 cent scaling drops out).  Guards
+    the formula itself, so the DuckDB oracle — which shares the same
+    expansion — is not the only check."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_higher_moments,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ours = {
+        r.l_returnflag: r for r in q_agg_higher_moments(spark, SF_SMOKE).collect()
+    }
+    ref = {
+        r.g: r
+        for r in table(spark, SF_SMOKE, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("g"))
+        .agg(
+            F.skewness(F.round(F.col("l_quantity") * 100)).alias("sk"),
+            F.kurtosis(F.round(F.col("l_quantity") * 100)).alias("ku"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(ref) and len(ours) > 0
+    for g, r in ours.items():
+        assert abs(r.skewness - ref[g].sk) < 1e-4, (g, r.skewness, ref[g].sk)
+        assert abs(r.excess_kurtosis - ref[g].ku) < 1e-4, (
+            g,
+            r.excess_kurtosis,
+            ref[g].ku,
+        )
