@@ -211,17 +211,38 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # full per-query detail always lands in a file next to bench.py ...
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+    # ... while the one stdout line must fit the driver's 2000-char tail
+    # capture window (BENCH_r05 clipped a 112-query line mid-JSON and lost
+    # the headline).  If the full map overflows the budget, keep only the
+    # slowest queries that fit and say how many were elided and where the
+    # rest live.
+    line = json.dumps(record)
+    if len(line) > 1500:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict[str, float] = {}
+        for k, v in slowest:
+            kept[k] = v
+            trial = dict(record, queries=kept, n_queries=len(timings),
+                         detail="bench_detail.json")
+            if len(json.dumps(trial)) > 1500:
+                del kept[k]
+                break
+        record = dict(record, queries=kept, n_queries=len(timings),
+                      detail="bench_detail.json")
+        line = json.dumps(record)
+    print(line)
 
 
 if __name__ == "__main__":
