@@ -237,6 +237,7 @@ try:  # PySpark >= 4.0
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
         SimpleDataSourceStreamReader,
     )
@@ -305,6 +306,54 @@ try:  # PySpark >= 4.0
                 ]
             )
 
+    class SyntheticEventsPartitionedStreamReader(DataSourceStreamReader):
+        """Scale-out streaming face: the full DataSourceStreamReader
+        API, where `partitions(start, end)` splits every micro-batch's
+        offset range into ``stream_parts`` InputPartitions, each read
+        by its own Spark task ON EXECUTORS — unlike
+        SimpleDataSourceStreamReader, whose `read` runs a single
+        Python cursor on the driver and caps ingest at one core no
+        matter the cluster size.  This is the shape a 100 TB feed
+        needs: offset planning on the driver (tiny), row
+        materialization fanned across the cluster, exactly-once from
+        the offset log + deterministic per-range regeneration.
+
+        The cursor lives in driver memory for this bounded in-gate
+        feed; a durable deployment would recover it from the
+        checkpointed offset the way `commit(end)` observes it (a Kafka
+        source gets this for free from the offset log)."""
+
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", _PYDS_ROWS))
+            self.batch_rows = int(options.get("batch_rows", 1000))
+            self.stream_parts = int(options.get("stream_parts", 8))
+            self._cursor = 0
+
+        def initialOffset(self):
+            return {"cursor": 0}
+
+        def latestOffset(self):
+            self._cursor = min(self._cursor + self.batch_rows, self.n_rows)
+            return {"cursor": self._cursor}
+
+        def partitions(self, start, end):
+            s, e = int(start["cursor"]), int(end["cursor"])
+            # clamp backwards/empty ranges (restart before the in-memory
+            # cursor catches up) to an empty batch rather than a bad task
+            if e <= s:
+                return []
+            step = max(1, -(-(e - s) // self.stream_parts))
+            return [
+                _EventRange(i, min(i + step, e)) for i in range(s, e, step)
+            ]
+
+        def read(self, partition):
+            for eid in range(partition.start, partition.end):
+                yield _event_row(eid)
+
+        def commit(self, end):
+            self._cursor = max(self._cursor, int(end["cursor"]))
+
     class SyntheticEventsDataSource(DataSource):
         """PySpark-4 custom Python data source: the extension point for
         feeds Spark has no native connector for (internal APIs, bespoke
@@ -312,7 +361,12 @@ try:  # PySpark >= 4.0
         each InputPartition becomes one Spark task, so reads
         parallelize across executors like any native source. The SAME
         registration serves batch (`spark.read`) and streaming
-        (`spark.readStream`) via reader()/simpleStreamReader()."""
+        (`spark.readStream`): streaming gets the partitioned
+        DataSourceStreamReader by default, or the driver-side
+        SimpleDataSourceStreamReader conformance twin with
+        ``option("reader_mode", "simple")`` (raising
+        PySparkNotImplementedError from streamReader() is Spark's
+        documented fallback trigger — datasource_internal._streamReader)."""
 
         @classmethod
         def name(cls):
@@ -326,6 +380,16 @@ try:  # PySpark >= 4.0
 
         def reader(self, schema):
             return SyntheticEventsReader(self.options)
+
+        def streamReader(self, schema):
+            if self.options.get("reader_mode", "").lower() == "simple":
+                from pyspark.errors import PySparkNotImplementedError
+
+                raise PySparkNotImplementedError(
+                    errorClass="NOT_IMPLEMENTED",
+                    messageParameters={"feature": "streamReader"},
+                )
+            return SyntheticEventsPartitionedStreamReader(self.options)
 
         def simpleStreamReader(self, schema):
             return SyntheticEventsStreamReader(self.options)

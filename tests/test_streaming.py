@@ -243,3 +243,69 @@ def test_transform_with_state_env_gate(spark):
     has_pb = importlib.util.find_spec("google") is not None and sq._has_protobuf()
     assert ("q_stream_transform_with_state" in ent.queries()) == has_pb
     assert callable(sq.q_stream_transform_with_state)
+
+
+def test_python_datasource_partitioned_stream_reader(spark, tmp_path):
+    """The default streaming face is the PARTITIONED
+    DataSourceStreamReader: each micro-batch's offset range fans out
+    across multiple InputPartitions (executor-side reads), and the
+    end-to-end result is identical to the driver-side simple reader —
+    same offset log semantics, N× the read parallelism."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.operators.sources import (
+        SyntheticEventsDataSource,
+        SyntheticEventsPartitionedStreamReader,
+    )
+
+    if SyntheticEventsDataSource is None:
+        import pytest
+
+        pytest.skip("pyspark.sql.datasource requires Spark 4+")
+
+    # unit contract: every non-empty micro-batch plans >1 partition
+    r = SyntheticEventsPartitionedStreamReader(
+        {"n_rows": "5000", "batch_rows": "700", "stream_parts": "8"}
+    )
+    parts = r.partitions({"cursor": 0}, {"cursor": 700})
+    assert len(parts) == 8
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 0 and covered[-1][1] == 700
+    assert all(a[1] == b[0] for a, b in zip(covered, covered[1:]))
+    # backwards range (restart before cursor catch-up) plans no tasks
+    assert r.partitions({"cursor": 2100}, {"cursor": 700}) == []
+
+    # end-to-end: partitioned run == simple-reader run == generator math
+    spark.dataSource.register(SyntheticEventsDataSource)
+    n = 5000
+    results = {}
+    for mode in ("partitioned", "simple"):
+        ev = spark.readStream.format("synthetic_events").options(
+            n_rows=n, batch_rows=700, reader_mode=mode
+        ).load()
+        agg = ev.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("cents"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"pyds_{mode}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[mode] = {
+            r.kind: (r.n_events, r.cents)
+            for r in spark.sql(f"SELECT * FROM pyds_{mode}").collect()
+        }
+    kinds = ("view", "click", "purchase", "refund", "idle")
+    exp = {}
+    for i, kind in enumerate(kinds):
+        ids = range(i, n, 5)
+        exp[kind] = (len(ids), sum((e * e) % 10_000 for e in ids))
+    assert results["partitioned"] == exp
+    assert results["simple"] == exp
