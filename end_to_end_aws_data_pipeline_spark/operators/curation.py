@@ -654,8 +654,9 @@ def q_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer bit-length arithmetic (length(bin(x))). Per-token weights
     are integers, so document scores are exact sums, and the DuckDB
     oracle replays the whole pipeline (md5 bucketing, histograms,
-    fixed-point logs, top-k) bit-for-bit. Max interpolation error vs
-    true log2 is 0.086 (~1/11 bit) per term - far below the
+    fixed-point logs, top-k) bit-for-bit. Worst-case error vs true
+    log2 is ~0.149 bit per term (0.086-bit linear-interpolation error
+    plus 1/16-bit quantization from 4 fractional bits) - far below the
     inter-document spread that drives selection.
 
     Scale shape: one pass builds the {B}-bucket histogram

@@ -490,7 +490,8 @@ def test_phash_dedup_partitions_corpus(spark):
 def test_l2fp_fixed_point_log2_monotone_and_tight():
     """The fixed-point log2 used by DSIR/KL (16*floor(log2 x) +
     interpolated mantissa) must be (a) nondecreasing, (b) exact at
-    powers of two, (c) within the documented 0.086-bit bound of true
+    powers of two, (c) within the documented ~0.149-bit worst case
+    (0.086-bit interpolation error + 1/16-bit quantization) of true
     log2 — all checked in pure integer arithmetic against math.log2."""
     import math
 
