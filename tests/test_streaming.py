@@ -232,17 +232,58 @@ def test_python_datasource_streaming_exactly_once(spark, tmp_path):
 def test_transform_with_state_env_gate(spark):
     """transformWithStateInPandas (State API v2) needs google.protobuf
     in the Python env; the query registers only where it exists. Where
-    it does, it must hash-match the batch aggregate like every other
-    streaming query; here we at least pin the gate logic and that the
-    unregistered function stays importable/callable-shaped."""
+    protobuf IS present, this test EXECUTES the query end-to-end
+    against its batch oracle — so the gate cannot silently rot into a
+    never-run feature. Where protobuf is absent, the skip is explicit
+    and version-asserted: PySpark itself must still expose
+    transformWithStateInPandas (proving the gate is about the missing
+    dependency, not a vanished API)."""
     import importlib
+
+    import pytest
+    from pyspark.sql import GroupedData
 
     import __spark_entry__ as ent
     from end_to_end_aws_data_pipeline_spark.streaming import queries as sq
 
+    # the API this gate protects must exist in this PySpark build —
+    # if it ever disappears, the gate is hiding a real break, not a
+    # missing optional dependency
+    assert hasattr(GroupedData, "transformWithStateInPandas"), (
+        "PySpark no longer exposes transformWithStateInPandas; the "
+        "protobuf env gate is masking an API regression"
+    )
+    assert callable(sq.q_stream_transform_with_state)
+
     has_pb = importlib.util.find_spec("google") is not None and sq._has_protobuf()
     assert ("q_stream_transform_with_state" in ent.queries()) == has_pb
-    assert callable(sq.q_stream_transform_with_state)
+    if not has_pb:
+        pytest.skip(
+            "google.protobuf absent: transformWithStateInPandas's Python "
+            "worker hard-imports pyspark.sql.streaming.proto."
+            "StateMessage_pb2; State API v2 query is version-refused, "
+            "v1 (q_stream_stateful_user_aggs) carries the contract"
+        )
+
+    # dependency present → run it for real against the batch oracle
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.user_id: (r.n_events, r.total_c, r.first_event_id)
+        for r in sq.q_stream_transform_with_state(spark, SF_SMOKE).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(sq._TWS_ORACLE).fetchall()
+    }
+    con.close()
+    assert got == exp
 
 
 def test_python_datasource_partitioned_stream_reader(spark, tmp_path):
