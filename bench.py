@@ -148,6 +148,8 @@ HEADLINE = (
     "q_multimodal_img_histogram",
     "q_sample_exact_k",
     "q_scalar_url_funcs",
+    # round-6 additions
+    "q_dedup_incremental_bloom_sharded",
 )
 
 

@@ -1479,6 +1479,127 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sharded bloom (the >10^8-element shape the single bitmap can't reach)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SHARD_SEED = 97  # disjoint from the k=7 position seeds 0..6
+_BLOOM_N_SHARDS = 8
+
+
+def _bloom_shard(n_shards: int) -> Column:
+    """Shard assignment for a ``digest`` column: the digest's leading
+    hex byte modulo n_shards — a PREFIX shard, so a corpus stored
+    digest-sorted (or bucketed by digest) builds each shard's filter
+    from a contiguous key range."""
+    return F.pmod(F.conv(F.substring("digest", 1, 2), 16, 10).cast("long"),
+                  F.lit(n_shards))
+
+
+def digest_bloom_sharded(corpus_digests: DataFrame, n_elements: int,
+                         n_shards: int = _BLOOM_N_SHARDS):
+    """Sharded Bloom build: the digest space splits by leading-byte
+    prefix into ``n_shards`` independent filters, each sized for its
+    expected share of elements — so no single bitmap needs to fit a
+    broadcast, only the per-shard slice a row actually consults.  All
+    shards build in ONE aggregation pass (groupBy (shard, word-index)
+    with bit_or, map-side combinable); the driver holds exactly the
+    same total set-word count as the single-bitmap build, just keyed.
+
+    This is the >10^8-element continuation of digest_bloom: at 10^9
+    corpus digests, 10 bits/elem is a 1.25 GB bitmap — unbroadcastable
+    as one array but fine as 16+ shards of ~78 MB that join to the
+    batch on the shard key (a broadcast of the shard TABLE, each row
+    one shard's array).  sha2 digests are uniform, so prefix shards
+    balance to n/n_shards within noise and the per-shard fpp stays at
+    the 10-bits-per-element ~0.8%."""
+    per_shard = max(1, -(-n_elements // n_shards))
+    m_bits = max(64, ((per_shard * _BLOOM_BITS_PER_ELEM + 63) // 64) * 64)
+    pos = corpus_digests.select(
+        _bloom_shard(n_shards).alias("shard"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("digest"), F.lit(i)), F.lit(m_bits))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p"),
+    )
+    words = (
+        pos.select(
+            "shard",
+            (F.col("p") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("w"),
+        )
+        .groupBy("shard", "widx")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .collect()
+    )
+    bitmaps = {s: [0] * (m_bits // 64) for s in range(n_shards)}
+    for r in words:
+        bitmaps[r["shard"]][r["widx"]] = r["w"]
+    return bitmaps, m_bits
+
+
+@register("q_dedup_incremental_bloom_sharded", oracle=_INCR_ORACLE)
+def q_dedup_incremental_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-bloom twin of q_dedup_incremental_bloom — IDENTICAL
+    output (same oracle as the exact anti-join), but the corpus filter
+    is _BLOOM_N_SHARDS independent per-prefix bitmaps delivered as a
+    broadcast shard TABLE the batch equi-joins on its digest prefix,
+    instead of one monolithic array.  Exercises the documented ceiling
+    plan: past ~10^8 corpus digests a single 125 MB+ bitmap stops
+    broadcasting as one literal, while shard rows scale out — the
+    shard count is the knob that keeps every individual array
+    comfortably under executor/broadcast limits at any corpus size.
+    No false negatives per shard (property-tested), so bloom misses
+    skip the anti-join exactly as in the single-bitmap variant."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    docs = table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(_BATCH_MOD)) >= _BATCH_MIN
+    corpus_digests = persisted(
+        docs.filter(~is_batch).select(F.sha2("text", 256).alias("digest")).distinct()
+    )
+    bitmaps, m_bits = digest_bloom_sharded(
+        corpus_digests, corpus_digests.count(), _BLOOM_N_SHARDS
+    )
+    bloom_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(s), bm) for s, bm in sorted(bitmaps.items())],
+            "shard long, bloom array<long>",
+        )
+    )
+    batch = (
+        docs.filter(is_batch)
+        .groupBy(F.sha2("text", 256).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .withColumn("shard", _bloom_shard(_BLOOM_N_SHARDS))
+    )
+    screened = batch.join(bloom_df, "shard").withColumn(
+        "__maybe", bloom_might_contain(m_bits)
+    )
+    definite_new = screened.filter(~F.col("__maybe")).drop(
+        "shard", "bloom", "__maybe"
+    )
+    verified_new = (
+        screened.filter(F.col("__maybe"))
+        .drop("shard", "bloom", "__maybe")
+        .join(corpus_digests, "digest", "left_anti")
+    )
+    fresh = definite_new.unionByName(verified_new)
+    return fresh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-document repeated passages (exact shared-8-gram count)
 # ---------------------------------------------------------------------------
 

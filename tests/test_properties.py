@@ -626,3 +626,56 @@ def test_higher_moments_match_spark_builtins(spark):
             r.excess_kurtosis,
             ref[g].ku,
         )
+
+
+def test_sharded_bloom_no_false_negatives_and_equivalence(spark):
+    """The sharded Bloom filter must (a) admit every inserted digest in
+    its own shard — no false negatives, the property that makes bloom
+    misses provably-new — and (b) produce the exact same incremental
+    dedup result as the single-bitmap variant."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _BLOOM_N_SHARDS,
+        _bloom_shard,
+        bloom_might_contain,
+        digest_bloom_sharded,
+        q_dedup_incremental_bloom,
+        q_dedup_incremental_bloom_sharded,
+    )
+    from tests.conftest import SF_SMOKE
+
+    digests = spark.range(0, 500).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("digest")
+    )
+    bitmaps, m_bits = digest_bloom_sharded(digests, 500, _BLOOM_N_SHARDS)
+    assert set(bitmaps) == set(range(_BLOOM_N_SHARDS))
+    bloom_df = spark.createDataFrame(
+        [(int(s), bm) for s, bm in sorted(bitmaps.items())],
+        "shard long, bloom array<long>",
+    )
+    misses = (
+        digests.withColumn("shard", _bloom_shard(_BLOOM_N_SHARDS))
+        .join(F.broadcast(bloom_df), "shard")
+        .filter(~bloom_might_contain(m_bits))
+        .count()
+    )
+    assert misses == 0  # every inserted digest passes its shard filter
+
+    # prefix shards over sha2 digests balance within noise
+    sizes = (
+        digests.groupBy(_bloom_shard(_BLOOM_N_SHARDS).alias("s"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == _BLOOM_N_SHARDS
+    assert max(counts) < 3 * (500 // _BLOOM_N_SHARDS)
+
+    one = sorted(
+        map(tuple, q_dedup_incremental_bloom(spark, SF_SMOKE).collect())
+    )
+    sharded = sorted(
+        map(tuple, q_dedup_incremental_bloom_sharded(spark, SF_SMOKE).collect())
+    )
+    assert one == sharded and len(one) > 0
