@@ -171,6 +171,23 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # In local mode ONE JVM stands in for the whole cluster, so its heap
+    # must scale with the data the way a real cluster's total memory
+    # does (a 1000-executor fleet doesn't read 100 TB on 8 GB total).
+    # Unless the caller pinned SPARK_GRAFT_DRIVER_MEM, size the heap at
+    # ~16x the on-disk fixture bytes (compressed parquet decompresses
+    # 3-5x, and shuffle/hash structures multiply again), clamped to
+    # [8g, 64g].  sf0.1 (17 MB) stays at the 8 GB floor; sf10 (2.4 GB)
+    # gets 38 GB instead of thrashing TaskMemoryManager at 8.
+    if not os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        fixture_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir)
+            for f in files
+        )
+        heap_gb = min(64, max(8, (16 * fixture_bytes) >> 30))
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{heap_gb}g"
+
     from end_to_end_aws_data_pipeline_spark.cache import release_all
     from end_to_end_aws_data_pipeline_spark.session import get_spark
     import __spark_entry__ as ent
@@ -196,20 +213,30 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     names = tuple(only.split(",")) if only else HEADLINE
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = qs.get(name)
         if fn is None:
             continue
         best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _execute(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-            # cache hygiene: drop whatever this query persisted so the
-            # next query (or rep) is measured cold, not against a warm
-            # CacheManager entry or inherited memory pressure
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _execute(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+                # cache hygiene: drop whatever this query persisted so the
+                # next query (or rep) is measured cold, not against a warm
+                # CacheManager entry or inherited memory pressure
+                release_all()
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # zero out the whole artifact; record the failure per-query
+            # (json-visible) and keep measuring the rest
             release_all()
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -220,6 +247,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        record["errors"] = errors
     # full per-query detail always lands in a file next to bench.py ...
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")

@@ -14,9 +14,12 @@ summation order; integer PageRank is order-free.
 Scale notes: each iteration is one equi-join of the rank vector against
 the edge list plus one aggregate — the textbook distributed PageRank
 step (edges partition by src; ranks co-partition; AQE handles the skew
-of popular nodes). Iterations are persisted so the lineage does not
-deepen geometrically; a production run at depth >10 would checkpoint
-every few rounds exactly like connected_components_star does.
+of popular nodes). Iterations are persisted so execution does not
+recompute, and `pagerank_ranks(..., checkpoint_every=3)` additionally
+truncates the LOGICAL plan every 3 rounds (persist alone does not stop
+the analyzer re-walking the whole nested plan each round) — the
+measured depth-10 wall/plan-size numbers live in SCALING.md, and
+checkpoint-placement invariance is property-tested.
 """
 
 from __future__ import annotations
@@ -88,21 +91,28 @@ LIMIT {_PR_TOP}"""
     return "".join(parts)
 
 
-@register("q_graph_pagerank", oracle=_pr_oracle())
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer PageRank, {ITERS} rounds, over the undirected
-    customer–supplier purchase graph (edges = distinct (custkey,
-    suppkey) pairs via orders⋈lineitem, both directions); returns the
-    top-{TOP} nodes by final rank.
+def pagerank_ranks(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _PR_ITERS,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """The iterative core: integer PageRank rank vector after ``iters``
+    rounds over the undirected customer–supplier purchase graph.
 
-    Each round: contribution join (rank vector ⋈ edges, floor-div by
-    out-degree), aggregate by target, damp with integer arithmetic.
-    The rank vector is |nodes| rows — tiny next to the edge list — and
-    each round's plan is one shuffle join + one aggregate; persisting
-    per round keeps lineage linear in rounds. The oracle unrolls the
-    same three rounds as CTEs and replays the integer arithmetic
-    exactly — the verification strategy that makes an *iterative*
-    operator fully hash-checkable rather than rows-only."""
+    ``checkpoint_every=k`` truncates lineage every k rounds via
+    localCheckpoint(eager) — without it, each round's plan nests the
+    previous round's, and past ~10 rounds analysis/optimization time
+    (not execution) starts to dominate as the logical plan grows
+    superlinearly.  persist() alone does NOT cap plan growth: caching
+    short-circuits execution but the analyzer still walks the full
+    nested plan each round.  A production run on a real cluster would
+    use reliable checkpoint() to survive executor loss; localCheckpoint
+    gives the identical plan-truncation behavior without needing a
+    checkpoint directory.  Checkpoint placement never changes the
+    arithmetic — equality with the uncheckpointed run is
+    property-tested, and the depth-10 wall/plan-size measurements live
+    in SCALING.md."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     fwd = (
@@ -120,7 +130,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select("src", F.lit(_PR_R0).cast("long").alias("rank")).select(
         F.col("src").alias("node"), "rank"
     )
-    for _ in range(_PR_ITERS):
+    for i in range(1, iters + 1):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(deg, "src")
@@ -128,15 +138,36 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = persisted(
-            contrib.select(
-                F.col("dst").alias("node"),
-                (
-                    F.lit(_PR_TELEPORT)
-                    + F.expr("(85 * contrib) div 100")
-                ).cast("long").alias("rank"),
-            )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(_PR_TELEPORT)
+                + F.expr("(85 * contrib) div 100")
+            ).cast("long").alias("rank"),
         )
+        if checkpoint_every and i % checkpoint_every == 0 and i < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+        else:
+            ranks = persisted(ranks)
+    return ranks
+
+
+@register("q_graph_pagerank", oracle=_pr_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank, {ITERS} rounds, over the undirected
+    customer–supplier purchase graph (edges = distinct (custkey,
+    suppkey) pairs via orders⋈lineitem, both directions); returns the
+    top-{TOP} nodes by final rank.
+
+    Each round: contribution join (rank vector ⋈ edges, floor-div by
+    out-degree), aggregate by target, damp with integer arithmetic.
+    The rank vector is |nodes| rows — tiny next to the edge list — and
+    each round's plan is one shuffle join + one aggregate; persisting
+    per round keeps lineage linear in rounds. The oracle unrolls the
+    same three rounds as CTEs and replays the integer arithmetic
+    exactly — the verification strategy that makes an *iterative*
+    operator fully hash-checkable rather than rows-only."""
+    ranks = pagerank_ranks(spark, sf_dir, _PR_ITERS)
     node_type = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return (
         ranks.select(

@@ -55,12 +55,20 @@ _SHIFTS: dict[str, list[tuple[str, str]]] = {
 }
 
 
+def _src_glob(src: str, table: str) -> str:
+    """A source table may be a single parquet file (driver fixtures) or
+    a directory of part files (output of a previous scale_up run —
+    chaining sf0.1 → sf1 → sf10 works)."""
+    path = f"{src}/{table}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def scale_up(src: str, dst: str, r: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     stride = {
         ent: con.sql(
-            f"SELECT max({col}) + 1 FROM '{src}/{tbl}.parquet'"
+            f"SELECT max({col}) + 1 FROM '{_src_glob(src, tbl)}'"
         ).fetchone()[0]
         for ent, (tbl, col) in _ENTITY_KEY.items()
     }
@@ -101,7 +109,9 @@ def scale_up(src: str, dst: str, r: int) -> None:
                 parts.append(f"SELECT * REPLACE ({', '.join(repls)}) FROM src")
             else:
                 parts.append("SELECT * FROM src")
-        con.sql(f"CREATE OR REPLACE VIEW src AS FROM '{src}/{table}.parquet'")
+        con.sql(
+            f"CREATE OR REPLACE VIEW src AS FROM '{_src_glob(src, table)}'"
+        )
         # a previous run may have left the opposite shape (file vs dir)
         out_path = f"{dst}/{table}.parquet"
         if os.path.isdir(out_path):
