@@ -150,6 +150,9 @@ HEADLINE = (
     "q_scalar_url_funcs",
     # round-6 additions
     "q_dedup_incremental_bloom_sharded",
+    "q_agg_kmv_setops",
+    "q_window_twap",
+    "q_dedup_containment",
 )
 
 

@@ -1663,6 +1663,99 @@ def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram containment: asymmetric quote/subset detection
+# ---------------------------------------------------------------------------
+
+_CONT_K = 3  # word shingle width (same granularity as the Jaccard path)
+_CONT_TAU = 0.8  # containment threshold: >=80% of the smaller doc's shingles
+
+_CONT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - {_CONT_K - 1}, 1) + 1),
+           i -> concat_ws(' ',
+             {", ".join(f"string_split(text, ' ')[i+{j}]" for j in range(_CONT_K))})
+         )) AS s
+  FROM documents
+), tok AS (
+  SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS n_a,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a AS contained_id, doc_b AS container_id,
+       n_shared, CAST(n_a AS BIGINT) AS n_shingles,
+       round(CAST(n_shared AS DOUBLE) / n_a, 6) AS containment
+FROM pairs
+WHERE n_shared * 1.0 >= {_CONT_TAU} * n_a
+"""
+
+
+@register("q_dedup_containment", oracle=_CONT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A→B) = |S_A∩S_B| / |S_A|: flags
+    documents ≥{TAU}% of whose 3-gram shingles appear in another
+    document — the quote/subset/boilerplate-inclusion detector that
+    symmetric Jaccard structurally misses (a paragraph fully quoted
+    inside a 100× longer page has Jaccard ≈ 1%, containment = 100%).
+    Broder's resemblance-vs-containment distinction (SEQUENCES'97),
+    the curation rule behind "drop pages that are mostly a copy of a
+    bigger page".
+
+    Same inverted-index shape as q_dedup_repeated_ngrams: explode
+    distinct shingles, equi-join on md5 digests, count per ordered
+    pair, normalize by the CONTAINED side's shingle count carried
+    through the join (no second pass over the corpus).  Ordered pairs
+    double the join output vs the a<b convention, which is the price
+    of an asymmetric measure; at 100 TB the candidate space is still
+    df-bounded (Σ df² over shingles), and a production run would
+    df-cap stop-shingles first — kept exact here so the oracle pins
+    every pair.
+    """
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", shingles(F.col("text"), k=_CONT_K).alias("s")
+    )
+    tok = d.select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("gram")
+    ).select("doc_id", "n_sh", F.md5("gram").alias("g"))
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "g"
+    )
+    b = tok.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    return pairs.filter(
+        F.col("n_shared") * 1.0 >= _CONT_TAU * F.col("n_a")
+    ).select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        "n_shared",
+        F.col("n_a").cast("long").alias("n_shingles"),
+        F.round(F.col("n_shared").cast("double") / F.col("n_a"), 6).alias(
+            "containment"
+        ),
+    )
+
+
+_CONT_DOC = q_dedup_containment.__doc__
+if _CONT_DOC is not None:
+    q_dedup_containment.__doc__ = _CONT_DOC.replace(
+        "{TAU}", str(int(_CONT_TAU * 100))
+    )
+
+
+# ---------------------------------------------------------------------------
 # canonicalized dedup, keep-best policy
 # ---------------------------------------------------------------------------
 

@@ -471,22 +471,44 @@ def q_join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     still differ — so the tagged join emits each pair exactly once.
     Only the (tiny) insert/delete branches dedupe repeated-character
     deletions, with a belt-and-suspenders levenshtein in the join
-    condition. Dropping the global DISTINCT halves the sf1 time again
-    (26M-pair shuffle avoided). The true pair count is a property of
-    the DATA — a dense
-    ID namespace genuinely has dozens of distance-1 neighbors per
-    key — so the scale cost is output-bound, the same contract as the
-    n-gram and repeated-passage detectors.
+    condition.
+
+    MULTIPLICITY FACTORING (the second scale decade's lesson): the
+    deletion-neighborhood machinery runs over DISTINCT names only, and
+    row multiplicities re-enter algebraically at the end.  Fuzzy-match
+    corpora are duplicate-heavy by nature — entity resolution exists
+    because the same name recurs — and at the row level every name
+    pair with m_a and m_b copies costs m_a·m_b candidate rows (the
+    sf1→sf10 step measured 43× wall for 10× rows, pure R² duplicate
+    blowup while the result stayed 25 rows).  Factored, the pairwise
+    work is bounded by the distinct-name vocabulary regardless of
+    corpus size, and each name pair contributes m_a·m_b pairs and
+    m_b·Σk_a + m_a·Σk_b to the checksum via two tiny group joins.
+    Measured at the sf1→sf10 step: 185 s → 10 s wall and a 43× scale
+    ratio → 1.7×, for ~1.8 s of extra grouping shuffle at sf1 where
+    names are mostly unique.
     """
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
         F.col("c_name").alias("s"),
         F.col("c_nationkey").alias("nk"),
     )
-    dels = c.select(
-        "k",
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    # per-(name, nation) groups carry the a-side multiplicities; the
+    # b-side needs per-name totals (the pair tuple keeps only a's nation)
+    ga = persisted(
+        c.groupBy("s", "nk").agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("k").cast("long").alias("ks"),
+        )
+    )
+    gb = ga.groupBy("s").agg(
+        F.sum("m").alias("m"), F.sum("ks").alias("ks")
+    )
+    names = gb.select("s")
+    dels = names.select(
         "s",
-        "nk",
         F.explode(
             F.expr(
                 "transform(sequence(1, length(s)), i -> struct(i AS i, "
@@ -494,33 +516,20 @@ def q_join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "substring(s, i + 1, length(s))) AS d))"
             )
         ).alias("e"),
-    ).select("k", "s", "nk", F.col("e.i").alias("i"), F.col("e.d").alias("d"))
-    da = dels.select(
-        "i",
-        "d",
-        F.col("k").alias("ka"),
-        F.col("s").alias("sa"),
-        F.col("nk").alias("nka"),
+    ).select("s", F.col("e.i").alias("i"), F.col("e.d").alias("d"))
+    da = dels.select("i", "d", F.col("s").alias("sa"))
+    db = dels.select("i", "d", F.col("s").alias("sb"))
+    sub = da.join(db, ["i", "d"]).filter(F.col("sa") < F.col("sb")).select(
+        "sa", "sb"
     )
-    db = dels.select(
-        "i", "d", F.col("k").alias("kb"), F.col("s").alias("sb")
-    )
-    cols = ["ka", "nka", "kb"]
-    sub = (
-        da.join(db, ["i", "d"])
-        .filter(F.col("sa") < F.col("sb"))
-        .select(*cols)
-    )
-    na = c.select(
-        F.col("k").alias("ka"), F.col("s").alias("sa"), F.col("nk").alias("nka")
-    )
-    nb = c.select(F.col("k").alias("kb"), F.col("s").alias("sb"))
+    na = names.select(F.col("s").alias("sa"))
+    nb = names.select(F.col("s").alias("sb"))
     ins = (
         da.join(nb, da["d"] == nb["sb"])
         .filter(
             (F.col("sa") < F.col("sb")) & (F.levenshtein("sa", "sb") <= 1)
         )
-        .select(*cols)
+        .select("sa", "sb")
         .distinct()
     )
     dele = (
@@ -528,13 +537,37 @@ def q_join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("sa") < F.col("sb")) & (F.levenshtein("sa", "sb") <= 1)
         )
-        .select(*cols)
+        .select("sa", "sb")
         .distinct()
     )
-    verified = sub.unionByName(ins).unionByName(dele)
-    return verified.groupBy(F.col("nka").alias("c_nationkey")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(F.col("ka") + F.col("kb")).cast("long").alias("key_checksum"),
+    pairs = sub.unionByName(ins).unionByName(dele)
+    # expand multiplicities: a-side split by nation, b-side name totals
+    expanded = (
+        pairs.join(
+            ga.select(
+                F.col("s").alias("sa"),
+                F.col("nk").alias("nka"),
+                F.col("m").alias("m_a"),
+                F.col("ks").alias("ks_a"),
+            ),
+            "sa",
+        )
+        .join(
+            gb.select(
+                F.col("s").alias("sb"),
+                F.col("m").alias("m_b"),
+                F.col("ks").alias("ks_b"),
+            ),
+            "sb",
+        )
+    )
+    return expanded.groupBy(F.col("nka").alias("c_nationkey")).agg(
+        F.sum(F.col("m_a") * F.col("m_b")).cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("m_b") * F.col("ks_a") + F.col("m_a") * F.col("ks_b")
+        )
+        .cast("long")
+        .alias("key_checksum"),
     )
 
 

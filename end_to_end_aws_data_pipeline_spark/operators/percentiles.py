@@ -1076,6 +1076,173 @@ if _KMV_DOC is not None:
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard from bottom-k sketches
+# ---------------------------------------------------------------------------
+
+_KMV_SEG_A = "BUILDING"
+_KMV_SEG_B = "MACHINERY"
+
+_KMV_SETOP_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT c.c_mktsegment AS g,
+         ('0x' || substr(md5(CAST(l.l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('{_KMV_SEG_A}', '{_KMV_SEG_B}')
+), sk AS (
+  SELECT g, hv FROM (
+    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rk
+    FROM h
+  ) WHERE rk <= {_KMV_K}
+), u AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+    FROM (SELECT DISTINCT hv FROM sk)
+  ) WHERE rk <= {_KMV_K}
+), ustat AS (
+  SELECT max(hv) AS h_u, CAST(count(*) AS BIGINT) AS n_u FROM u
+), both_cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both FROM (
+    SELECT u.hv FROM u
+    JOIN sk ON sk.hv = u.hv
+    GROUP BY u.hv HAVING count(DISTINCT sk.g) = 2
+  )
+), ex AS (
+  SELECT
+    CAST(count(DISTINCT hv) AS BIGINT) AS union_exact,
+    CAST(sum(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact
+  FROM (SELECT hv, count(DISTINCT g) AS ng FROM h GROUP BY hv)
+)
+SELECT ex.union_exact, ex.inter_exact,
+       CAST(ustat.n_u AS BIGINT) AS n_u,
+       CAST(both_cnt.n_both AS BIGINT) AS n_both,
+       round(CASE WHEN ustat.n_u < {_KMV_K}
+             THEN CAST(ustat.n_u AS DOUBLE)
+             ELSE ({_KMV_K} - 1.0) * 1152921504606846976.0
+                  / CAST(ustat.h_u AS DOUBLE) END, 2) AS union_est,
+       round(CAST(both_cnt.n_both AS DOUBLE) / ustat.n_u, 6) AS jaccard_est,
+       round(CAST(both_cnt.n_both AS DOUBLE) / ustat.n_u
+             * CASE WHEN ustat.n_u < {_KMV_K}
+               THEN CAST(ustat.n_u AS DOUBLE)
+               ELSE ({_KMV_K} - 1.0) * 1152921504606846976.0
+                    / CAST(ustat.h_u AS DOUBLE) END, 2) AS inter_est
+FROM ex, ustat, both_cnt
+"""
+
+
+@register("q_agg_kmv_setops", oracle=_KMV_SETOP_ORACLE)
+def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set OPERATIONS on KMV sketches — the capability that justifies
+    bottom-k over HLL (q_agg_kmv_distinct's docstring promises it;
+    this query delivers): estimate |A∪B|, |A∩B| and Jaccard between
+    the distinct part sets purchased by two market segments from two
+    256-hash sketches, never rescanning the corpus.  Beyer et al.
+    (SIGMOD'07): the bottom-k of K_A ∪ K_B is exactly the bottom-k of
+    A ∪ B (min-k is mergeable), its k-th value estimates the union;
+    the fraction of those k that appear in BOTH input sketches
+    estimates Jaccard; intersection = ρ̂·Û.  When the union has fewer
+    than k distinct hashes the sketch degenerates to the exact sets
+    and all three estimates are exact — the same convention as the
+    base sketch.
+
+    Scale shape: the only corpus-sized work is the segment-filtered
+    distinct (one shuffle); each sketch is ≤256 rows, so the set
+    algebra — union ranking, two-sketch membership, the estimator
+    division — runs on KB-sized data regardless of corpus size.  At
+    100 TB you'd persist per-day/per-segment sketch TABLES and answer
+    any pairwise overlap question from sketch joins alone; exact
+    columns here exist to let the oracle pin the estimator against
+    ground truth."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(_KMV_SEG_A, _KMV_SEG_B))
+        .select("c_custkey", "c_mktsegment")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("c_mktsegment").alias("g"), hv.alias("hv"))
+        .distinct()
+    )
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    # same salted two-phase bottom-k as q_agg_kmv_distinct: local top-k
+    # per (g, salt) keeps every phase-1 sort reducer-sized; the final
+    # per-g top-k ranks <= SALTS*k survivors
+    salted = h.withColumn("salt", F.pmod(F.col("hv"), F.lit(_KMV_SALTS)))
+    local = (
+        salted.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("g", "salt").orderBy("hv")),
+        )
+        .filter(F.col("rk") <= _KMV_K)
+        .drop("rk", "salt")
+    )
+    sk = persisted(
+        local.withColumn(
+            "rk", F.row_number().over(W.partitionBy("g").orderBy("hv"))
+        )
+        .filter(F.col("rk") <= _KMV_K)
+        .drop("rk")
+    )
+    u = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rk", F.row_number().over(W.orderBy("hv")))
+        .filter(F.col("rk") <= _KMV_K)
+        .drop("rk")
+    )
+    ustat = u.agg(
+        F.max("hv").alias("h_u"), F.count(F.lit(1)).cast("long").alias("n_u")
+    )
+    n_both = (
+        u.join(sk, "hv")
+        .groupBy("hv")
+        .agg(F.countDistinct("g").alias("ng"))
+        .filter(F.col("ng") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ex = (
+        h.groupBy("hv")
+        .agg(F.countDistinct("g").alias("ng"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("union_exact"),
+            F.sum(F.when(F.col("ng") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("inter_exact"),
+        )
+    )
+    union_est = F.when(
+        F.col("n_u") < _KMV_K, F.col("n_u").cast("double")
+    ).otherwise(
+        (_KMV_K - 1.0) * 1152921504606846976.0 / F.col("h_u").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("n_u")
+    return (
+        ex.crossJoin(ustat)
+        .crossJoin(n_both)
+        .select(
+            "union_exact",
+            "inter_exact",
+            F.col("n_u").cast("long").alias("n_u"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(union_est, 2).alias("union_est"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * union_est, 2).alias("inter_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # bitmap-exact distinct count (bit_or-mergeable, dense-domain path)
 # ---------------------------------------------------------------------------
 

@@ -321,3 +321,94 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"wsum div {_EWMA_WSUM}").cast("long").alias("ewma_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP): step-function integral over event time
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS t_next
+  FROM events
+), iv AS (
+  SELECT user_id, vc, t_next - t AS dt
+  FROM seq WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS span_us,
+       round(CAST(sum(CAST(vc AS HUGEINT) * dt) AS DOUBLE)
+             / (100.0 * sum(dt)), 6) AS twap,
+       round(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
+             / (100.0 * count(*)), 6) AS plain_avg
+FROM iv
+GROUP BY user_id
+HAVING sum(dt) > 0
+"""
+
+
+@register("q_window_twap", oracle=_TWAP_ORACLE)
+def q_window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each event's value holds until
+    the user's next event (step-function semantics — the standard
+    TWAP/time-weighted KPI construction for irregularly-sampled
+    series; the financial/monitoring twin of q_window_ewma's
+    equal-spaced smoothing).  lead(ts) gives each interval's
+    duration; the integral Σ(value·Δt)/Σ(Δt) weights long-held values
+    proportionally, which a plain avg (also returned, for the
+    contrast this KPI exists to draw) does not.
+
+    Exactness: value in integer cents, Δt in integer microseconds,
+    both sums in DECIMAL(38,0) — a cent-µs product is ~1e16 per term,
+    so int64 would overflow near 1e3 terms while decimal sums replay
+    bit-for-bit in any engine and any partial-aggregation order; the
+    single final division runs once per user on identical operands.
+    Ordering ties break on event_id, so the step function is
+    deterministic under any physical row order.
+
+    Scale shape: one window (partition by user, order by time) — the
+    same shuffle any per-entity sequence op pays — then one combinable
+    aggregate; no self-join against shifted copies, no driver state.
+    Last-event open intervals drop out (HAVING span > 0 guards users
+    with a single event)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    iv = seq.select(
+        "user_id", "vc", (F.col("t_next") - F.col("t")).alias("dt")
+    )
+    num = F.sum((F.col("vc") * F.col("dt")).cast("decimal(38,0)"))
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dt").cast("long").alias("span_us"),
+            num.alias("_num"),
+            F.sum(F.col("vc").cast("decimal(38,0)")).alias("_vs"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            F.round(
+                F.col("_num").cast("double") / (100.0 * F.col("span_us")), 6
+            ).alias("twap"),
+            F.round(
+                F.col("_vs").cast("double") / (100.0 * F.col("n_intervals")),
+                6,
+            ).alias("plain_avg"),
+        )
+    )
