@@ -153,6 +153,8 @@ HEADLINE = (
     "q_agg_kmv_setops",
     "q_window_twap",
     "q_dedup_containment",
+    "q_window_ohlc",
+    "q_dedup_lines",
 )
 
 

@@ -1814,3 +1814,87 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level (paragraph) dedup: CCNet-style boilerplate removal
+# ---------------------------------------------------------------------------
+
+_LINE_W = 8  # tokens per "line" (the corpus has no newlines; fixed-width
+# chunks stand in for CCNet's newline-split paragraphs)
+
+_LINE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(CAST(ceil(len(toks) / {_LINE_W}.0) AS INT), 1)),
+           i -> md5(array_to_string(
+                  list_slice(toks, i * {_LINE_W} + 1, i * {_LINE_W} + {_LINE_W}),
+                  ' '))
+         )) AS g
+  FROM t
+), df AS (
+  SELECT g, count(DISTINCT doc_id) AS df FROM ch GROUP BY g
+)
+SELECT ch.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_lines,
+       round(1.0 - sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+FROM ch JOIN df USING (g)
+GROUP BY ch.doc_id
+"""
+
+
+@register("q_dedup_lines", oracle=_LINE_ORACLE)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC'20):
+    split every document into lines, hash each line, count how many
+    DISTINCT documents contain it corpus-wide, and score each document
+    by the fraction of its lines that survive dropping every line seen
+    in ≥2 documents — the standard boilerplate/header/footer filter
+    that runs BEFORE document-level near-dup in a crawl pipeline.
+
+    The test corpus has no newlines, so a "line" is a fixed
+    8-token chunk; the mechanics (explode → 16-byte md5 keys →
+    distinct-doc frequency → join back → per-doc aggregate) are
+    identical either way.
+
+    Scale shape: the line-frequency table is one groupBy over md5
+    digests — shuffle bytes are 16 B per line regardless of line
+    text length, the same never-shuffle-raw-text discipline as
+    q_dedup_exact. The join back is digest-keyed and combinable;
+    nothing driver-side. CCNet runs exactly this shape over each
+    Common Crawl snapshot (they hash paragraphs with SHA1; md5 here
+    matches the engine's other digest oracles)."""
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / float(_LINE_W)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * _LINE_W + 1, F.lit(_LINE_W)), " ")
+        ),
+    )
+    ch = d.select("doc_id", F.explode(lines).alias("g"))
+    df = ch.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        ch.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dup.cast("long").alias("n_dup_lines"),
+            F.round(
+                1.0 - dup / F.count(F.lit(1)).cast("double"), 6
+            ).alias("kept_frac"),
+        )
+    )

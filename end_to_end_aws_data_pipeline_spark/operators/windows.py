@@ -412,3 +412,82 @@ def q_window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("plain_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: first/last/extreme aggregation over time buckets
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar_ts,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+         ) AS rn_a,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_ts,
+       round(max(CASE WHEN rn_a = 1 THEN vc END) / 100.0, 2) AS open,
+       round(max(vc) / 100.0, 2) AS high,
+       round(min(vc) / 100.0, 2) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN vc END) / 100.0, 2) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
+             / (100.0 * count(*)), 6) AS mean_value
+FROM e
+GROUP BY event_type, bar_ts
+"""
+
+
+@register("q_window_ohlc", oracle=_OHLC_ORACLE)
+def q_window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close by event-time order
+    (ties broken on event_id, so the bar is deterministic under any
+    physical row order), high/low as extremes, plus count and mean —
+    the standard downsampling shape for market data and metrics
+    rollups (the bar twin of q_window_twap's step integral).
+
+    first()/last() over a grouped aggregate are order-dependent in
+    Spark; the deterministic distributed form is two row_number
+    windows (ascending and descending) over the same (type, hour)
+    partitioning, then a conditional max inside the one hash
+    aggregate that already computes high/low/count. One shuffle for
+    the windows (reused by the aggregate under AQE — same keys), no
+    self-joins, no driver state.
+
+    Exactness: integer cents throughout; the mean's numerator is a
+    decimal sum so partial-aggregation order can't move a ULP; the
+    single division runs once per bar."""
+    ev = table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    vc = F.round(F.col("value") * 100).cast("long")
+    wa = W.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", bar).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    e = ev.select(
+        "event_type",
+        bar.alias("bar_ts"),
+        vc.alias("vc"),
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return e.groupBy("event_type", "bar_ts").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("vc"))) / 100.0, 2).alias("open"),
+        F.round(F.max("vc") / 100.0, 2).alias("high"),
+        F.round(F.min("vc") / 100.0, 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("vc"))) / 100.0, 2).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("vc").cast("decimal(38,0)")).cast("double")
+            / (100.0 * F.count(F.lit(1))),
+            6,
+        ).alias("mean_value"),
+    )
