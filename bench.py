@@ -155,6 +155,7 @@ HEADLINE = (
     "q_dedup_containment",
     "q_window_ohlc",
     "q_dedup_lines",
+    "q_text_char_entropy",
 )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.catalog import spread, table
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _STOPWORDS = ("the", "a", "of", "and")
@@ -1500,3 +1500,85 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_DOC = q_text_zipf.__doc__
 if _ZIPF_DOC is not None:
     q_text_zipf.__doc__ = _ZIPF_DOC.replace("{TOP}", str(_ZIPF_TOP))
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal (fixed-point, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+def _ent_l2fp(x: str) -> str:
+    """Fixed-point 16*log2 for x >= 1 — same construction as
+    curation._l2fp (shared SQL text, ``{div}`` spelled per engine);
+    worst-case error ~0.149 bit (interpolation + 1/16 quantization)."""
+    e = f"(length(bin({x})) - 1)"
+    return f"(16 * {e} + ({x}) * 16 {{div}} (CAST(1 AS BIGINT) << {e}) - 16)"
+
+
+def _ent_expr(div: str) -> str:
+    """Entropy in 1/16-bit units from per-char counts:
+    H*16 = L(N) - (Σ n_c·L(n_c)) div N, all-integer."""
+    return f"({_ent_l2fp('n_total')} - s_nl {{div}} n_total)".replace(
+        "{div}", div
+    )
+
+
+_ENT_L_NC_DUCK = _ent_l2fp("n_c").replace("{div}", "//")
+
+_ENTROPY_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), hist AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n_c
+  FROM ch GROUP BY doc_id, c
+), doc AS (
+  SELECT doc_id,
+         CAST(sum(n_c) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(n_c * {_ENT_L_NC_DUCK}) AS BIGINT) AS s_nl
+  FROM hist GROUP BY doc_id
+)
+SELECT doc_id, n_total, n_distinct,
+       CAST({_ent_expr('//')} AS BIGINT) AS entropy_x16,
+       round(CAST({_ent_expr('//')} AS DOUBLE) / 16.0, 4) AS entropy_bits
+FROM doc
+"""
+
+
+@register("q_text_char_entropy", oracle=_ENTROPY_ORACLE)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    cheap gibberish/low-quality detector (runs of one character or
+    base64 blobs sit far from natural text's ~4 bits/char; used
+    alongside length/stopword signals in C4/Gopher-style filters).
+
+    H = log2 N - (Σ n_c·log2 n_c)/N over the per-char counts, computed
+    entirely in the engine's fixed-point integer log2 (16ths of a bit,
+    worst case ~0.149 bit) so partial-aggregation order and engine
+    float libraries can't move the answer: counts are exact integers,
+    every log2 is an integer expression, and the one division is
+    integer division by N — bit-identical in Spark and DuckDB.
+
+    Scale shape: explode to (doc, char) pairs → combinable two-level
+    hash aggregate (per-doc-char counts, then per-doc). The first
+    groupBy's map-side combine collapses each task's pairs to at most
+    |alphabet| rows per doc before any shuffle, so shuffle bytes are
+    ∝ docs·alphabet, not corpus bytes."""
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ch = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+    hist = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    l_nc = F.expr(_ent_l2fp("n_c").replace("{div}", " div "))
+    doc = hist.groupBy("doc_id").agg(
+        F.sum("n_c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n_c") * l_nc).cast("long").alias("s_nl"),
+    )
+    ent = F.expr(_ent_expr(" div "))
+    return doc.select(
+        "doc_id",
+        "n_total",
+        "n_distinct",
+        ent.cast("long").alias("entropy_x16"),
+        F.round(ent.cast("double") / 16.0, 4).alias("entropy_bits"),
+    )
