@@ -156,6 +156,7 @@ HEADLINE = (
     "q_window_ohlc",
     "q_dedup_lines",
     "q_text_char_entropy",
+    "q_agg_ab_ttest",
 )
 
 

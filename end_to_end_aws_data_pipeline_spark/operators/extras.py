@@ -893,3 +893,119 @@ def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test per group (A/B experiment readout from exact
+# decimal moments; one aggregation pass, one final float expression)
+# ---------------------------------------------------------------------------
+
+_TT_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         user_id % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+         CAST(sum(CASE WHEN arm = 0 THEN vc ELSE 0 END) AS HUGEINT) AS sa,
+         CAST(sum(CASE WHEN arm = 1 THEN vc ELSE 0 END) AS HUGEINT) AS sb,
+         CAST(sum(CASE WHEN arm = 0 THEN CAST(vc AS HUGEINT) * vc
+                       ELSE 0 END) AS HUGEINT) AS qa,
+         CAST(sum(CASE WHEN arm = 1 THEN CAST(vc AS HUGEINT) * vc
+                       ELSE 0 END) AS HUGEINT) AS qb
+  FROM v GROUP BY event_type
+), d AS (
+  SELECT event_type,
+         CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CAST(sa AS DOUBLE) / (100.0 * CAST(na AS DOUBLE)) AS ma,
+         CAST(sb AS DOUBLE) / (100.0 * CAST(nb AS DOUBLE)) AS mb,
+         CAST(na * qa - sa * sa AS DOUBLE)
+           / (10000.0 * CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+              * CAST(na - 1 AS DOUBLE)) AS vna,
+         CAST(nb * qb - sb * sb AS DOUBLE)
+           / (10000.0 * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+              * CAST(nb - 1 AS DOUBLE)) AS vnb
+  FROM m WHERE na >= 2 AND nb >= 2
+)
+SELECT event_type, n_a, n_b,
+       round(ma, 6) AS mean_a,
+       round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(vna + vnb), 4) AS t_stat,
+       round((vna + vnb) * (vna + vnb)
+             / (vna * vna / (n_a - 1) + vnb * vnb / (n_b - 1)), 2) AS dof
+FROM d
+"""
+
+
+@register("q_agg_ab_ttest", oracle=_TT_ORACLE)
+def q_agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event type — the A/B experiment
+    readout (unequal variances, Welch–Satterthwaite dof), with users
+    deterministically assigned to arms by user_id parity.
+
+    Exactness follows q_agg_regression: the six sufficient statistics
+    (per-arm count, Σcents, Σcents²) are exact integer/decimal sums —
+    order-free under any partial-aggregation schedule — and the
+    t-statistic/dof are ONE closed-form float expression over those
+    identical integers, written with the identical operation order in
+    both engines, so IEEE correctly-rounded /,* and sqrt produce the
+    bit-identical double. vna/vnb here are s²/n (the standard-error
+    terms), kept as single fractions so neither engine introduces an
+    intermediate the other lacks.
+
+    Scale shape: one map-side-combinable aggregation pass; per-group
+    state is six numbers, so millions of simultaneous experiments
+    (group keys) stream through one shuffle of moment rows — the
+    standard metrics-platform layout, not a per-experiment job."""
+    e = table(spark, sf_dir, "events")
+    arm = (F.col("user_id") % 2).alias("arm")
+    vc = F.round(F.col("value") * 100).cast("long").alias("vc")
+    v = e.select("event_type", arm, vc)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a, is_b = F.col("arm") == 0, F.col("arm") == 1
+    m = v.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("nb"),
+        F.sum(dec(F.when(is_a, F.col("vc")).otherwise(0))).alias("sa"),
+        F.sum(dec(F.when(is_b, F.col("vc")).otherwise(0))).alias("sb"),
+        F.sum(dec(F.when(is_a, F.col("vc") * F.col("vc")).otherwise(0))).alias("qa"),
+        F.sum(dec(F.when(is_b, F.col("vc") * F.col("vc")).otherwise(0))).alias("qb"),
+    ).filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    mean_a = F.col("sa").cast("double") / (100.0 * na_d)
+    mean_b = F.col("sb").cast("double") / (100.0 * nb_d)
+    vna = (dec(F.col("na")) * F.col("qa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    ) / (10000.0 * na_d * na_d * (F.col("na") - 1).cast("double"))
+    vnb = (dec(F.col("nb")) * F.col("qb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    ) / (10000.0 * nb_d * nb_d * (F.col("nb") - 1).cast("double"))
+    d = m.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        mean_a.alias("_ma"),
+        mean_b.alias("_mb"),
+        vna.alias("_vna"),
+        vnb.alias("_vnb"),
+    )
+    se2 = F.col("_vna") + F.col("_vnb")
+    return d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("_ma"), 6).alias("mean_a"),
+        F.round(F.col("_mb"), 6).alias("mean_b"),
+        F.round((F.col("_ma") - F.col("_mb")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                F.col("_vna") * F.col("_vna") / (F.col("n_a") - 1)
+                + F.col("_vnb") * F.col("_vnb") / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("dof"),
+    )
