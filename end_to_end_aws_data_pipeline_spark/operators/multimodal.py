@@ -1402,3 +1402,104 @@ if _IH_DOC is not None:
     q_multimodal_img_histogram.__doc__ = _IH_DOC.replace(
         "{bins}", str(_IH_BINS)
     )
+
+
+# ---------------------------------------------------------------------------
+# video scene-cut detection (temporal frame-diff through the binary path)
+# ---------------------------------------------------------------------------
+
+_SC_FRAME_PX = 256  # 16x16 grayscale bytes per frame
+_SC_TAU = 8  # mean-abs-diff threshold for a cut
+
+# per-doc synthetic video geometry, all integer-derived from doc_id:
+# n_frames in 8..12, scene length 3..5, per-scene luminance jumps by a
+# 97-step mod-256 walk (coprime with 256, so scene boundaries usually
+# but not always clear the threshold — both engines decide identically)
+_SC_NF = "(8 + doc_id % 5)"
+_SC_SLEN = "(3 + doc_id % 3)"
+
+
+def _sc_lum(f: str) -> str:
+    return f"(doc_id * 7 + (({f}) // {_SC_SLEN}) * 97) % 256"
+
+
+_SCENE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, {_SC_NF}),
+           f -> abs(CAST({_sc_lum('f')} AS BIGINT)
+                    - CAST({_sc_lum('f - 1')} AS BIGINT))
+         ) AS diffs
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_SC_NF} AS BIGINT) AS n_frames,
+       CAST(len(list_filter(diffs, x -> x >= {_SC_TAU})) + 1 AS BIGINT)
+         AS n_scenes,
+       CAST(list_sum(diffs) AS BIGINT) AS sum_diff
+FROM d
+"""
+
+
+@register("q_multimodal_video_scenes", oracle=_SCENE_ORACLE)
+def q_multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over a synthetic 'video' binary column: each
+    document carries n_frames of 16×16 grayscale bytes; consecutive
+    frames are diffed (mean absolute luminance) and a cut fires where
+    the diff clears a threshold — the keyframe/shot-boundary primitive
+    a video curation pipeline runs before captioning or frame dedup.
+
+    The video bytes are REAL: the UDF materializes every frame,
+    re-slices the payload at frame stride, and computes diffs from the
+    decoded pixels inside one Arrow-batched mapInPandas pass — bytes
+    never reach the driver and never shuffle (the aggregate emits 4
+    scalars per doc). The oracle predicts the same cuts arithmetically
+    from the generator formula, so a slicing/stride/diff bug is a hash
+    mismatch. Scale shape: embarrassingly parallel per video, CPU ∝
+    pixel bytes; at 100 TB the decode stage (here a stride slice;
+    in production a codec) dominates and partitions by file."""
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nfs, scenes, sums = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 8 + doc_id % 5
+                slen = 3 + doc_id % 3
+                # encode: one constant 16x16 frame per scene step
+                payload = b"".join(
+                    bytes([(doc_id * 7 + (f // slen) * 97) % 256])
+                    * _SC_FRAME_PX
+                    for f in range(nf)
+                )
+                # decode: re-slice at frame stride, diff consecutive means
+                arr = np.frombuffer(payload, dtype=np.uint8).reshape(
+                    nf, _SC_FRAME_PX
+                )
+                means = arr.mean(axis=1).astype(np.int64)
+                diffs = np.abs(np.diff(means))
+                ids.append(doc_id)
+                nfs.append(nf)
+                scenes.append(int((diffs >= _SC_TAU).sum()) + 1)
+                sums.append(int(diffs.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "n_scenes": pd.Series(scenes, dtype="int64"),
+                    "sum_diff": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema="doc_id long, n_frames long, n_scenes long, sum_diff long",
+    )
