@@ -704,3 +704,153 @@ def test_pagerank_checkpoint_placement_invariant(spark):
     finally:
         release_all()
     assert plain == ckpt and len(plain) > 0
+
+
+def test_ohlc_bar_invariants(spark):
+    """Every OHLC bar: low <= open, close <= high; low <= mean <= high;
+    bar event counts sum to the table's row count."""
+    from end_to_end_aws_data_pipeline_spark.operators.windows import q_window_ohlc
+    from tests.conftest import SF_SMOKE
+
+    rows = q_window_ohlc(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.low <= r.mean_value <= r.high
+        assert r.n_events >= 1
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert sum(r.n_events for r in rows) == ev.count()
+
+
+def test_line_dedup_matches_python_recompute(spark):
+    """Full independent recomputation of the CCNet line-dedup semantics
+    in plain Python (split → 8-token chunks → corpus-wide distinct-doc
+    frequency → per-doc kept fraction) — a second oracle that shares no
+    SQL text with the DuckDB one."""
+    import collections
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _LINE_W,
+        q_dedup_lines,
+    )
+    from tests.conftest import SF_SMOKE
+
+    lines = {r.doc_id: r for r in q_dedup_lines(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = dict(docs.select("doc_id", "text").collect())
+    assert set(lines) == set(texts)
+
+    def chunks(t):
+        toks = t.split(" ")
+        n = max(-(-len(toks) // _LINE_W), 1)
+        return [
+            " ".join(toks[i * _LINE_W : i * _LINE_W + _LINE_W]) for i in range(n)
+        ]
+
+    df = collections.defaultdict(set)
+    per_doc = {}
+    for did, txt in texts.items():
+        cs = chunks(txt)
+        per_doc[did] = cs
+        for c in set(cs):
+            df[c].add(did)
+    flagged_any = 0
+    for did, cs in per_doc.items():
+        n_dup = sum(1 for c in cs if len(df[c]) >= 2)
+        r = lines[did]
+        assert r.n_lines == len(cs)
+        assert r.n_dup_lines == n_dup, did
+        assert abs(r.kept_frac - round(1.0 - n_dup / len(cs), 6)) <= 1e-9
+        flagged_any += n_dup
+    # the fixture's near-duplicate docs share aligned chunks, so the
+    # boilerplate signal must actually fire somewhere
+    assert flagged_any > 0
+    for r in lines.values():
+        assert 0.0 <= r.kept_frac <= 1.0
+        assert r.n_dup_lines <= r.n_lines
+
+
+def test_char_entropy_bounds_and_float_agreement(spark):
+    """Fixed-point entropy stays within [0, log2(n_distinct)] + quant
+    slack and within the documented ~0.149-bit worst case of true
+    float entropy."""
+    import collections
+    import math
+
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        q_text_char_entropy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_text_char_entropy(spark, SF_SMOKE).collect()
+    docs = dict(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(rows) == len(docs)
+    for r in rows:
+        counts = collections.Counter(docs[r.doc_id])
+        assert r.n_total == sum(counts.values())
+        assert r.n_distinct == len(counts)
+        true_h = -sum(
+            v / r.n_total * math.log2(v / r.n_total) for v in counts.values()
+        )
+        assert abs(r.entropy_bits - true_h) <= 0.149 + 1e-9, (
+            r.doc_id,
+            true_h,
+            r.entropy_bits,
+        )
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_distinct, 2)) + 0.149
+
+
+def test_ab_ttest_matches_independent_float_path(spark):
+    """Welch t/dof from exact decimal moments must agree with an
+    independent statistics.variance computation to display precision."""
+    import math
+    import statistics
+
+    from end_to_end_aws_data_pipeline_spark.operators.extras import q_agg_ab_ttest
+    from tests.conftest import SF_SMOKE
+
+    got = {r.event_type: r for r in q_agg_ab_ttest(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    arms: dict = {}
+    for r in ev:
+        arms.setdefault(r.event_type, ([], []))[r.user_id % 2].append(
+            round(r.value * 100) / 100
+        )
+    assert set(got) == {k for k, (a, b) in arms.items() if len(a) >= 2 and len(b) >= 2}
+    for et, r in got.items():
+        a, b = arms[et]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        ma, mb = statistics.fmean(a), statistics.fmean(b)
+        va, vb = statistics.variance(a), statistics.variance(b)
+        se2 = va / len(a) + vb / len(b)
+        t = (ma - mb) / math.sqrt(se2)
+        dof = se2 * se2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(r.t_stat - round(t, 4)) <= 1e-4, (et, t, r.t_stat)
+        assert abs(r.dof - round(dof, 2)) <= 0.02, (et, dof, r.dof)
+
+
+def test_video_scenes_geometry(spark):
+    """Scene count is bounded by the generator's scene structure:
+    1 <= n_scenes <= ceil(n_frames / scene_len); sum_diff is zero only
+    when a single scene spans the whole clip."""
+    from end_to_end_aws_data_pipeline_spark.operators.multimodal import (
+        q_multimodal_video_scenes,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_multimodal_video_scenes(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        slen = 3 + r.doc_id % 3
+        max_scenes = -(-r.n_frames // slen)
+        assert 1 <= r.n_scenes <= max_scenes
+        assert r.n_frames == 8 + r.doc_id % 5
+        if r.n_scenes == 1:
+            assert r.sum_diff < 8 * (r.n_frames - 1)
