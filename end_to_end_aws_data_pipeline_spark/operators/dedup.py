@@ -126,12 +126,22 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {_JACCARD_TAU}
 
 
 _DIRECT_SUMDF2_MAX = 50_000_000
+# adaptive routing (direct_sumdf2_max=None): direct while Σdf² stays
+# within this many candidate rows PER TOKEN.  Σdf²/tokens is the mean
+# candidate fan-out of one posting entry — scale-FREE, unlike the
+# absolute cap: a corpus 10× bigger with the same df distribution keeps
+# the same ratio (direct cost grows linearly with the data, exactly
+# what a cluster absorbs), while boilerplate blow-up sends the ratio to
+# the thousands no matter the corpus size.  Crossover measured at sf10
+# (23.7M tokens): direct 27 s at ratio 10.7 vs PPJoin's ~114 s
+# token-bound fixed cost → direct stays ahead until ratio ≈ 40-50.
+_DIRECT_DF_RATIO = 40
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
     tau: float = _JACCARD_TAU,
-    direct_sumdf2_max: int = _DIRECT_SUMDF2_MAX,
+    direct_sumdf2_max: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs ``(doc_a, doc_b, jaccard)`` by 3-shingle
     Jaccard ≥ ``tau`` over a ``(doc_id, text)`` corpus.
@@ -160,7 +170,9 @@ def ngram_jaccard_pairs(
     hashed shingles (map-side-combinable aggregation over 8-byte
     longs) rather than intersecting string arrays — the r3
     array_intersect verify cost 13x at bench scale on low-precision
-    candidate sets. ``direct_sumdf2_max=0`` forces the PPJoin path,
+    candidate sets. ``direct_sumdf2_max=None`` (default) routes
+    adaptively on the scale-free candidate DENSITY Σdf²/tokens (plus
+    an absolute small-corpus floor); ``direct_sumdf2_max=0`` forces the PPJoin path,
     a huge value forces direct (tests use both to pin equivalence).
     """
     from pyspark.sql import Window as W
@@ -185,13 +197,23 @@ def ngram_jaccard_pairs(
         .select("doc_id", "n", F.xxhash64("sh_str").alias("shingle"))
     )
     dfreq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # the probe: Σ df² = the direct join's exact output row count. One
-    # map-side-combinable aggregate over the (persisted) token index —
-    # sub-second, and it decides between strategies whose costs differ
-    # by an order of magnitude in each direction at the extremes.
-    sumdf2 = (
-        dfreq.agg(F.sum(F.col("df") * F.col("df")).alias("s")).first()["s"] or 0
-    )
+    # the probe: Σ df² = the direct join's exact output row count, and
+    # Σ df = the token count, both from ONE map-side-combinable
+    # aggregate over the (persisted) token index — sub-second, and it
+    # decides between strategies whose costs differ by an order of
+    # magnitude in each direction at the extremes.
+    probe = dfreq.agg(
+        F.sum(F.col("df") * F.col("df")).alias("s2"),
+        F.sum("df").alias("s1"),
+    ).first()
+    sumdf2, n_tokens = probe["s2"] or 0, probe["s1"] or 0
+    if direct_sumdf2_max is None:
+        # adaptive: scale-free density criterion (see _DIRECT_DF_RATIO)
+        # with the absolute floor keeping small corpora on the
+        # fewer-stages direct path regardless of ratio
+        direct_sumdf2_max = max(
+            _DIRECT_SUMDF2_MAX, _DIRECT_DF_RATIO * n_tokens
+        )
 
     jac = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
