@@ -811,6 +811,10 @@ def q_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = base.agg(
         (F.lit(_TMIX_BUDGET) - F.sum("q0")).cast("long").alias("shortfall")
     )
+    # largest-remainder apportionment needs ONE global rank over the
+    # strata — `base` is one row per SOURCE (mixture strata: tens, not
+    # corpus-sized), so the single-partition window (WindowExec's
+    # warning) is bounded by design
     rk = F.row_number().over(
         W.orderBy(F.col("rem").desc(), "source")
     )

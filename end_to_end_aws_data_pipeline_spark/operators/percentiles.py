@@ -1194,6 +1194,9 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KMV_K)
         .drop("rk")
     )
+    # the union rank runs over the MERGED SKETCHES (<= 2k rows of KB
+    # size, never the corpus), so the single-partition window
+    # (WindowExec's warning) is the design, bounded by 2k
     u = (
         sk.select("hv")
         .distinct()

@@ -429,10 +429,10 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition top-N + merge) — an unpartitioned ranking window
     # would drag every distinct bigram to a single task at scale
     top = counted.orderBy(F.col("n").desc(), F.col("bigram")).limit(20)
-    # the unpartitioned window below sees ONLY the k=20 TakeOrdered
-    # survivors — its single-partition exec is bounded by k, not by the
-    # vocabulary, at any corpus size (WindowExec's "no partition" log
-    # line is about the 20-row input, not the corpus)
+    # the window below sees ONLY the k=20 TakeOrdered survivors — its
+    # single-partition exec (WindowExec's warning) is bounded by k, not
+    # by the vocabulary, at any corpus size (a foldable partitionBy
+    # constant would not silence it: the optimizer folds it away)
     w = W.orderBy(F.col("n").desc(), F.col("bigram"))
     return top.withColumn("rnk", F.row_number().over(w)).select("bigram", "n", "rnk")
 
@@ -1468,10 +1468,17 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    ranked = tf.withColumn(
+    # global top-k FIRST via orderBy+limit (TakeOrderedAndProject:
+    # per-partition top-N + merge) — ranking the whole vocabulary in an
+    # unpartitioned window would drag every distinct token to one task
+    # at web scale; the rank window then sees only the {TOP} survivors,
+    # so its single-partition execution (WindowExec's warning) is
+    # bounded by k at any corpus size
+    top = tf.orderBy(F.col("freq").desc(), "tok").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
         "rk",
         F.row_number().over(W.orderBy(F.col("freq").desc(), "tok")),
-    ).filter(F.col("rk") <= _ZIPF_TOP)
+    )
     pts = ranked.select(
         F.expr(_l2fp("rk").replace("{div}", "div")).cast("long").alias("x"),
         F.expr(_l2fp("freq").replace("{div}", "div")).cast("long").alias("y"),
