@@ -157,6 +157,7 @@ HEADLINE = (
     "q_dedup_lines",
     "q_text_char_entropy",
     "q_agg_ab_ttest",
+    "q_agg_chi2_independence",
     "q_multimodal_video_scenes",
 )
 

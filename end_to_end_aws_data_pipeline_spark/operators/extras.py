@@ -1009,3 +1009,93 @@ def q_agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (contingency table from exact counts,
+# order-free fixed-point cell terms)
+# ---------------------------------------------------------------------------
+
+_CHI_SCALE = 10_000  # 1e-4 chi2 resolution per cell
+
+_CHI_ORACLE = f"""
+WITH cell AS (
+  SELECT event_type AS et, dayofweek(ts) AS dow,
+         CAST(count(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (
+  SELECT et, CAST(sum(o) AS HUGEINT) AS r FROM cell GROUP BY et
+), ct AS (
+  SELECT dow, CAST(sum(o) AS HUGEINT) AS c FROM cell GROUP BY dow
+), tot AS (
+  SELECT CAST(sum(o) AS HUGEINT) AS n,
+         CAST(count(DISTINCT et) AS BIGINT) AS nr,
+         CAST(count(DISTINCT dow) AS BIGINT) AS nc
+  FROM cell
+), terms AS (
+  SELECT (tot.n * cell.o - rt.r * ct.c) * (tot.n * cell.o - rt.r * ct.c)
+           * {_CHI_SCALE} // (tot.n * rt.r * ct.c) AS t_fp
+  FROM cell JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN tot
+)
+SELECT CAST(tot.n AS BIGINT) AS n_events,
+       tot.nr AS n_rows, tot.nc AS n_cols,
+       (tot.nr - 1) * (tot.nc - 1) AS dof,
+       round(CAST(sum(t_fp) AS DOUBLE) / {_CHI_SCALE}, 4) AS chi2
+FROM terms CROSS JOIN tot
+GROUP BY tot.n, tot.nr, tot.nc
+"""
+
+
+@register("q_agg_chi2_independence", oracle=_CHI_ORACLE)
+def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week — the categorical counterpart of q_agg_ab_ttest
+    (seasonality / A-B assignment-balance checks).
+
+    Each cell's (O−E)²/E is algebraically (N·O − R·C)²/(N·R·C) —
+    integers only — and is materialized as a FIXED-POINT integer
+    (1e-4 units) via integer division, so the cross-cell SUM is
+    order-free in any engine at any parallelism; the one float
+    division happens after the integer total. DECIMAL(38,0) holds
+    (N·O)²·SCALE up to N ≈ 3·10⁸ events; beyond that drop _CHI_SCALE
+    a decade per 10× N (resolution trades against headroom — the
+    statistic is O(N) so the relative error only shrinks).
+
+    Scale shape: the contingency table is |types|×7 CELLS — one
+    map-side-combinable count over the corpus, then all test algebra
+    runs on the tiny cell table (broadcast-sized joins against row and
+    column totals)."""
+    e = table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.col("event_type").alias("et"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    rt = cell.groupBy("et").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("et").cast("long").alias("nr"),
+        F.count_distinct("dow").cast("long").alias("nc"),
+    )
+    terms = (
+        cell.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                f"CAST((n * o - r * c) * (n * o - r * c) * {_CHI_SCALE} "
+                f"AS DECIMAL(38,0)) div CAST(n * r * c AS DECIMAL(38,0))"
+            ).alias("t_fp"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    return terms.groupBy("n", "nr", "nc").agg(
+        F.sum("t_fp").alias("_s")
+    ).select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        F.round(F.col("_s").cast("double") / _CHI_SCALE, 4).alias("chi2"),
+    )

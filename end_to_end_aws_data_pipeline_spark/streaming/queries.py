@@ -109,12 +109,19 @@ def stream_dir_for(path: str) -> str:
     on a lake the source is always a directory already)."""
     import hashlib
 
+    # absolute target: a RELATIVE path would hash differently per cwd
+    # and, worse, produce a dangling symlink (resolved against the
+    # staging dir) that os.path.exists() reports absent while
+    # os.symlink() still raises FileExistsError on the next run
+    path = os.path.abspath(path)
     d = os.path.join(
         "/tmp", f"stream_src_{hashlib.sha1(path.encode()).hexdigest()[:12]}"
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
+    if os.path.islink(link) and os.readlink(link) != path:
+        os.remove(link)  # stale link from an older layout
+    if not os.path.lexists(link):
         os.symlink(path, link)
     return d
 

@@ -854,3 +854,39 @@ def test_video_scenes_geometry(spark):
         assert r.n_frames == 8 + r.doc_id % 5
         if r.n_scenes == 1:
             assert r.sum_diff < 8 * (r.n_frames - 1)
+
+
+def test_chi2_independence_matches_float_path(spark):
+    """Fixed-point chi-square equals the float computation within the
+    per-cell 1e-4 truncation budget; dof/count invariants hold."""
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_chi2_independence,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = q_agg_chi2_independence(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    r = r[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "event_type", "dayofweek(ts) AS dow"
+    ).collect()
+    O = defaultdict(int)
+    R = defaultdict(int)
+    C = defaultdict(int)
+    for row in ev:
+        O[(row.event_type, row.dow)] += 1
+        R[row.event_type] += 1
+        C[row.dow] += 1
+    n = sum(R.values())
+    assert (r.n_events, r.n_rows, r.n_cols) == (n, len(R), len(C))
+    assert r.dof == (len(R) - 1) * (len(C) - 1)
+    chi2 = sum(
+        (O[(et, dw)] - R[et] * C[dw] / n) ** 2 / (R[et] * C[dw] / n)
+        for et in R
+        for dw in C
+    )
+    # each cell's fixed-point term floors off < 1e-4
+    assert 0 <= chi2 - r.chi2 <= len(R) * len(C) * 1e-4 + 1e-9
+    assert r.chi2 >= 0
