@@ -974,3 +974,33 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zipf_head_is_take_ordered_not_global_window(spark):
+    """Regression gate for the r6 fix: the Zipf head must come from
+    TakeOrderedAndProject (per-partition top-N + merge), and the rank
+    window must sit ABOVE the limit — never a vocabulary-wide
+    unpartitioned ranking."""
+    from end_to_end_aws_data_pipeline_spark.operators.text import q_text_zipf
+    from end_to_end_aws_data_pipeline_spark.plans.explain import physical_plan
+
+    plan = physical_plan(q_text_zipf(spark, SF_SMOKE))
+    assert "TakeOrdered" in plan, plan[:1500]
+    # the Window node must consume the Limit's output, i.e. appear
+    # above TakeOrdered in the tree string (smaller indent/first hit)
+    assert plan.index("Window") < plan.index("TakeOrdered"), plan[:1500]
+
+
+def test_chi2_contingency_joins_are_broadcast(spark):
+    """The chi-square cell/total joins run on the CELL table (types x 7
+    rows) — all three enrichment joins must broadcast, never shuffle."""
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_chi2_independence,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import physical_plan
+
+    plan = physical_plan(q_agg_chi2_independence(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
