@@ -159,6 +159,7 @@ HEADLINE = (
     "q_agg_ab_ttest",
     "q_agg_chi2_independence",
     "q_multimodal_video_scenes",
+    "q_graph_triangles",
 )
 
 

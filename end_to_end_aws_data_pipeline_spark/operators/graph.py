@@ -227,3 +227,121 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("c").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (oriented wedge join — Suri & Vassilvitskii WWW'11)
+# ---------------------------------------------------------------------------
+
+# part co-purchase graph: two parts are adjacent if some order contains
+# both. Canonical a < b edges; per-order pair fan-out is C(items, 2)
+# with ~4 items per order — bounded, unlike a customer-level projection.
+_TRI_EDGES_SQL = """
+  SELECT DISTINCT la.l_partkey AS a, lb.l_partkey AS b
+  FROM lineitem la JOIN lineitem lb ON la.l_orderkey = lb.l_orderkey
+  WHERE la.l_partkey < lb.l_partkey
+"""
+
+_TRI_ORACLE = f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+       ON e3.a = e1.a AND e3.b = e2.b
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT agg.n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       agg.n_wedges,
+       CAST(tri.n_tri AS BIGINT) AS n_triangles,
+       round(3.0 * tri.n_tri / agg.n_wedges, 6) AS global_clustering
+FROM agg CROSS JOIN tri
+"""
+
+
+@register("q_graph_triangles", oracle=_TRI_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (parts adjacent iff some order holds both).
+
+    The distributed algorithm is the oriented wedge join (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): orient every edge from the lower-DEGREE endpoint
+    to the higher (ties by id), so each wedge is generated exactly once
+    at its lowest-degree apex and the per-node wedge fan-out is bounded
+    by d_out ≤ O(√E) — a hub of degree 10⁶ generates no wedges at all
+    as an apex unless its out-degree survives orientation, which the
+    degree rule caps. Wedges then semi-join the edge set for closure.
+    The plain a<b<c three-way self-join the ORACLE runs is the same
+    count but its wedge fan-out is d² at the hubs — the curse the
+    orientation exists to lift; on 10⁹-edge graphs only the oriented
+    form finishes.
+
+    Count/wedge arithmetic is pure integers; the one clustering-
+    coefficient division runs once on identical operands."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    la = li.toDF("o", "a")
+    lb = li.toDF("o", "b")
+    e = persisted(
+        la.join(lb, "o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = persisted(
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient: lower (degree, id) -> higher (degree, id)
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lower_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = persisted(
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    tri = wedges.join(e, ["a", "b"], "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        agg.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_tri").alias("n_triangles"),
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )

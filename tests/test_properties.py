@@ -890,3 +890,44 @@ def test_chi2_independence_matches_float_path(spark):
     # each cell's fixed-point term floors off < 1e-4
     assert 0 <= chi2 - r.chi2 <= len(R) * len(C) * 1e-4 + 1e-9
     assert r.chi2 >= 0
+
+
+def test_triangles_match_bruteforce(spark):
+    """Oriented-wedge triangle count equals a python adjacency-set
+    brute force; wedge/clustering invariants hold."""
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        q_graph_triangles,
+    )
+    from tests.conftest import SF_SMOKE
+
+    try:
+        r = q_graph_triangles(spark, SF_SMOKE).collect()[0]
+    finally:
+        release_all()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = defaultdict(set)
+    for row in li:
+        orders[row.l_orderkey].add(row.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri3 = sum(len(adj[a] & adj[b]) for a, b in edges)
+    assert tri3 % 3 == 0
+    assert r.n_triangles == tri3 // 3
+    assert r.n_edges == len(edges)
+    assert r.n_nodes == len(adj)
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    assert r.n_wedges == wedges
+    assert abs(r.global_clustering - round(3 * r.n_triangles / wedges, 6)) < 1e-9
