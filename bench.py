@@ -160,6 +160,7 @@ HEADLINE = (
     "q_agg_chi2_independence",
     "q_multimodal_video_scenes",
     "q_graph_triangles",
+    "q_stream_ohlc",
 )
 
 

@@ -618,3 +618,44 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         # has served its purpose — don't leak one tmpdir per invocation
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+_STREAM_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar_ts,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+         ) AS rn_a,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_ts,
+       round(max(CASE WHEN rn_a = 1 THEN vc END) / 100.0, 2) AS open,
+       round(max(vc) / 100.0, 2) AS high,
+       round(min(vc) / 100.0, 2) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN vc END) / 100.0, 2) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
+             / (100.0 * count(*)), 6) AS mean_value
+FROM e
+GROUP BY event_type, bar_ts
+"""
+
+
+@register("q_stream_ohlc", oracle=_STREAM_OHLC_ORACLE)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars through the streaming-capable builder (min_by/max_by
+    aggregates instead of the batch twin's ranking windows — ranking
+    never streams); tests drive the same builder under readStream →
+    availableNow and assert equality with this batch execution. The
+    oracle is the batch twin's: both forms must land on identical
+    bars."""
+    from end_to_end_aws_data_pipeline_spark.streaming.windows import ohlc_bars
+
+    return ohlc_bars(table(spark, sf_dir, "events"))

@@ -80,3 +80,42 @@ def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     the streaming analogue of the reference's strictly-newer timestamp
     gate (ref second_lambda_function.py:76-88)."""
     return events.withWatermark("ts", delay)
+
+
+def ohlc_bars(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Streaming-capable OHLC bars per event type: open/close via
+    min_by/max_by over the (ts, event_id) struct — lexicographic, so
+    ties break deterministically like the batch twin's dual
+    row_number windows (operators/windows.py q_window_ohlc), but
+    expressed as AGGREGATES, which Structured Streaming supports
+    (ranking windows never stream). Same integer-cents + decimal-sum
+    exactness; identical output schema and values as the batch twin,
+    so the one DuckDB oracle verifies both."""
+    vc = F.round(F.col("value") * 100).cast("long")
+    ord_key = F.struct("ts", "event_id")
+    e = events.select("event_type", "ts", "event_id", vc.alias("vc"))
+    return (
+        e.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("vc", ord_key) / 100.0, 2).alias("open"),
+            F.round(F.max("vc") / 100.0, 2).alias("high"),
+            F.round(F.min("vc") / 100.0, 2).alias("low"),
+            F.round(F.max_by("vc", ord_key) / 100.0, 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("vc").cast("decimal(38,0)")).cast("double")
+                / (100.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mean_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "mean_value",
+        )
+    )

@@ -350,3 +350,38 @@ def test_python_datasource_partitioned_stream_reader(spark, tmp_path):
         exp[kind] = (len(ids), sum((e * e) % 10_000 for e in ids))
     assert results["partitioned"] == exp
     assert results["simple"] == exp
+
+
+def test_stream_equals_batch_for_ohlc_bars(spark, tmp_path):
+    """OHLC via min_by/max_by aggregates: the streaming execution must
+    land on the exact bars of the batch run (deterministic open/close
+    through the (ts, event_id) ordering struct), and those must equal
+    the ranking-window batch twin q_window_ohlc."""
+    from end_to_end_aws_data_pipeline_spark.catalog import normalize_event_ts
+    from end_to_end_aws_data_pipeline_spark.operators.windows import q_window_ohlc
+    from end_to_end_aws_data_pipeline_spark.streaming.queries import stream_dir_for
+    from end_to_end_aws_data_pipeline_spark.streaming.windows import ohlc_bars
+
+    batch = ohlc_bars(table(spark, SF_SMOKE, "events"))
+    expected = {tuple(r) for r in batch.collect()}
+    # aggregate form ≡ ranking-window form
+    twin = {tuple(r) for r in q_window_ohlc(spark, SF_SMOKE).collect()}
+    assert expected == twin
+
+    path = os.path.join(SF_SMOKE, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    )
+    sink = next(_names)
+    q = (
+        ohlc_bars(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(sink).collect()}
+    assert got == expected
