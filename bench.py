@@ -161,6 +161,7 @@ HEADLINE = (
     "q_multimodal_video_scenes",
     "q_graph_triangles",
     "q_stream_ohlc",
+    "q_dedup_minhash_incremental",
 )
 
 

@@ -1920,3 +1920,176 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash near-dup: new batch vs corpus band index
+# ---------------------------------------------------------------------------
+
+
+def _minhash_incr_oracle() -> str:
+    """DuckDB replay of q_dedup_minhash_incremental: the full
+    signature → band → bucket pipeline of _minhash_oracle, restricted
+    to batch-side probes against corpus-side index entries."""
+    k, b_, r = _MINHASH_K, _LSH_BANDS, _MINHASH_K // _LSH_BANDS
+    sig_cols = ",\n         ".join(
+        f"min(({a} * x + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_AB[:k])
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(h{b * r} AS VARCHAR)"
+        + "".join(f" || '|' || CAST(h{b * r + j} AS VARCHAR)" for j in range(1, r))
+        + ") AS bucket FROM sig"
+        for b in range(b_)
+    )
+    screen = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(k))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+           i -> concat_ws(' ', string_split(text,' ')[i],
+                string_split(text,' ')[i+1], string_split(text,' ')[i+2])
+         )) AS s
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT % {_MH_P} AS x
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM tok GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+  FROM bands n JOIN bands c
+    ON n.band = c.band AND n.bucket = c.bucket
+  WHERE n.doc_id % {_BATCH_MOD} >= {_BATCH_MIN}
+    AND c.doc_id % {_BATCH_MOD} < {_BATCH_MIN}
+), screened AS (
+  SELECT doc_new, doc_corpus FROM cand
+  JOIN sig sa ON sa.doc_id = doc_new
+  JOIN sig sb ON sb.doc_id = doc_corpus
+  WHERE {screen} >= {_MINHASH_SCREEN_MIN}
+)
+SELECT s.doc_new, s.doc_corpus,
+       round(CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+             (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s))), 6)
+         AS jaccard
+FROM screened s
+JOIN sh da ON da.doc_id = s.doc_new
+JOIN sh db ON db.doc_id = s.doc_corpus
+WHERE CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+      (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s)))
+      >= {_JACCARD_TAU}
+"""
+
+
+@register("q_dedup_minhash_incremental", oracle=_minhash_incr_oracle())
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: the newly-arrived batch (same
+    doc_id-parity split as q_dedup_incremental) probes the corpus's
+    persisted LSH BAND INDEX — signatures, band buckets, screen, and
+    exact-Jaccard verification identical to q_dedup_minhash_lsh, but
+    the join is batch-bands × corpus-bands instead of a self-join.
+
+    This is the daily operation of a deduplicated corpus: per batch,
+    work ∝ batch size (its shingling + signatures) plus an equi-join
+    probe into the band index — NEVER a re-pairing of the corpus with
+    itself. The corpus side of the join projects (doc_id, band,
+    bucket) — 8 rows of ~40 bytes per document at any corpus size,
+    the same persisted-index discipline as the exact-digest
+    incremental path; at 100 TB the index is bucketed by (band,
+    bucket) so the probe is partition-local. Verified pairs carry the
+    exact Jaccard, so downstream keep/drop decisions are identical to
+    what the full self-join would have produced for those documents."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    r = _MINHASH_K // _LSH_BANDS
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", shingles(F.col("text")).alias("s"))
+    tok = d.select("doc_id", F.explode("s").alias("sh")).select(
+        "doc_id", _mh_base(F.col("sh")).alias("x")
+    )
+    sig = persisted(
+        tok.groupBy("doc_id").agg(
+            F.array(
+                *[
+                    F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P)
+                    for a, b in _MH_AB
+                ]
+            ).alias("sig")
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * r + 1 + j).cast(
+                                        "string"
+                                    )
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(_BATCH_MOD)) >= _BATCH_MIN
+    probe = bands.filter(is_batch).select(
+        F.col("doc_id").alias("doc_new"), "band", "bucket"
+    )
+    index = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("doc_corpus"), "band", "bucket"
+    )
+    cand = (
+        probe.join(index, ["band", "bucket"])
+        .select("doc_new", "doc_corpus")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_new"), F.col("sig").alias("sig_a"))
+    sb = sig.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("sig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda a, b: (a == b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+    screened = (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_corpus")
+        .filter(matches >= _MINHASH_SCREEN_MIN)
+        .select("doc_new", "doc_corpus")
+    )
+    da = d.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("s_a"))
+    db = d.select(F.col("doc_id").alias("doc_corpus"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    jac = inter.cast("double") / (
+        F.size("s_a") + F.size("s_b") - inter
+    )
+    return (
+        screened.join(da, "doc_new")
+        .join(db, "doc_corpus")
+        .filter(jac >= _JACCARD_TAU)
+        .select(
+            "doc_new", "doc_corpus", F.round(jac, 6).alias("jaccard")
+        )
+    )

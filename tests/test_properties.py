@@ -931,3 +931,38 @@ def test_triangles_match_bruteforce(spark):
     wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
     assert r.n_wedges == wedges
     assert abs(r.global_clustering - round(3 * r.n_triangles / wedges, 6)) < 1e-9
+
+
+def test_minhash_incremental_equals_cross_split_slice(spark):
+    """The incremental batch-vs-corpus probe must surface EXACTLY the
+    cross-split subset of the full self-join LSH output — same bands,
+    same screen, same verification, different join shape."""
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _BATCH_MIN,
+        _BATCH_MOD,
+        q_dedup_minhash_incremental,
+        q_dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_ORACLE
+
+    try:
+        incr = {
+            (r.doc_new, r.doc_corpus): r.jaccard
+            for r in q_dedup_minhash_incremental(spark, SF_ORACLE).collect()
+        }
+        full = q_dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    finally:
+        release_all()
+
+    def is_batch(d):
+        return d % _BATCH_MOD >= _BATCH_MIN
+
+    expected = {}
+    for r in full:
+        a, b = r.doc_a, r.doc_b
+        if is_batch(a) != is_batch(b):
+            new, corpus = (a, b) if is_batch(a) else (b, a)
+            expected[(new, corpus)] = r.jaccard
+    assert incr == expected
+    assert len(incr) > 0
