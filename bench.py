@@ -162,6 +162,7 @@ HEADLINE = (
     "q_graph_triangles",
     "q_stream_ohlc",
     "q_dedup_minhash_incremental",
+    "q_agg_mutual_info",
 )
 
 

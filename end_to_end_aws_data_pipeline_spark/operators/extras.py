@@ -1099,3 +1099,161 @@ def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         F.round(F.col("_s").cast("double") / _CHI_SCALE, 4).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual information via a HIGH-PRECISION fixed-point log2 (64 linear
+# segments per octave, 1/65536-bit units — worst case 6.1e-5 bit,
+# swept over 200k random inputs; the 4-fractional-bit _l2fp's ~0.149
+# bit would swamp a near-independence MI outright)
+# ---------------------------------------------------------------------------
+
+_L2HI_S = 1 << 16
+_L2HI_SEGS = 64
+
+
+def _l2hi_tables() -> tuple[list[int], list[int]]:
+    import math
+
+    base = [
+        round(_L2HI_S * math.log2(1 + j / _L2HI_SEGS))
+        for j in range(_L2HI_SEGS)
+    ]
+    delta = [
+        round(
+            _L2HI_S
+            * (
+                math.log2(1 + (j + 1) / _L2HI_SEGS)
+                - math.log2(1 + j / _L2HI_SEGS)
+            )
+        )
+        for j in range(_L2HI_SEGS)
+    ]
+    return base, delta
+
+
+_L2HI_B, _L2HI_D = _l2hi_tables()
+
+
+def _l2hi_steps(x: str, p: str, div: str) -> list[str]:
+    """Column-expression strings (shared Spark/DuckDB text apart from
+    the integer-division spelling) computing L(x) = 65536·log2(x) for
+    x in [1, 2^57]: octave e, segment j of 64, within-segment residual
+    rescaled to ≤20 bits so every product stays far inside int64.
+    Returns SELECT items for two chained steps: geometry, then the
+    table-lookup evaluation. ``p`` prefixes the intermediates."""
+    case_b = "CASE " + f"{p}j " + " ".join(
+        f"WHEN {j} THEN {v}" for j, v in enumerate(_L2HI_B)
+    ) + " END"
+    case_d = "CASE " + f"{p}j " + " ".join(
+        f"WHEN {j} THEN {v}" for j, v in enumerate(_L2HI_D)
+    ) + " END"
+    geom = [
+        f"(length(bin({x})) - 1) AS {p}e",
+        f"({x}) AS {p}x",
+    ]
+    seg = [
+        f"({p}x * {_L2HI_SEGS}) {div} (CAST(1 AS BIGINT) << {p}e) - {_L2HI_SEGS} AS {p}j",
+        f"{p}x * {_L2HI_SEGS} - (({p}x * {_L2HI_SEGS}) {div} (CAST(1 AS BIGINT) << {p}e)) * (CAST(1 AS BIGINT) << {p}e) AS {p}r",
+        f"greatest({p}e - 20, 0) AS {p}sh",
+    ]
+    ev = [
+        f"{_L2HI_S} * {p}e + {case_b} "
+        f"+ ({p}r {div} (CAST(1 AS BIGINT) << {p}sh)) * ({case_d}) "
+        f"{div} (CAST(1 AS BIGINT) << ({p}e - {p}sh)) AS {p}l"
+    ]
+    return geom, seg, ev
+
+
+def _mi_sql(div: str) -> str:
+    """The full MI pipeline as engine-shared SQL over a view/CTE named
+    ``cell_src`` with columns (o, r, c, n)."""
+    ga, sa, ea = _l2hi_steps("n * o", "a_", div)
+    gb, sb, eb = _l2hi_steps("r * c", "b_", div)
+    return f"""
+WITH g AS (
+  SELECT o, n, {", ".join(ga + gb)} FROM cell_src
+), sgm AS (
+  SELECT o, n, a_e, a_x, b_e, b_x, {", ".join(sa + sb)} FROM g
+), ev AS (
+  SELECT o, n, {", ".join(ea + eb)} FROM sgm
+), terms AS (
+  SELECT n, o * (a_l - b_l) AS t FROM ev
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_events,
+       CAST(sum(t) AS BIGINT) AS mi_num,
+       round(CAST(sum(t) AS DOUBLE) / ({_L2HI_S}.0 * any_value(n)), 6)
+         AS mi_bits
+FROM terms
+"""
+
+
+_MI_CELLS = """
+WITH cell AS (
+  SELECT event_type AS et, dayofweek(ts) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (
+  SELECT et, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY et
+), ct AS (
+  SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY dow
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cell
+)
+SELECT cell.o, rt.r, ct.c, tot.n
+FROM cell JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN tot
+"""
+
+_MI_ORACLE = f"""
+WITH cell_src AS ({_MI_CELLS}),
+{_mi_sql("//").lstrip().removeprefix("WITH ")}
+"""
+
+
+@register("q_agg_mutual_info", oracle=_MI_ORACLE)
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; day-of-week) in bits — the
+    feature-relevance score over the same contingency cells as
+    q_agg_chi2_independence.
+
+    I = Σ (O/N)·log2(N·O/(R·C)). Near independence the statistic is
+    TINY (~1e-3 bit here), so the engine's 4-fractional-bit _l2fp
+    (~0.149-bit worst case) would report 5× the true value; this query
+    introduces the high-precision variant: 64 linear segments per
+    octave in 1/65536-bit units, worst case 6.1e-5 bit (random sweep,
+    pinned in tests against float math). Every step is integer
+    arithmetic — octave from bin(), segment lookup from two 64-branch
+    CASE tables generated from the same Python constants the oracle
+    embeds, residual rescaled to ≤20 bits so all products stay far
+    inside int64 (valid to N·O ≤ 2^57, i.e. N ≈ 3.7·10⁸ events) —
+    so the cross-cell sum is order-free and the driver hash matches
+    bit-for-bit.
+
+    Scale shape: one combinable count to the |types|×7 cell table,
+    broadcast-sized algebra after."""
+    e = table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.col("event_type").alias("et"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cell.groupBy("et").agg(F.sum("o").cast("long").alias("r"))
+    ct = cell.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = cell.agg(F.sum("o").cast("long").alias("n"))
+    cell_src = (
+        cell.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select("o", "r", "c", "n")
+    )
+    ga, sa, ea_ = _l2hi_steps("n * o", "a_", " div ")
+    gb, sb, eb_ = _l2hi_steps("r * c", "b_", " div ")
+    g = cell_src.selectExpr("o", "n", *(ga + gb))
+    sgm = g.selectExpr("o", "n", "a_e", "a_x", "b_e", "b_x", *(sa + sb))
+    ev = sgm.selectExpr("o", "n", *(ea_ + eb_))
+    terms = ev.selectExpr("n", "o * (a_l - b_l) AS t")
+    return terms.groupBy("n").agg(F.sum("t").cast("long").alias("mi_num")).select(
+        F.col("n").cast("long").alias("n_events"),
+        "mi_num",
+        F.round(
+            F.col("mi_num").cast("double") / (float(_L2HI_S) * F.col("n")), 6
+        ).alias("mi_bits"),
+    )

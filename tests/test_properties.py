@@ -966,3 +966,56 @@ def test_minhash_incremental_equals_cross_split_slice(spark):
             expected[(new, corpus)] = r.jaccard
     assert incr == expected
     assert len(incr) > 0
+
+
+def test_l2hi_worst_case_and_mi_float_agreement(spark):
+    """The 64-segment fixed-point log2 stays within 1e-4 bit of float
+    log2 across octaves and random inputs, and the MI query agrees
+    with the float computation to the same order — the property the
+    coarse _l2fp could NOT deliver for a near-independence MI."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        _L2HI_B,
+        _L2HI_D,
+        _L2HI_S,
+        _L2HI_SEGS,
+        q_agg_mutual_info,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def l2hi(x):
+        e = x.bit_length() - 1
+        j = (x * _L2HI_SEGS >> e) - _L2HI_SEGS
+        r = x * _L2HI_SEGS - (_L2HI_SEGS + j) * (1 << e)
+        sh = max(e - 20, 0)
+        return (
+            _L2HI_S * e
+            + _L2HI_B[j]
+            + (r >> sh) * _L2HI_D[j] // (1 << (e - sh))
+        )
+
+    rng = random.Random(7)
+    for v in [1, 2, 3, 63, 64, 65, 10**6, 2**56 + 9] + [
+        rng.randrange(1, 2**57) for _ in range(20000)
+    ]:
+        assert abs(l2hi(v) / _L2HI_S - math.log2(v)) < 1e-4, v
+
+    r = q_agg_mutual_info(spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").selectExpr(
+        "event_type", "dayofweek(ts) AS dow"
+    ).collect()
+    O, R, C = defaultdict(int), defaultdict(int), defaultdict(int)
+    for row in ev:
+        O[(row.event_type, row.dow)] += 1
+        R[row.event_type] += 1
+        C[row.dow] += 1
+    n = sum(R.values())
+    true_mi = sum(
+        o / n * math.log2(n * o / (R[et] * C[dw])) for (et, dw), o in O.items()
+    )
+    assert r.n_events == n
+    assert abs(r.mi_bits - true_mi) < 5e-4, (r.mi_bits, true_mi)
+    assert r.mi_bits >= -5e-4  # MI is non-negative up to fp resolution
