@@ -163,6 +163,7 @@ HEADLINE = (
     "q_stream_ohlc",
     "q_dedup_minhash_incremental",
     "q_agg_mutual_info",
+    "q_sample_exact_k_grouped",
 )
 
 

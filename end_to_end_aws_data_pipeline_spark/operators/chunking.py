@@ -243,3 +243,54 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("rank_key"),
     )
     return ranked.orderBy("rank_key", "doc_id").limit(_EXACTK)
+
+
+# ---------------------------------------------------------------------------
+# per-group exact-k sample (stratified eval sets with hard counts)
+# ---------------------------------------------------------------------------
+
+_EXACTK_GRP = 20  # per (lang) stratum
+
+_EXACTK_GRP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         md5(CAST(doc_id AS VARCHAR)) AS rank_key,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, rank_key, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_EXACTK_GRP}
+"""
+
+
+@register("q_sample_exact_k_grouped", oracle=_EXACTK_GRP_ORACLE)
+def q_sample_exact_k_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k documents PER LANGUAGE, deterministic — the stratified
+    eval-set primitive ("20 held-out docs per language, the same ones
+    everywhere") that q_sample_stratified's rate sampler and
+    q_sample_exact_k's global top-k can't provide between them.
+
+    Shape: hash-rank row_number per stratum. With per-language strata
+    the partition count is small and each stratum's ranking state is
+    its own rows; for million-stratum keys (per-domain) this same
+    window stays healthy because cardinality spreads the hash
+    partitioning (see q_curation_source_cap's note — few-stratum
+    windows are the regime to watch, and lang has 5 values here, each
+    group a fraction of the corpus; a known-hot stratum routes through
+    the salted two-phase top-k in plans/scale.py)."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("rank_key"),
+    )
+    w = W.partitionBy("lang").orderBy("rank_key", "doc_id")
+    return ranked.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= _EXACTK_GRP)
