@@ -117,6 +117,21 @@ SHOWCASE = {
         "ONE exchange on user_id; all 8 lag taps ride the same Window "
         "node; weighted sum is codegen'd integer arithmetic",
     ],
+    "q_graph_triangles": [
+        "wedge join runs on the ORIENTED edge set (low-degree to high): "
+        "per-apex fan-out capped by orientation, never raw hub degree",
+        "closure check is an equi-join against the canonical edge set — "
+        "counts aggregate map-side; no per-node neighborhood lists",
+    ],
+    "q_dedup_minhash_incremental": [
+        "probe side filtered to the batch BEFORE the band join; corpus "
+        "side projects (doc_id, band, bucket) only — the index shape",
+        "shingle arrays join back only for screened candidates",
+    ],
+    "q_window_ohlc": [
+        "both row_number windows share ONE exchange on (event_type, "
+        "hour); open/close/extremes/mean in a single hash aggregate",
+    ],
 }
 
 
