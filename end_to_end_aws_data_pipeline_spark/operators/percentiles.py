@@ -1196,8 +1196,10 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the union rank runs over the MERGED SKETCHES (<= 2k rows of KB
     # size, never the corpus), so the single-partition window
-    # (WindowExec's warning) is the design, bounded by 2k
-    u = (
+    # (WindowExec's warning) is the design, bounded by 2k. persisted:
+    # it feeds ustat AND the two-sketch membership count — unpersisted,
+    # each consumer re-ranks the union (measured ~2x fixed cost)
+    u = persisted(
         sk.select("hv")
         .distinct()
         .withColumn("rk", F.row_number().over(W.orderBy("hv")))
