@@ -164,6 +164,7 @@ HEADLINE = (
     "q_dedup_minhash_incremental",
     "q_agg_mutual_info",
     "q_sample_exact_k_grouped",
+    "q_asof_tolerance",
 )
 
 

@@ -545,3 +545,117 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled, 6).alias("value_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of with tolerance + forward direction (merge_asof parity, UDF-free)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_MIN = 30  # minutes
+
+_ASOF_TOL_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, ts AS cts, max(value) AS cval
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), marked AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(c.cts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.cts <= p.ts
+            AND c.cts >= p.ts - INTERVAL {_ASOF_TOL_MIN} MINUTE)
+           AS prev_click_ts,
+         (SELECT min(c.cts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.cts >= p.ts
+            AND c.cts <= p.ts + INTERVAL {_ASOF_TOL_MIN} MINUTE)
+           AS next_click_ts
+  FROM p
+)
+SELECT m.event_id, m.user_id, m.ts,
+       m.prev_click_ts,
+       cp.cval AS prev_click_value,
+       m.next_click_ts,
+       cn.cval AS next_click_value
+FROM marked m
+LEFT JOIN clicks cp
+  ON cp.user_id = m.user_id AND cp.cts = m.prev_click_ts
+LEFT JOIN clicks cn
+  ON cn.user_id = m.user_id AND cn.cts = m.next_click_ts
+"""
+
+
+@register("q_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE and BOTH directions — pandas
+    merge_asof(direction='backward'/'forward', tolerance=30min)
+    semantics, UDF-free (asof_join_pandas documents this as the
+    escape-hatch case; this query shows the window form covers it
+    after all): for every purchase, the latest click at-or-before AND
+    the earliest click at-or-after, each only within 30 minutes.
+
+    Shape: union clicks+purchases, ONE ascending window carries the
+    last click forward (clicks sort before purchases on ties, so
+    equal-ts clicks match), one descending window carries the next
+    click backward, then the tolerance is a plain filter on the
+    carried timestamp — no join against shifted copies, no per-key
+    Python. Cost is two windows over the same (user) partitioning;
+    at 100 TB that is one shuffle (AQE reuses the exchange)."""
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("value").alias("cval"))
+        .select(
+            "user_id",
+            F.col("cts").alias("ts"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(0).alias("is_p"),
+            F.col("cts").alias("click_ts"),
+            F.col("cval").alias("click_value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    u = clicks.unionByName(purchases)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # DESC ties: clicks (is_p=0) must still precede purchases in the
+    # frame so an equal-ts click matches "at or after" — hence is_p ASC
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_p").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tol_us = _ASOF_TOL_MIN * 60 * 1_000_000
+    carried = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_p",
+        F.last("click_ts", ignorenulls=True).over(wf).alias("p_ts"),
+        F.last("click_value", ignorenulls=True).over(wf).alias("p_val"),
+        F.last("click_ts", ignorenulls=True).over(wb).alias("n_ts"),
+        F.last("click_value", ignorenulls=True).over(wb).alias("n_val"),
+    ).filter(F.col("is_p") == 1)
+    in_prev = F.unix_micros(F.col("p_ts")) >= F.unix_micros(F.col("ts")) - tol_us
+    in_next = F.unix_micros(F.col("n_ts")) <= F.unix_micros(F.col("ts")) + tol_us
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_prev, F.col("p_ts")).alias("prev_click_ts"),
+        F.when(in_prev, F.col("p_val")).alias("prev_click_value"),
+        F.when(in_next, F.col("n_ts")).alias("next_click_ts"),
+        F.when(in_next, F.col("n_val")).alias("next_click_value"),
+    )

@@ -101,3 +101,70 @@ def test_gapfill_interpolation_properties(spark):
             lo, hi = min(v1, v2), max(v1, v2)
             for j in range(i1 + 1, i2):
                 assert lo - 1e-6 <= series[j].value_interp <= hi + 1e-6
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark):
+    """q_asof_tolerance must reproduce pd.merge_asof backward AND
+    forward with tolerance=30min on the same events — the reference
+    implementation of the semantics it claims."""
+    import pandas as pd
+
+    from end_to_end_aws_data_pipeline_spark.operators.asof import (
+        q_asof_tolerance,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.event_id: (
+            r.prev_click_ts,
+            r.prev_click_value,
+            r.next_click_ts,
+            r.next_click_value,
+        )
+        for r in q_asof_tolerance(spark, SF_SMOKE).collect()
+    }
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    clicks = (
+        ev[ev.event_type == "click"]
+        .groupby(["user_id", "ts"], as_index=False)
+        .agg(cval=("value", "max"))
+        .rename(columns={"ts": "cts"})
+        .sort_values("cts")
+    )
+    purchases = ev[ev.event_type == "purchase"][
+        ["event_id", "user_id", "ts"]
+    ].sort_values("ts")
+    tol = pd.Timedelta(minutes=30)
+    back = pd.merge_asof(
+        purchases,
+        clicks,
+        left_on="ts",
+        right_on="cts",
+        by="user_id",
+        direction="backward",
+        tolerance=tol,
+    )
+    fwd = pd.merge_asof(
+        purchases,
+        clicks,
+        left_on="ts",
+        right_on="cts",
+        by="user_id",
+        direction="forward",
+        tolerance=tol,
+    )
+    assert len(got) == len(purchases)
+    merged = back.merge(
+        fwd, on=["event_id", "user_id", "ts"], suffixes=("_b", "_f")
+    )
+    for row in merged.itertuples():
+        g = got[row.event_id]
+        exp = (
+            None if pd.isna(row.cts_b) else row.cts_b.to_pydatetime(),
+            None if pd.isna(row.cval_b) else row.cval_b,
+            None if pd.isna(row.cts_f) else row.cts_f.to_pydatetime(),
+            None if pd.isna(row.cval_f) else row.cval_f,
+        )
+        assert g == exp, (row.event_id, g, exp)
