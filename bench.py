@@ -165,6 +165,7 @@ HEADLINE = (
     "q_agg_mutual_info",
     "q_sample_exact_k_grouped",
     "q_asof_tolerance",
+    "q_window_drawdown",
 )
 
 

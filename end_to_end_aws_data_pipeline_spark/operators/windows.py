@@ -491,3 +491,72 @@ def q_window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown per entity (running-peak window, exact cents)
+# ---------------------------------------------------------------------------
+
+_DD_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         max(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS peak
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(peak) / 100.0, 2) AS peak_value,
+       round(max(peak - vc) / 100.0, 2) AS max_drawdown,
+       round(CAST(max(CASE WHEN peak > 0
+                           THEN (peak - vc) * 1000000 // peak
+                           ELSE 0 END) AS DOUBLE) / 10000.0, 4)
+         AS max_drawdown_pct
+FROM seq
+GROUP BY user_id
+"""
+
+
+@register("q_window_drawdown", oracle=_DD_ORACLE)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the largest peak-to-trough drop of
+    the event-value series in time order — the risk metric every
+    portfolio/SLA dashboard computes, and the canonical running-peak
+    window shape (peak = running max, drawdown = peak − value, answer
+    = max of that).
+
+    Exactness: integer cents end-to-end; the percentage is a
+    fixed-point integer ratio ((peak−v)·1e6 div peak, 4 decimal
+    places) so no float division happens per row — order-free in any
+    engine. One window + one aggregate over the same per-user
+    partitioning (one shuffle); the running max is computed
+    incrementally by both engines (growing-frame MAX keeps state, not
+    a rescan — the gapfill lesson does not bite here because the
+    frame is [unboundedPreceding, currentRow])."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    seq = ev.select(
+        "user_id", vc.alias("vc"), F.max(vc).over(w).alias("peak")
+    )
+    dd_pct_fp = F.when(
+        F.col("peak") > 0,
+        F.expr("(peak - vc) * 1000000 div peak"),
+    ).otherwise(F.lit(0))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max("peak") / 100.0, 2).alias("peak_value"),
+        F.round(F.max(F.col("peak") - F.col("vc")) / 100.0, 2).alias(
+            "max_drawdown"
+        ),
+        F.round(F.max(dd_pct_fp).cast("double") / 10000.0, 4).alias(
+            "max_drawdown_pct"
+        ),
+    )
