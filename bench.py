@@ -166,6 +166,7 @@ HEADLINE = (
     "q_sample_exact_k_grouped",
     "q_asof_tolerance",
     "q_window_drawdown",
+    "q_join_spatial_grid",
 )
 
 

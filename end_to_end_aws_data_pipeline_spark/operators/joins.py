@@ -631,3 +631,118 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("price_c").cast("long").alias("price_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial distance join via grid-cell bucketing (geohash/S2 pattern)
+# ---------------------------------------------------------------------------
+
+_GEO_EXTENT = 1_000_000  # 1000 km square, meter-integer coordinates
+_GEO_R = 5_000  # pair radius: 5 km
+# cell size = R: any pair within R sits in the same or an adjacent
+# cell, so the candidate join touches exactly the 3x3 neighborhood
+
+_GEO_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 15))
+           ::BIGINT % {_GEO_EXTENT} AS x,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 15))
+           ::BIGINT % {_GEO_EXTENT} AS y
+  FROM customer
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND abs(a.x - b.x) <= {_GEO_R}
+   AND abs(a.y - b.y) <= {_GEO_R}
+)
+SELECT id_a, id_b,
+       round(sqrt(CAST(d2 AS DOUBLE)), 2) AS dist_m
+FROM pairs
+WHERE d2 <= {_GEO_R} * {_GEO_R}
+"""
+
+
+@register("q_join_spatial_grid", oracle=_GEO_ORACLE)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 5 km on a synthetic 1000 km plane
+    (md5-derived integer meter coordinates — deterministic, replayed
+    by the oracle) — the grid-cell spatial join: each point lands in a
+    cell of side R and probes only its 3×3 neighborhood, so candidate
+    generation is a plain equi-join on cell ids, NEVER a cross join.
+    This is the geohash/S2-cell pattern every distributed spatial
+    engine uses; with integer coordinates the distance test is exact
+    int64 arithmetic and the only float op is the final sqrt on
+    identical operands.
+
+    The ORACLE can afford the simpler band-predicate join (|Δx|,|Δy|
+    ≤ R then exact filter) because DuckDB runs one node; the Spark
+    side demonstrates the shape that scales — the cell-bucketed
+    equi-join costs |cells touched| ∝ 9·N and shuffles 16-byte keys.
+    Each true pair is emitted once: the probe explodes one side into
+    its 3×3 neighborhood and keeps (a.id < b.id) after the cell
+    match."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+
+    def coord(tag: str) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(tag))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _GEO_EXTENT
+        )
+
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        coord("x").alias("x"),
+        coord("y").alias("y"),
+    )
+    cell = lambda v: F.expr(f"{v} div {_GEO_R}")  # noqa: E731
+    # build side: points keyed by their own cell
+    build = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    # probe side: each point exploded into its 3x3 cell neighborhood
+    probe = (
+        pts.select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            cell("x").alias("cx0"),
+            cell("y").alias("cy0"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "id_a",
+            "xa",
+            "ya",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= _GEO_R * _GEO_R)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.sqrt(d2.cast("double")), 2).alias("dist_m"),
+        )
+    )
