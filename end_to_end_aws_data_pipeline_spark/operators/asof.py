@@ -659,3 +659,93 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_next, F.col("n_ts")).alias("next_click_ts"),
         F.when(in_next, F.col("n_val")).alias("next_click_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution (exact integer credit split)
+# ---------------------------------------------------------------------------
+
+_ATTR_WIN_MIN = 30
+
+_ATTR_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT p.event_id, p.user_id, p.vc, c.cts,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.cts, c.user_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touch
+  FROM p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.cts <= p.ts
+   AND c.cts >= p.ts - INTERVAL {_ATTR_WIN_MIN} MINUTE
+)
+SELECT user_id, cts AS click_ts,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(vc // n_touch
+                + CASE WHEN rk <= vc % n_touch THEN 1 ELSE 0 END)
+            AS BIGINT) AS credit_cents
+FROM touch
+GROUP BY user_id, cts
+"""
+
+
+@register("q_attribution_linear", oracle=_ATTR_ORACLE)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    equally across the user's clicks in the prior 30 minutes, and each
+    click accumulates credit over all conversions it touched — the
+    marketing-analytics workhorse between last-touch (the as-of join)
+    and data-driven models.
+
+    Exactness: credit is an INTEGER largest-remainder split (vc div n
+    per touch, the first vc mod n touches by click time get the extra
+    cent), so per-purchase credits sum to the purchase value EXACTLY
+    and the cross-engine hash can't drift — the same apportionment
+    trick as q_curation_temperature_mix. The candidate join is an
+    equi-join on user_id with a time-band filter (user cardinality
+    spreads the shuffle; the band prunes inside the join), then two
+    windows over the per-purchase partitioning."""
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    win_us = _ATTR_WIN_MIN * 60 * 1_000_000
+    touch = p.join(clicks, "user_id").filter(
+        (F.unix_micros(F.col("cts")) <= F.unix_micros(F.col("ts")))
+        & (
+            F.unix_micros(F.col("cts"))
+            >= F.unix_micros(F.col("ts")) - win_us
+        )
+    )
+    wp = W.partitionBy("event_id")
+    ranked = touch.select(
+        "user_id",
+        "cts",
+        "vc",
+        F.row_number().over(wp.orderBy("cts", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n_touch"),
+    )
+    credit = F.expr("vc div n_touch") + F.when(
+        F.col("rk") <= F.col("vc") % F.col("n_touch"), 1
+    ).otherwise(0)
+    return ranked.groupBy("user_id", F.col("cts").alias("click_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum(credit).cast("long").alias("credit_cents"),
+    )
