@@ -1,0 +1,226 @@
+"""Sweep-line and co-occurrence analytics: global interval concurrency
+via a segmented (two-level) prefix sum, and market-basket pair affinity.
+
+Both are classic warehouse asks the reference's consumers would run on
+top of its events/orders tables (SURVEY.md §2.B relational surface);
+neither needs anything beyond DataFrame ops, and both carry an explicit
+100 TB story — the sweep avoids the corpus-sized single-partition
+window that a naive global running sum requires, and the basket join's
+fan-out is bounded by per-basket size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# global interval concurrency (max concurrent sessions per day)
+# ---------------------------------------------------------------------------
+
+_GAP_MIN = 30
+
+_CONC_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+), sessions AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY user_id, session_id
+), pts AS (
+  SELECT s AS ts, CAST(1 AS BIGINT) AS delta, user_id FROM sessions
+  UNION ALL
+  SELECT e AS ts, CAST(-1 AS BIGINT) AS delta, user_id FROM sessions
+), swept AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         sum(delta) OVER (
+           ORDER BY ts, delta DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+)
+SELECT day,
+       CAST(max(conc) AS BIGINT) AS max_concurrent,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM swept GROUP BY day
+"""
+
+
+@register("q_interval_concurrency", oracle=_CONC_ORACLE)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: how many user sessions are simultaneously open,
+    reported as the per-day maximum — the capacity-planning query over
+    any interval table (sessions, calls, rentals, connections).
+
+    Sweep line: every session contributes (+1 at start, -1 at end);
+    the running sum of deltas in global time order IS the concurrency
+    curve, and its per-day max is the answer. The oracle runs the
+    textbook single global window. A 100 TB engine cannot: a global
+    ``ORDER BY ts`` running sum is one corpus-sized partition. Instead
+    this uses a **segmented prefix sum** — the distributed scan pattern:
+
+      1. local pass: running sum *within* each day partition
+         (shuffle key = day, the natural time segment);
+      2. a segment-totals table (one row per day — bounded by calendar
+         span, never by data volume) gets the cross-segment carry via a
+         window over days;
+      3. broadcast the carries back; concurrency = carry + local sum.
+
+    Tie order (ts, delta DESC, user_id) is total and identical in both
+    engines, so the max is deterministic; ``delta DESC`` makes overlap
+    inclusive (a session starting exactly when another ends counts as
+    concurrent).
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sessions = (
+        e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = sessions.select(
+        F.col("s").alias("ts"), F.lit(1).cast("long").alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(
+            F.col("e").alias("ts"),
+            F.lit(-1).cast("long").alias("delta"),
+            "user_id",
+        )
+    )
+    # ISO string day: hash-identical across engines (date objects are not)
+    pts = pts.withColumn("day", F.col("ts").cast("date").cast("string"))
+    # (1) within-segment running sum: shuffle on day, sort within
+    wd = W.partitionBy("day").orderBy(
+        "ts", F.col("delta").desc(), "user_id"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = pts.withColumn("local_cum", F.sum("delta").over(wd))
+    # (2) segment totals + exclusive carry: one row per day, so the
+    #     unpartitioned window below (WindowExec's warning) is bounded
+    #     by the calendar span (30 rows here, ~36.5k for a century of
+    #     data) — never by row count
+    carry = (
+        pts.groupBy("day")
+        .agg(F.sum("delta").alias("day_total"))
+        .withColumn(
+            "carry",
+            F.coalesce(
+                F.sum("day_total").over(
+                    W.orderBy("day").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("day_total")
+    )
+    # (3) carries table is segment-sized → broadcast join back
+    swept = local.join(F.broadcast(carry), "day").withColumn(
+        "conc", F.col("carry") + F.col("local_cum")
+    )
+    return swept.groupBy("day").agg(
+        F.max("conc").cast("long").alias("max_concurrent"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair affinity (association rules: support + confidence)
+# ---------------------------------------------------------------------------
+
+_MIN_PAIR_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item AS (
+  SELECT l_partkey, count(*) AS cnt FROM b GROUP BY l_partkey
+), pair AS (
+  SELECT p1.l_partkey AS part_a, p2.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_count
+  FROM b p1 JOIN b p2
+    ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_MIN_PAIR_SUPPORT}
+)
+SELECT pair.part_a, pair.part_b, pair.pair_count,
+       CAST(ia.cnt AS BIGINT) AS cnt_a,
+       CAST(ib.cnt AS BIGINT) AS cnt_b,
+       CAST(pair.pair_count * 1000000 // ia.cnt AS BIGINT) AS conf_ab_ppm,
+       CAST(pair.pair_count * 1000000 // ib.cnt AS BIGINT) AS conf_ba_ppm
+FROM pair
+JOIN item ia ON ia.l_partkey = pair.part_a
+JOIN item ib ON ib.l_partkey = pair.part_b
+"""
+
+
+@register("q_basket_affinity", oracle=_BASKET_ORACLE)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for every part pair
+    co-bought in ≥3 orders, the support count and both
+    directed confidences P(b|a), P(a|b) in exact parts-per-million
+    (integer division — no float drift across engines; lift is a
+    downstream ratio of the published integers).
+
+    Scale shape: the pair generation is a *self equi-join on the basket
+    key* — fan-out per order is C(basket,2) ≈ 6 for TPC-H's ~4-line
+    orders, so the blow-up is bounded by basket size, never corpus
+    size (a 100 TB run with pathological mega-baskets would cap lines
+    per basket first). One shuffle on l_orderkey makes the pairs, one
+    on the pair makes supports; the per-item counts join afterwards on
+    the (already support-pruned) pair table. ``pair_count * 1e6`` stays
+    far inside int64 even at 10^9 baskets.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    p1 = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    p2 = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        p1.join(p2, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= _MIN_PAIR_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            F.expr("pair_count * 1000000 div cnt_a").alias("conf_ab_ppm"),
+            F.expr("pair_count * 1000000 div cnt_b").alias("conf_ba_ppm"),
+        )
+    )
