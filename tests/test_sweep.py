@@ -1,0 +1,84 @@
+"""Properties of the sweep-line concurrency and basket-affinity ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+    q_basket_affinity,
+    q_interval_concurrency,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_concurrency_bounds(spark):
+    """Peak concurrency is ≥1 on active days and ≤ #distinct users
+    (a user's gap-based sessions can never self-overlap)."""
+    out = q_interval_concurrency(spark, SF_SMOKE).collect()
+    assert out, "no days produced"
+    n_users = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for r in out:
+        assert 1 <= r["max_concurrent"] <= n_users
+        assert r["n_points"] >= 1
+
+
+def test_segmented_prefix_sum_equals_global_window(spark):
+    """The day-segmented two-level prefix sum must reproduce the naive
+    single-partition global running sum exactly (same curve, same
+    per-day max) — the whole point of the pattern is that only the
+    execution shape changes."""
+    df = q_interval_concurrency(spark, SF_SMOKE)
+    # naive mirror: one global window, tolerable at smoke scale
+    e = table(spark, SF_SMOKE, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        e.withColumn(
+            "ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "sid",
+            F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = sess.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    naive = (
+        pts.withColumn(
+            "conc",
+            F.sum("delta").over(
+                W.orderBy("ts", F.col("delta").desc(), "user_id").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+    )
+    got = {r["day"]: r["max_concurrent"] for r in df.collect()}
+    want = {r["day"]: r["max_concurrent"] for r in naive.collect()}
+    assert got == want
+
+
+def test_basket_affinity_invariants(spark):
+    """pair_count ≤ min(cnt_a, cnt_b); confidences are exact ppm in
+    (0, 1e6]; pairs are canonically ordered part_a < part_b."""
+    rows = q_basket_affinity(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["pair_count"] <= min(r["cnt_a"], r["cnt_b"])
+        assert 0 < r["conf_ab_ppm"] <= 1_000_000
+        assert 0 < r["conf_ba_ppm"] <= 1_000_000
+        assert r["conf_ab_ppm"] == r["pair_count"] * 1_000_000 // r["cnt_a"]
