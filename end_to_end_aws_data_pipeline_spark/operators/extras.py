@@ -1257,3 +1257,75 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mi_num").cast("double") / (float(_L2HI_S) * F.col("n")), 6
         ).alias("mi_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-quality screening)
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6): the Benford expectation as integer ppm,
+# one shared literal table injected into BOTH engines (no float logs at
+# query time, so the published expectation can't drift cross-engine)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(left(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), hist AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM digits GROUP BY digit
+), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist)
+SELECT digit, cnt,
+       CAST(cnt * 1000000 // n AS BIGINT) AS observed_ppm,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS expected_ppm,
+       CAST(abs(cnt * 1000000 // n - CASE digit {_BENFORD_CASE} END)
+            AS BIGINT) AS dev_ppm
+FROM hist, tot
+"""
+
+
+@register("q_etl_benford", oracle=_BENFORD_ORACLE)
+def q_etl_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit frequency vs the log10(1+1/d) expectation, both in
+    exact integer ppm — the standard forensic screen for fabricated or
+    truncated monetary columns (a data-quality sibling of the
+    reference's null-audit, SURVEY §2.A row 3).
+
+    The digit histogram is a 9-row aggregate (map-side combine does
+    nearly all the work; the shuffle carries ≤9 rows per task at any
+    corpus size), and the expectation is a shared compile-time literal
+    table — query time does no floating-point logarithms at all.
+    """
+    o = table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+        " 1, 1) AS BIGINT)"
+    )
+    hist = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    expected = F.expr(f"CAST(CASE digit {_BENFORD_CASE} END AS BIGINT)")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("observed_ppm", F.expr("cnt * 1000000 div n"))
+        .select(
+            "digit",
+            "cnt",
+            "observed_ppm",
+            expected.alias("expected_ppm"),
+            F.abs(F.col("observed_ppm") - expected).alias("dev_ppm"),
+        )
+    )

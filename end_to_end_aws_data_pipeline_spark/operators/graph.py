@@ -345,3 +345,109 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reachability (bounded-depth frontier expansion)
+# ---------------------------------------------------------------------------
+
+_KHOP_SEED_MOD = 97  # seeds: customers with custkey % 97 == 0
+_KHOP_DEPTH = 3
+
+_KHOP_ORACLE = f"""
+WITH fwd AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+), h0 AS (
+  SELECT DISTINCT src AS node FROM edges
+  WHERE src % 2 = 0 AND (src // 2) % {_KHOP_SEED_MOD} = 0
+), h1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON e.src = h0.node
+  WHERE e.dst NOT IN (SELECT node FROM h0)
+), h2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node
+  WHERE e.dst NOT IN (SELECT node FROM h0)
+    AND e.dst NOT IN (SELECT node FROM h1)
+), h3 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON e.src = h2.node
+  WHERE e.dst NOT IN (SELECT node FROM h0)
+    AND e.dst NOT IN (SELECT node FROM h1)
+    AND e.dst NOT IN (SELECT node FROM h2)
+)
+SELECT hop, CAST(n AS BIGINT) AS n_reached,
+       CAST(ck AS BIGINT) AS key_checksum
+FROM (
+  SELECT 0 AS hop, count(*) AS n, sum(node) AS ck FROM h0
+  UNION ALL SELECT 1, count(*), sum(node) FROM h1
+  UNION ALL SELECT 2, count(*), sum(node) FROM h2
+  UNION ALL SELECT 3, count(*), sum(node) FROM h3
+)
+WHERE n > 0
+"""
+
+
+@register("q_graph_khop", oracle=_KHOP_ORACLE)
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS: nodes first reached at hop 1..3 from a seed
+    set of customers, over the undirected purchase graph — the shape
+    behind blast-radius, fraud-ring and recommendation expansions.
+
+    Per round: frontier ⋈ edges (equi-join on the node key, shuffle
+    spread by node cardinality) → distinct → LEFT ANTI against the
+    visited set, i.e. delta-BFS: only the *new* frontier joins edges
+    next round, and `visited` grows by union — never rescanned as a
+    whole, only anti-joined, which AQE keeps as a broadcast while the
+    frontier is small. Depth is a constant (3); each round persists its
+    frontier so lineage stays flat (same policy as PageRank's
+    checkpoint-every-k above). Per-hop key checksums pin WHICH nodes
+    are first reached at each depth, not just how many.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = persisted(
+        fwd.unionAll(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    frontier = persisted(
+        edges.select("src")
+        .filter(
+            (F.col("src") % 2 == 0)
+            & (F.expr(f"(src div 2) % {_KHOP_SEED_MOD}") == 0)
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    visited = frontier
+    out = frontier.groupBy().agg(
+        F.lit(0).cast("long").alias("hop"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("node").cast("long").alias("key_checksum"),
+    )
+    for hop in range(1, _KHOP_DEPTH + 1):
+        nxt = persisted(
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        out = out.unionAll(
+            nxt.groupBy().agg(
+                F.lit(hop).cast("long").alias("hop"),
+                F.count(F.lit(1)).cast("long").alias("n_reached"),
+                F.sum("node").cast("long").alias("key_checksum"),
+            )
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return out.filter(F.col("n_reached") > 0)

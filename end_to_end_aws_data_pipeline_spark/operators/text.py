@@ -1589,3 +1589,106 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.cast("long").alias("entropy_x16"),
         F.round(ent.cast("double") / 16.0, 4).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: PMI-scored adjacent bigrams (fixed-point log2)
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_PAIR = 5
+_COLL_TOP = 25
+
+
+def _coll_oracle() -> str:
+    from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
+
+    pmi = (
+        f"({_l2fp('cab')} + {_l2fp('n')} - {_l2fp('ca')} - {_l2fp('cb')})"
+    ).replace("{div}", "//")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM uni
+), pairs AS (
+  SELECT string_split(text, ' ')[i] AS w1, string_split(text, ' ')[i+1] AS w2
+  FROM documents, unnest(range(1, len(string_split(text, ' ')))) AS r(i)
+), pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+  FROM pairs GROUP BY w1, w2
+  HAVING count(*) >= {_COLL_MIN_PAIR}
+), scored AS (
+  SELECT w1 || ' ' || w2 AS bigram, cab,
+         ua.c AS ca, ub.c AS cb,
+         CAST({pmi} AS BIGINT) AS pmi_fp
+  FROM pc JOIN uni ua ON pc.w1 = ua.w
+          JOIN uni ub ON pc.w2 = ub.w, tot
+)
+SELECT bigram, cab AS pair_count, ca AS cnt_a, cb AS cnt_b, pmi_fp
+FROM scored
+ORDER BY pmi_fp DESC, bigram
+LIMIT {_COLL_TOP}
+"""
+
+
+@register("q_text_collocations", oracle=_coll_oracle())
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top-25 adjacent word pairs by
+    pointwise mutual information — the classic "new york"/"machine
+    learning" phrase detector (Church & Hanks 1990), and the statistic
+    behind phrase-vocabulary induction for tokenizers.
+
+    PMI = log2(P(ab) / (P(a)P(b))) is scored as the same 4-fractional-
+    bit integer log2 used by DSIR/KL/Zipf (curation._l2fp): pmi_fp =
+    L(cab) + L(N) - L(ca) - L(cb). Pure integer in both engines — a
+    float log would make the top-k boundary engine-dependent.
+
+    Shape: one vocab-sized unigram agg, one bigram-vocab-sized pair agg
+    (both map-side combinable), two equi-joins of the support-pruned
+    pair table against unigram counts, then TakeOrdered for the global
+    top-k — no corpus-sized window anywhere.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    toks = d.select(F.explode(words).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            F.element_at(words, i + 1).alias("w2"),
+        ),
+    )
+    pc = (
+        d.filter(F.size(words) >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= _COLL_MIN_PAIR)
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    pmi = (
+        f"({_l2fp('cab')} + {_l2fp('n')} - {_l2fp('ca')} - {_l2fp('cb')})"
+    ).replace("{div}", "div")
+    scored = (
+        pc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cab").alias("pair_count"),
+            F.col("ca").alias("cnt_a"),
+            F.col("cb").alias("cnt_b"),
+            F.expr(pmi).cast("long").alias("pmi_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_fp").desc(), F.col("bigram")
+    ).limit(_COLL_TOP)

@@ -560,3 +560,103 @@ def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto skyline per group (segmented prefix-MAX, no per-group
+# corpus-sized window)
+# ---------------------------------------------------------------------------
+
+_SKY_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), scanned AS (
+  SELECT *,
+         max(size) OVER (
+           PARTITION BY p_brand ORDER BY cents
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS cheaper_max,
+         max(size) OVER (PARTITION BY p_brand, cents) AS eq_max
+  FROM p
+)
+SELECT p_brand, p_partkey, cents AS price_cents, size
+FROM scanned
+WHERE (cheaper_max IS NULL OR cheaper_max < size) AND eq_max <= size
+"""
+
+_SKY_BUCKET_CENTS = 1000  # $10 price bands; pick ~domain_span/1000 in prod
+
+
+@register("q_window_pareto_skyline", oracle=_SKY_ORACLE)
+def q_window_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D Pareto skyline: the parts no brand-mate strictly
+    dominates on (cheaper price, larger size) — the classic "best
+    trade-off frontier" query (Börzsönyi et al., ICDE 2001).
+
+    A part survives iff no same-brand part has price ≤ AND size ≥ with
+    one strict; equivalently its size exceeds the running MAX size of
+    all strictly-cheaper parts, and no equal-priced part is strictly
+    larger. The oracle states that as one RANGE-frame window per brand.
+
+    Scale shape: brand has FIXED cardinality (25), so a per-brand
+    window is a corpus-sized partition at 100 TB — the few-stratum
+    anti-pattern. Prefix max is associative, so this reuses the
+    **segmented scan** from q_interval_concurrency (sweep.py) with MAX
+    as the monoid: local RANGE-frame cummax within (brand, price-band)
+    buckets, a per-bucket totals table (bounded by bands × brands, not
+    rows) carries the cross-bucket max, and greatest(carry, local)
+    reconstructs the global running max exactly.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    p = p.withColumn("bucket", F.expr(f"cents div {_SKY_BUCKET_CENTS}"))
+    # local pass: strictly-cheaper running max inside each price band
+    w_local = (
+        W.partitionBy("p_brand", "bucket")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    local = p.withColumn("local_max", F.max("size").over(w_local))
+    # segment totals: one row per (brand, band) — window input bounded
+    # by band count, never row count
+    carry = (
+        p.groupBy("p_brand", "bucket")
+        .agg(F.max("size").alias("bmax"))
+        .withColumn(
+            "carry",
+            F.max("bmax").over(
+                W.partitionBy("p_brand")
+                .orderBy("bucket")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .drop("bmax")
+    )
+    eq = W.partitionBy("p_brand", "cents")
+    scanned = (
+        local.join(F.broadcast(carry), ["p_brand", "bucket"])
+        # greatest() skips nulls: null only when BOTH carry and local
+        # are null, i.e. the brand's globally cheapest price point
+        .withColumn(
+            "cheaper_max", F.greatest(F.col("carry"), F.col("local_max"))
+        )
+        .withColumn("eq_max", F.max("size").over(eq))
+    )
+    return scanned.filter(
+        (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("size")))
+        & (F.col("eq_max") <= F.col("size"))
+    ).select(
+        "p_brand",
+        "p_partkey",
+        F.col("cents").alias("price_cents"),
+        "size",
+    )
