@@ -167,6 +167,13 @@ HEADLINE = (
     "q_asof_tolerance",
     "q_window_drawdown",
     "q_join_spatial_grid",
+    "q_attribution_linear",
+    "q_interval_concurrency",
+    "q_basket_affinity",
+    "q_etl_benford",
+    "q_window_pareto_skyline",
+    "q_graph_khop",
+    "q_text_collocations",
 )
 
 
