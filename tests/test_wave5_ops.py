@@ -1,0 +1,133 @@
+"""Invariants for the round-6 fifth wave: Benford, Pareto skyline,
+k-hop BFS, PMI collocations — each checked against an independent
+driver-side recomputation at smoke scale (the oracle already checks
+cross-engine hashes; these pin the *semantics*)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.operators.extras import (
+    _BENFORD_PPM,
+    q_etl_benford,
+)
+from end_to_end_aws_data_pipeline_spark.operators.graph import q_graph_khop
+from end_to_end_aws_data_pipeline_spark.operators.text import (
+    q_text_collocations,
+)
+from end_to_end_aws_data_pipeline_spark.operators.windows import (
+    q_window_pareto_skyline,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_benford_histogram_partitions_orders(spark):
+    rows = q_etl_benford(spark, SF_SMOKE).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    n_orders = (
+        table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .count()
+    )
+    assert sum(r["cnt"] for r in rows) == n_orders
+    for r in rows:
+        assert r["expected_ppm"] == _BENFORD_PPM[r["digit"]]
+        assert r["dev_ppm"] == abs(r["observed_ppm"] - r["expected_ppm"])
+    # observed ppm sums to ~1e6 (floor division loses < 9 ppm)
+    s = sum(r["observed_ppm"] for r in rows)
+    assert 1_000_000 - 9 <= s <= 1_000_000
+
+
+def test_pareto_skyline_is_exactly_the_undominated_set(spark):
+    """Brute-force O(n²) dominance per brand at smoke scale must equal
+    the segmented-scan result."""
+    parts = (
+        table(spark, SF_SMOKE, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .collect()
+    )
+    by_brand = defaultdict(list)
+    for r in parts:
+        by_brand[r["p_brand"]].append(r)
+    want = set()
+    for brand, rows in by_brand.items():
+        for r in rows:
+            dominated = any(
+                o["cents"] <= r["cents"]
+                and o["size"] >= r["size"]
+                and (o["cents"] < r["cents"] or o["size"] > r["size"])
+                for o in rows
+            )
+            if not dominated:
+                want.add((brand, r["p_partkey"]))
+    got = {
+        (r["p_brand"], r["p_partkey"])
+        for r in q_window_pareto_skyline(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_khop_matches_python_bfs(spark):
+    """Driver-side BFS over the collected edge list reproduces every
+    hop's count and checksum."""
+    o = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in fwd:
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    seeds = {n for n in adj if n % 2 == 0 and (n // 2) % 97 == 0}
+    visited, frontier = set(seeds), set(seeds)
+    expect = {0: (len(seeds), sum(seeds))}
+    for hop in (1, 2, 3):
+        nxt = {d for n in frontier for d in adj[n]} - visited
+        if nxt:
+            expect[hop] = (len(nxt), sum(nxt))
+        visited |= nxt
+        frontier = nxt
+    got = {
+        r["hop"]: (r["n_reached"], r["key_checksum"])
+        for r in q_graph_khop(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_collocations_pmi_monotone_in_pair_count(spark):
+    """Published PMI must equal the fixed-point formula recomputed from
+    the published counts, given corpus token total N."""
+    rows = q_text_collocations(spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= 25
+    d = table(spark, SF_SMOKE, "documents")
+    n = d.select(F.explode(F.split("text", " ")).alias("w")).count()
+
+    def l2fp(x: int) -> int:
+        e = x.bit_length() - 1
+        return 16 * e + x * 16 // (1 << e) - 16
+
+    for r in rows:
+        assert r["pair_count"] >= 5
+        want = (
+            l2fp(r["pair_count"])
+            + l2fp(n)
+            - l2fp(r["cnt_a"])
+            - l2fp(r["cnt_b"])
+        )
+        assert r["pmi_fp"] == want
