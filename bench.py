@@ -174,6 +174,8 @@ HEADLINE = (
     "q_window_pareto_skyline",
     "q_graph_khop",
     "q_text_collocations",
+    "q_window_rolling_distinct",
+    "q_window_global_decile",
 )
 
 

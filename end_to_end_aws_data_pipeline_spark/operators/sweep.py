@@ -224,3 +224,147 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("pair_count * 1000000 div cnt_b").alias("conf_ba_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day distinct users (exact, no COUNT(DISTINCT) OVER)
+# ---------------------------------------------------------------------------
+
+_ROLL_DAYS = 7
+
+_ROLL_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_7d
+FROM days d JOIN du e
+  ON e.day BETWEEN d.day - {_ROLL_DAYS - 1} AND d.day
+GROUP BY d.day
+"""
+
+
+@register("q_window_rolling_distinct", oracle=_ROLL_ORACLE)
+def q_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day, EXACT — the retention
+    dashboard's workhorse. SQL engines write ``count(DISTINCT x) OVER
+    (RANGE 6 PRECEDING)``; Spark's window exec (and most MPP engines)
+    refuses DISTINCT in frames, and the textbook workaround — a range
+    self-join per day — is what the oracle runs.
+
+    Distributed shape: collapse to distinct (day, user) pairs first
+    (the big shuffle, combinable), then *explode each pair to the ≤7
+    target days it can influence* and re-distinct — fan-out is the
+    window length (a constant), never the corpus, and the final count
+    per day is a plain combinable aggregate. This beats the join
+    formulation at scale because the fan-out join's build side (the
+    day list) never has to broadcast or replicate the pair table
+    per-day; it's the standard "explode to affected windows" trick
+    used for sliding-window aggs in both batch and streaming.
+    """
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    target = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), _ROLL_DAYS - 1)
+            )
+        ).alias("tday"),
+        "user_id",
+    )
+    # keep only observed days (mirrors the oracle's days CTE); the day
+    # list is calendar-bounded → broadcast
+    return (
+        target.join(
+            F.broadcast(days.select(F.col("day").alias("tday"))), "tday"
+        )
+        .distinct()
+        .groupBy(F.col("tday").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# global equi-depth deciles via bucketed two-pass global rank
+# ---------------------------------------------------------------------------
+
+_DECILE_BAND_CENTS = 10_000  # $100 value bands for the local pass
+
+_DECILE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderkey, cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM o
+)
+SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM ranked GROUP BY 1
+"""
+
+
+@register("q_window_global_decile", oracle=_DECILE_ORACLE)
+def q_window_global_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth deciles of ALL orders by value: every row gets its
+    exact global rank, rows land in ten equal-population bins, and each
+    bin reports population, key checksum and value bounds — the
+    binning step behind exact percentile assignment, stratified
+    training splits, and monotone score calibration.
+
+    The oracle's ``row_number() OVER (ORDER BY …)`` is a total sort
+    into ONE partition — the canonical scale-killer. Here the global
+    rank is assembled by the same segmented-scan recipe as
+    q_interval_concurrency, with COUNT as the monoid: value-band
+    buckets shuffle-partition the data, row_number ranks *within* a
+    band, a band-totals table (rows = value-domain/band-width, never
+    corpus-sized) provides each band's starting offset by prefix sum,
+    and global_rank = offset + local_rank, exactly. Tie order
+    (cents, orderkey) is total, so ranks — and therefore decile
+    boundaries — are bit-identical to the oracle's single sort.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o = o.withColumn("bucket", F.expr(f"cents div {_DECILE_BAND_CENTS}"))
+    local = o.withColumn(
+        "local_rn",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy("cents", "o_orderkey")
+        ),
+    )
+    sizes = o.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    offsets = sizes.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bn").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).drop("bn")
+    n_total = o.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("rk", F.col("offset") + F.col("local_rn"))
+    )
+    return ranked.groupBy(
+        F.expr("(rk - 1) * 10 div n").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
