@@ -131,3 +131,52 @@ def test_collocations_pmi_monotone_in_pair_count(spark):
             - l2fp(r["cnt_b"])
         )
         assert r["pmi_fp"] == want
+
+
+def test_rolling_distinct_matches_driver_recompute(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_window_rolling_distinct,
+    )
+
+    du = (
+        table(spark, SF_SMOKE, "events")
+        .select(F.col("ts").cast("date").cast("string").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    import datetime as dt
+
+    pairs = {(dt.date.fromisoformat(r["day"]), r["user_id"]) for r in du}
+    days = sorted({d for d, _ in pairs})
+    want = {
+        str(d): len(
+            {u for (e, u) in pairs if 0 <= (d - e).days <= 6}
+        )
+        for d in days
+    }
+    got = {
+        r["day"]: r["n_active_7d"]
+        for r in q_window_rolling_distinct(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_global_decile_bins_are_equi_depth_and_ordered(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_window_global_decile,
+    )
+
+    rows = sorted(
+        q_window_global_decile(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    n = sum(r["n_orders"] for r in rows)
+    assert n == table(spark, SF_SMOKE, "orders").count()
+    # equal population within 1 (floor-division binning)
+    sizes = [r["n_orders"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # value ranges strictly ordered across bins (ties broken by key
+    # stay inside one bin boundary pair)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_cents"] <= hi["min_cents"]
