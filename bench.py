@@ -176,6 +176,7 @@ HEADLINE = (
     "q_text_collocations",
     "q_window_rolling_distinct",
     "q_window_global_decile",
+    "q_agg_robust_stats",
 )
 
 

@@ -290,6 +290,53 @@ def q_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# library: segmented global rank (total order without a total sort)
+# ---------------------------------------------------------------------------
+
+
+def segmented_global_rank(
+    df: DataFrame, value_col: str, tie_cols: list, band: int
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY value, *ties)`` for
+    every row, without a single-partition sort: rank locally within
+    fixed-width value bands, prefix-sum the band populations (a table
+    bounded by value-domain/band, never by row count) into starting
+    offsets, and add. Returns the input plus ``rk`` (1-based global
+    rank) and ``n`` (total rows). The same segmented-scan monoid trick
+    as the prefix sum in q_interval_concurrency, with COUNT.
+    """
+    o = df.withColumn("bucket", F.expr(f"{value_col} div {band}"))
+    local = o.withColumn(
+        "local_rn",
+        F.row_number().over(
+            W.partitionBy("bucket").orderBy(value_col, *tie_cols)
+        ),
+    )
+    # band-population prefix sum: input bounded by the number of bands
+    offsets = (
+        o.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bn").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("bn")
+    )
+    n_total = o.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("rk", F.col("offset") + F.col("local_rn"))
+        .drop("bucket", "local_rn", "offset")
+    )
+
+
+# ---------------------------------------------------------------------------
 # global equi-depth deciles via bucketed two-pass global rank
 # ---------------------------------------------------------------------------
 
@@ -337,28 +384,8 @@ def q_window_global_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    o = o.withColumn("bucket", F.expr(f"cents div {_DECILE_BAND_CENTS}"))
-    local = o.withColumn(
-        "local_rn",
-        F.row_number().over(
-            W.partitionBy("bucket").orderBy("cents", "o_orderkey")
-        ),
-    )
-    sizes = o.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    offsets = sizes.withColumn(
-        "offset",
-        F.coalesce(
-            F.sum("bn").over(
-                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).drop("bn")
-    n_total = o.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    ranked = (
-        local.join(F.broadcast(offsets), "bucket")
-        .crossJoin(F.broadcast(n_total))
-        .withColumn("rk", F.col("offset") + F.col("local_rn"))
+    ranked = segmented_global_rank(
+        o, "cents", ["o_orderkey"], _DECILE_BAND_CENTS
     )
     return ranked.groupBy(
         F.expr("(rk - 1) * 10 div n").alias("decile")
@@ -367,4 +394,102 @@ def q_window_global_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: exact median, MAD, 5% trimmed mean — one query
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # trim this % of rows from EACH end
+
+_ROBUST_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r1 AS (
+  SELECT cents, o_orderkey,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM o
+), med AS (
+  SELECT cents AS median_cents FROM r1 WHERE rk = (n + 1) // 2
+), dev AS (
+  SELECT abs(o.cents - m.median_cents) AS d, o.o_orderkey
+  FROM o, med m
+), r2 AS (
+  SELECT d, row_number() OVER (ORDER BY d, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM dev
+), mad AS (
+  SELECT d AS mad_cents FROM r2 WHERE rk = (n + 1) // 2
+), trimmed AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM r1
+  WHERE rk > n * {_TRIM_PCT} // 100 AND rk <= n - n * {_TRIM_PCT} // 100
+)
+SELECT CAST(m.median_cents AS BIGINT) AS median_cents,
+       CAST(a.mad_cents AS BIGINT) AS mad_cents,
+       t.n_kept,
+       t.sum_cents,
+       CAST(t.sum_cents * 100 // t.n_kept AS BIGINT) AS trimmed_mean_centi
+FROM med m, mad a, trimmed t
+"""
+
+
+@register("q_agg_robust_stats", oracle=_ROBUST_ORACLE)
+def q_agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust location/scale in one result row: the exact lower
+    median, the median absolute deviation (MAD — the robust sigma), and
+    the 5%-per-side trimmed mean of order values, all integer-exact.
+
+    Every statistic needs an order statistic of the FULL dataset — the
+    regime where ``median()``/``quantile_disc`` in a warehouse is one
+    giant sort. Both passes (values, then absolute deviations from the
+    median) run through ``segmented_global_rank``: band-local
+    row_number + band-offset prefix sum, so nothing ever sorts in one
+    partition, and rank selection (``rk == (n+1)//2``) and the trim
+    band filter are exact row predicates, not approximations. The
+    median is a 1-row broadcast into the deviation pass. Contrast with
+    q_agg_percentiles_binned (iterative bin refinement, O(log) passes,
+    no per-row rank): two fixed passes here buy EVERY row's rank, which
+    the trim filter then consumes — the right trade when the query
+    needs row-level order statistics, not just boundary values.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r1 = segmented_global_rank(o, "cents", ["o_orderkey"], _DECILE_BAND_CENTS)
+    med = r1.filter(F.expr("rk = (n + 1) div 2")).select(
+        F.col("cents").alias("median_cents")
+    )
+    dev = o.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("cents") - F.col("median_cents")).alias("d"),
+        "o_orderkey",
+    )
+    r2 = segmented_global_rank(dev, "d", ["o_orderkey"], _DECILE_BAND_CENTS)
+    mad = r2.filter(F.expr("rk = (n + 1) div 2")).select(
+        F.col("d").alias("mad_cents")
+    )
+    trimmed = r1.filter(
+        F.expr(
+            f"rk > n * {_TRIM_PCT} div 100 AND "
+            f"rk <= n - n * {_TRIM_PCT} div 100"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    return (
+        med.crossJoin(mad)
+        .crossJoin(trimmed)
+        .select(
+            "median_cents",
+            "mad_cents",
+            "n_kept",
+            "sum_cents",
+            F.expr("sum_cents * 100 div n_kept").alias("trimmed_mean_centi"),
+        )
     )

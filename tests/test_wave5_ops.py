@@ -180,3 +180,28 @@ def test_global_decile_bins_are_equi_depth_and_ordered(spark):
     # stay inside one bin boundary pair)
     for lo, hi in zip(rows, rows[1:]):
         assert lo["max_cents"] <= hi["min_cents"]
+
+
+def test_robust_stats_match_driver_recompute(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_agg_robust_stats,
+    )
+
+    cents = sorted(
+        r["c"]
+        for r in table(spark, SF_SMOKE, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    n = len(cents)
+    median = cents[(n + 1) // 2 - 1]  # lower median, 1-based rank (n+1)//2
+    devs = sorted(abs(c - median) for c in cents)
+    mad = devs[(n + 1) // 2 - 1]
+    k = n * 5 // 100
+    kept = cents[k : n - k]
+    row = q_agg_robust_stats(spark, SF_SMOKE).collect()[0]
+    assert row["median_cents"] == median
+    assert row["mad_cents"] == mad
+    assert row["n_kept"] == len(kept)
+    assert row["sum_cents"] == sum(kept)
+    assert row["trimmed_mean_centi"] == sum(kept) * 100 // len(kept)
