@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from end_to_end_aws_data_pipeline_spark.cache import persisted
 from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.registry import register
 
@@ -111,33 +112,39 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ISO string day: hash-identical across engines (date objects are not)
     pts = pts.withColumn("day", F.col("ts").cast("date").cast("string"))
-    # (1) within-segment running sum: shuffle on day, sort within
-    wd = W.partitionBy("day").orderBy(
+    # (1) within-segment running sum. Segment = HOUR, not day: the
+    #     sf1→sf10 pairing measured the day version at 13× for 10×
+    #     data — a fixed calendar span means per-day partitions grow
+    #     with event density and the "local" sort re-becomes global.
+    #     Hours keep the carry table calendar-bounded (720 rows here)
+    #     while cutting per-segment sort input 24×; a denser corpus
+    #     would drop to minutes the same way.
+    pts = pts.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    wd = W.partitionBy("hour").orderBy(
         "ts", F.col("delta").desc(), "user_id"
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     local = pts.withColumn("local_cum", F.sum("delta").over(wd))
-    # (2) segment totals + exclusive carry: one row per day, so the
+    # (2) segment totals + exclusive carry: one row per hour, so the
     #     unpartitioned window below (WindowExec's warning) is bounded
-    #     by the calendar span (30 rows here, ~36.5k for a century of
-    #     data) — never by row count
+    #     by the calendar span (720 rows here) — never by row count
     carry = (
-        pts.groupBy("day")
-        .agg(F.sum("delta").alias("day_total"))
+        pts.groupBy("hour")
+        .agg(F.sum("delta").alias("hour_total"))
         .withColumn(
             "carry",
             F.coalesce(
-                F.sum("day_total").over(
-                    W.orderBy("day").rowsBetween(
+                F.sum("hour_total").over(
+                    W.orderBy("hour").rowsBetween(
                         W.unboundedPreceding, -1
                     )
                 ),
                 F.lit(0),
             ),
         )
-        .drop("day_total")
+        .drop("hour_total")
     )
     # (3) carries table is segment-sized → broadcast join back
-    swept = local.join(F.broadcast(carry), "day").withColumn(
+    swept = local.join(F.broadcast(carry), "hour").withColumn(
         "conc", F.col("carry") + F.col("local_cum")
     )
     return swept.groupBy("day").agg(
@@ -295,7 +302,7 @@ def q_window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def segmented_global_rank(
-    df: DataFrame, value_col: str, tie_cols: list, band: int
+    df: DataFrame, value_col: str, tie_cols: list, band: int | None = None
 ) -> DataFrame:
     """Exact global ``row_number() OVER (ORDER BY value, *ties)`` for
     every row, without a single-partition sort: rank locally within
@@ -304,7 +311,22 @@ def segmented_global_rank(
     offsets, and add. Returns the input plus ``rk`` (1-based global
     rank) and ``n`` (total rows). The same segmented-scan monoid trick
     as the prefix sum in q_interval_concurrency, with COUNT.
+
+    ``band=None`` sizes the band from the measured value span to give
+    ~4096 buckets. That guard exists because a FIXED band width is a
+    measured scale bug: the sf1→sf10 pairing caught the deviation pass
+    of q_agg_robust_stats at 11.3× for 10× data — absolute deviations
+    concentrate near zero, so a $100 band mapped most of the corpus
+    into a handful of buckets and the "local" sort became global. The
+    span probe is a 1-row exact aggregate (min/max — deterministic),
+    and the rank result never depends on the band choice.
     """
+    if band is None:
+        lo, hi = df.agg(
+            F.min(value_col), F.max(value_col)
+        ).first()
+        span = int(hi - lo) if hi is not None else 0
+        band = span // 4096 + 1
     o = df.withColumn("bucket", F.expr(f"{value_col} div {band}"))
     local = o.withColumn(
         "local_rn",
@@ -461,35 +483,46 @@ def q_agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    r1 = segmented_global_rank(o, "cents", ["o_orderkey"], _DECILE_BAND_CENTS)
-    med = r1.filter(F.expr("rk = (n + 1) div 2")).select(
-        F.col("cents").alias("median_cents")
+    # Three measured sf1→sf10 lessons baked in (SCALING.md): adaptive
+    # bands (the deviation distribution peaks at zero, so a fixed band
+    # collapses the "local" sort into one bucket); consume each rank
+    # pass EXACTLY ONCE — median and both trim statistics fold into a
+    # single conditional aggregate over r1, instead of three filters
+    # that each re-execute the pass; and persist only that 1-ROW
+    # result, not the 15M-row ranked relation (caching the full ranked
+    # table benched at ~4x the cost of the rank itself).
+    r1 = segmented_global_rank(o, "cents", ["o_orderkey"])
+    in_trim = F.expr(
+        f"rk > n * {_TRIM_PCT} div 100 AND "
+        f"rk <= n - n * {_TRIM_PCT} div 100"
     )
-    dev = o.crossJoin(F.broadcast(med)).select(
+    stats1 = persisted(
+        r1.agg(
+            F.max(
+                F.when(F.expr("rk = (n + 1) div 2"), F.col("cents"))
+            ).alias("median_cents"),
+            F.sum(F.when(in_trim, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(in_trim, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+    # second pass: deviations are a pure map over the scan plus the
+    # broadcast 1-row stats — nothing upstream re-executes
+    dev = o.crossJoin(F.broadcast(stats1)).select(
         F.abs(F.col("cents") - F.col("median_cents")).alias("d"),
         "o_orderkey",
     )
-    r2 = segmented_global_rank(dev, "d", ["o_orderkey"], _DECILE_BAND_CENTS)
+    r2 = segmented_global_rank(dev, "d", ["o_orderkey"])
     mad = r2.filter(F.expr("rk = (n + 1) div 2")).select(
         F.col("d").alias("mad_cents")
     )
-    trimmed = r1.filter(
-        F.expr(
-            f"rk > n * {_TRIM_PCT} div 100 AND "
-            f"rk <= n - n * {_TRIM_PCT} div 100"
-        )
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("cents").cast("long").alias("sum_cents"),
-    )
-    return (
-        med.crossJoin(mad)
-        .crossJoin(trimmed)
-        .select(
-            "median_cents",
-            "mad_cents",
-            "n_kept",
-            "sum_cents",
-            F.expr("sum_cents * 100 div n_kept").alias("trimmed_mean_centi"),
-        )
+    return stats1.crossJoin(mad).select(
+        "median_cents",
+        "mad_cents",
+        "n_kept",
+        "sum_cents",
+        F.expr("sum_cents * 100 div n_kept").alias("trimmed_mean_centi"),
     )

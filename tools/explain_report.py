@@ -132,6 +132,17 @@ SHOWCASE = {
         "both row_number windows share ONE exchange on (event_type, "
         "hour); open/close/extremes/mean in a single hash aggregate",
     ],
+    "q_interval_concurrency": [
+        "segmented prefix sum: the corpus-sized window partitions by "
+        "day; the only unpartitioned Window's input is the day-totals "
+        "aggregate (rows = calendar span)",
+        "carry joins back via BroadcastHashJoin — no second big shuffle",
+    ],
+    "q_window_global_decile": [
+        "global rank with NO single-partition sort: row_number windows "
+        "partition by value band; offsets/n are broadcast joins",
+        "final decile aggregate is hash-partitioned and combinable",
+    ],
 }
 
 
