@@ -177,6 +177,10 @@ HEADLINE = (
     "q_window_rolling_distinct",
     "q_window_global_decile",
     "q_agg_robust_stats",
+    "q_agg_weighted_median",
+    "q_etl_psi_drift",
+    "q_timeseries_changepoint",
+    "q_etl_skew_profile",
 )
 
 

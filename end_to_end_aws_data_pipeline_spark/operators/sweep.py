@@ -526,3 +526,365 @@ def q_agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_cents",
         F.expr("sum_cents * 100 div n_kept").alias("trimmed_mean_centi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted median (segmented cumulative weight — third monoid use)
+# ---------------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH li AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), scanned AS (
+  SELECT cents, w,
+         sum(w) OVER (
+           ORDER BY cents, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER () AS tw
+  FROM li
+)
+SELECT CAST(cents AS BIGINT) AS weighted_median_cents,
+       CAST(tw AS BIGINT) AS total_weight
+FROM scanned
+WHERE cw >= (tw + 1) // 2 AND cw - w < (tw + 1) // 2
+"""
+
+
+@register("q_agg_weighted_median", oracle=_WMED_ORACLE)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price: the value at which half the
+    total QUANTITY sits on either side — the inventory-weighted price
+    point, not the line-count one.
+
+    Third monoid for the segmented scan: a cumulative WEIGHT in value
+    order (concurrency summed deltas in time order; the rank queries
+    counted rows). The crossing row — first cumulative weight ≥
+    ceil(W/2) — is found with the same band-local window + band-totals
+    prefix sum; the oracle's single ``sum(w) OVER (ORDER BY …)`` is the
+    one-partition formulation. The crossing predicate
+    ``cw ≥ t AND cw - w < t`` touches only locally-available columns,
+    so no second pass.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    lo, hi = li.agg(F.min("cents"), F.max("cents")).first()
+    band = (int(hi - lo) >> 12) + 1
+    o = li.withColumn("bucket", F.expr(f"cents div {band}"))
+    local = o.withColumn(
+        "local_cw",
+        F.sum("w").over(
+            W.partitionBy("bucket")
+            .orderBy("cents", "l_orderkey", "l_linenumber")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    offsets = (
+        o.groupBy("bucket")
+        .agg(F.sum("w").alias("bw"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bw").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("bw")
+    )
+    tw = o.groupBy().agg(F.sum("w").alias("tw"))
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tw))
+        .withColumn("cw", F.col("offset") + F.col("local_cw"))
+        .filter(
+            F.expr("cw >= (tw + 1) div 2 AND cw - w < (tw + 1) div 2")
+        )
+        .select(
+            F.col("cents").alias("weighted_median_cents"),
+            F.col("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift between two periods (population stability index, fixed point)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"  # period A: days before; period B: from here on
+
+
+def _psi_oracle() -> str:
+    from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
+
+    la = _l2fp("pa_ppm + 1").replace("{div}", "//")
+    lb = _l2fp("pb_ppm + 1").replace("{div}", "//")
+    return f"""
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 'a' ELSE 'b' END AS per,
+         event_id
+  FROM events WHERE value IS NOT NULL
+), a AS (SELECT cents, event_id FROM v WHERE per = 'a'),
+ra AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk,
+         count(*) OVER () AS n
+  FROM a
+), bnds AS (
+  SELECT cents AS b FROM ra WHERE rk IN (
+    n * 1 // 10, n * 2 // 10, n * 3 // 10, n * 4 // 10,
+    n * 5 // 10, n * 6 // 10, n * 7 // 10, n * 8 // 10, n * 9 // 10)
+), binned AS (
+  SELECT v.per, v.event_id,
+         CAST(1 + sum(CASE WHEN v.cents > bnds.b THEN 1 ELSE 0 END)
+              AS BIGINT) AS bin
+  FROM v CROSS JOIN bnds
+  GROUP BY v.per, v.event_id, v.cents
+), cnt AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN per = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN per = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM cnt
+), p AS (
+  SELECT bin, ca, cb,
+         CAST(ca * 1000000 // na AS BIGINT) AS pa_ppm,
+         CAST(cb * 1000000 // nb AS BIGINT) AS pb_ppm
+  FROM cnt, tot
+)
+SELECT bin, pa_ppm, pb_ppm,
+       CAST((pa_ppm - pb_ppm) * ({la} - {lb}) AS BIGINT) AS psi_contrib_fp
+FROM p
+"""
+
+
+@register("q_etl_psi_drift", oracle=_psi_oracle())
+def q_etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two periods of the event
+    value distribution — THE production drift monitor (scorecard /
+    feature drift): decile bins from the REFERENCE period, both
+    periods' populations re-binned, contribution (pa-pb)·ln(pa/pb) per
+    bin. Published in exact integers: ppm shares, and the log ratio in
+    the engine-wide 4-fractional-bit log2 (psi_fp ≈ psi · 16e6/ln2·…;
+    thresholds calibrate on the same fixed-point scale).
+
+    Shape: reference decile boundaries come from the segmented global
+    rank of period A (9 boundary rows); binning is a 9× broadcast
+    fan-out + conditional count — no per-row join against a quantile
+    table, no corpus-sized window. The bin histogram is 10 rows per
+    period; everything after is arithmetic on a 10-row table.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("per"),
+        "event_id",
+    )
+    a = v.filter(F.col("per") == "a").select("cents", "event_id")
+    ra = segmented_global_rank(a, "cents", ["event_id"])
+    bnds = ra.filter(
+        F.expr(
+            "rk IN (n*1 div 10, n*2 div 10, n*3 div 10, n*4 div 10,"
+            " n*5 div 10, n*6 div 10, n*7 div 10, n*8 div 10, n*9 div 10)"
+        )
+    ).select(F.col("cents").alias("b"))
+    binned = (
+        v.crossJoin(F.broadcast(bnds))
+        .groupBy("per", "event_id", "cents")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(F.col("cents") > F.col("b"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("per") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("per") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    la = _l2fp("pa_ppm + 1").replace("{div}", "div")
+    lb = _l2fp("pb_ppm + 1").replace("{div}", "div")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn("pa_ppm", F.expr("ca * 1000000 div na"))
+        .withColumn("pb_ppm", F.expr("cb * 1000000 div nb"))
+        .select(
+            "bin",
+            "pa_ppm",
+            "pb_ppm",
+            F.expr(f"(pa_ppm - pb_ppm) * ({la} - {lb})")
+            .cast("long")
+            .alias("psi_contrib_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS s
+  FROM daily
+), cusum AS (
+  SELECT day,
+         sum(x * k - s) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM daily, tot
+)
+SELECT day AS change_day, CAST(abs(c) AS BIGINT) AS abs_cusum_scaled
+FROM cusum
+ORDER BY abs(c) DESC, day
+LIMIT 1
+"""
+
+
+@register("q_timeseries_changepoint", oracle=_CUSUM_ORACLE)
+def q_timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point: the day where the cumulative deviation of
+    daily revenue from its grand mean peaks — the standard
+    level-shift locator (Page 1954; argmax |CUSUM| splits the series
+    at the most likely mean change).
+
+    Integer-exact: deviations are scaled by the day count
+    (x·k − S ≡ k·(x − mean)) so no division ever happens; the argmax
+    is invariant to the scaling. Shape: ONE corpus-sized combinable
+    aggregate (per-day sums); every window after runs on the
+    calendar-bounded day table (30 rows), where a plain running sum is
+    the right plan — the segmented machinery would be overhead at this
+    cardinality.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    # day table is calendar-bounded → the unpartitioned running-sum
+    # window (WindowExec warning) is 30 rows, never corpus-sized
+    cusum = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "c",
+            F.sum(F.expr("x * k - s")).over(
+                W.orderBy("day").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+    )
+    return (
+        cusum.select(
+            F.col("day").alias("change_day"),
+            F.abs(F.col("c")).cast("long").alias("abs_cusum_scaled"),
+        )
+        .orderBy(F.col("abs_cusum_scaled").desc(), "change_day")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profiler (operational: find the salting candidates)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH k1 AS (
+  SELECT 'orders.o_custkey' AS key_name, o_custkey AS k FROM orders
+), k2 AS (
+  SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+), k3 AS (
+  SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+), k4 AS (
+  SELECT 'events.user_id', user_id FROM events
+), all_keys AS (
+  SELECT * FROM k1 UNION ALL SELECT * FROM k2
+  UNION ALL SELECT * FROM k3 UNION ALL SELECT * FROM k4
+), freq AS (
+  SELECT key_name, k, count(*) AS c FROM all_keys GROUP BY key_name, k
+)
+SELECT key_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS max_freq,
+       CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT)
+         AS skew_ratio_ppm
+FROM freq GROUP BY key_name
+"""
+
+
+@register("q_etl_skew_profile", oracle=_SKEW_ORACLE)
+def q_etl_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile across the candidate join keys: rows,
+    distinct keys, the heaviest key's frequency, and the skew ratio
+    max_freq·n_distinct/n_rows in ppm (1,000,000 = perfectly uniform;
+    a hot key shows up as a large multiple) — the measurement that
+    decides WHERE salting / AQE skew-join handling is worth it, i.e.
+    the diagnostic feeding q_join_salted_skew.
+
+    Each key profiles with one combinable count shuffle keyed on the
+    key itself followed by a key-space-sized aggregate; the four
+    profiles union into one result. No collect, no window.
+    """
+    specs = [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    out = None
+    for key_name, tbl, col in specs:
+        freq = (
+            table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        prof = freq.agg(
+            F.lit(key_name).alias("key_name"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("max_freq"),
+            F.expr("max(c) * count(*) * 1000000 div sum(c)")
+            .cast("long")
+            .alias("skew_ratio_ppm"),
+        )
+        out = prof if out is None else out.unionAll(prof)
+    return out

@@ -205,3 +205,89 @@ def test_robust_stats_match_driver_recompute(spark):
     assert row["n_kept"] == len(kept)
     assert row["sum_cents"] == sum(kept)
     assert row["trimmed_mean_centi"] == sum(kept) * 100 // len(kept)
+
+
+def test_weighted_median_matches_driver_recompute(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_agg_weighted_median,
+    )
+
+    rows = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .collect()
+    )
+    items = sorted((r["c"], r["w"]) for r in rows)
+    tw = sum(w for _, w in items)
+    thr = (tw + 1) // 2
+    cw = 0
+    for c, w in items:
+        cw += w
+        if cw >= thr:
+            want = c
+            break
+    got = q_agg_weighted_median(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    assert got[0]["weighted_median_cents"] == want
+    assert got[0]["total_weight"] == tw
+
+
+def test_psi_drift_shares_sum_to_million(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_etl_psi_drift,
+    )
+
+    rows = q_etl_psi_drift(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= 10
+    for col in ("pa_ppm", "pb_ppm"):
+        s = sum(r[col] for r in rows)
+        assert 1_000_000 - len(rows) <= s <= 1_000_000
+    for r in rows:
+        # contribution sign: positive iff shares moved apart in the
+        # same direction as the log ratio
+        if r["pa_ppm"] == r["pb_ppm"]:
+            assert r["psi_contrib_fp"] == 0
+        else:
+            assert r["psi_contrib_fp"] >= 0  # (pa-pb) and L(pa)-L(pb) co-signed
+
+
+def test_changepoint_is_argmax_of_driver_cusum(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_timeseries_changepoint,
+    )
+
+    daily = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+        )
+        .collect()
+    )
+    series = sorted((r["day"], r["x"]) for r in daily)
+    k, s = len(series), sum(x for _, x in series)
+    c, best = 0, None
+    for day, x in series:
+        c += x * k - s
+        if best is None or abs(c) > best[1] or (abs(c) == best[1] and day < best[0]):
+            best = (day, abs(c))
+    got = q_timeseries_changepoint(spark, SF_SMOKE).collect()[0]
+    assert (got["change_day"], got["abs_cusum_scaled"]) == best
+
+
+def test_skew_profile_uniform_bound(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_etl_skew_profile,
+    )
+
+    rows = q_etl_skew_profile(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_distinct"] <= r["n_rows"]
+        assert r["max_freq"] * r["n_distinct"] >= r["n_rows"]  # pigeonhole
+        # ratio >= ~1e6 by pigeonhole (integer division can shave <1 ppm-unit)
+        assert r["skew_ratio_ppm"] >= 999_999
