@@ -181,6 +181,7 @@ HEADLINE = (
     "q_etl_psi_drift",
     "q_timeseries_changepoint",
     "q_etl_skew_profile",
+    "q_sample_weighted_pps",
 )
 
 

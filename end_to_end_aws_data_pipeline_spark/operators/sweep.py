@@ -1,12 +1,21 @@
-"""Sweep-line and co-occurrence analytics: global interval concurrency
-via a segmented (two-level) prefix sum, and market-basket pair affinity.
+"""Segmented-scan analytics: global order statistics and running
+aggregates WITHOUT corpus-sized single-partition windows, plus the
+co-occurrence / drift / change-detection queries built on them.
 
-Both are classic warehouse asks the reference's consumers would run on
-top of its events/orders tables (SURVEY.md §2.B relational surface);
-neither needs anything beyond DataFrame ops, and both carry an explicit
-100 TB story — the sweep avoids the corpus-sized single-partition
-window that a naive global running sum requires, and the basket join's
-fan-out is bounded by per-basket size, not corpus size.
+The shared idea is the two-level distributed scan (the parallel-prefix
+recipe): partition the global order into bounded segments (time
+buckets, value bands), run the window locally per segment, reduce each
+segment to one row, prefix-combine that bounded totals table, and
+broadcast the carries back. Three monoids are instantiated here —
+SUM over time (q_interval_concurrency), COUNT over value order
+(segmented_global_rank → deciles, robust stats, PSI boundaries), and
+WEIGHT over value order (segmented_running_weight → weighted median,
+PPS sampling). The sf1→sf10 pairings in SCALING.md document the two
+scale bugs this family caught (fixed segment width; multiply-consumed
+lazy rank passes) and their fixes.
+
+Everything is DataFrame-only, integer-exact, and DuckDB-oracle-backed
+(SURVEY.md §2.B relational surface).
 """
 
 from __future__ import annotations
@@ -529,6 +538,62 @@ def q_agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# library: segmented running weight (cumulative sum in a value order)
+# ---------------------------------------------------------------------------
+
+
+def segmented_running_weight(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    tie_cols: list,
+    band: int | None = None,
+) -> DataFrame:
+    """Exact inclusive ``sum(w) OVER (ORDER BY order_col, *ties)`` for
+    every row plus the grand total, without a single-partition sort —
+    the SUM-monoid sibling of segmented_global_rank (band-local running
+    sum, band-totals prefix offsets, broadcast join back). Adds ``cw``
+    (inclusive cumulative weight) and ``tw`` (total). Band defaults to
+    ~4096 buckets from the measured order-column span (see
+    segmented_global_rank for why adaptive, not fixed).
+    """
+    if band is None:
+        lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+        span = int(hi - lo) if hi is not None else 0
+        band = span // 4096 + 1
+    o = df.withColumn("bucket", F.expr(f"{order_col} div {band}"))
+    local = o.withColumn(
+        "local_cw",
+        F.sum(weight_col).over(
+            W.partitionBy("bucket")
+            .orderBy(order_col, *tie_cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    offsets = (
+        o.groupBy("bucket")
+        .agg(F.sum(weight_col).alias("bw"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bw").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("bw")
+    )
+    tw = o.groupBy().agg(F.sum(weight_col).alias("tw"))
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tw))
+        .withColumn("cw", F.col("offset") + F.col("local_cw"))
+        .drop("bucket", "local_cw", "offset")
+    )
+
+
+# ---------------------------------------------------------------------------
 # weighted median (segmented cumulative weight — third monoid use)
 # ---------------------------------------------------------------------------
 
@@ -574,43 +639,14 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    lo, hi = li.agg(F.min("cents"), F.max("cents")).first()
-    band = (int(hi - lo) >> 12) + 1
-    o = li.withColumn("bucket", F.expr(f"cents div {band}"))
-    local = o.withColumn(
-        "local_cw",
-        F.sum("w").over(
-            W.partitionBy("bucket")
-            .orderBy("cents", "l_orderkey", "l_linenumber")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
+    scanned = segmented_running_weight(
+        li, "w", "cents", ["l_orderkey", "l_linenumber"]
     )
-    offsets = (
-        o.groupBy("bucket")
-        .agg(F.sum("w").alias("bw"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("bw").over(
-                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("bw")
-    )
-    tw = o.groupBy().agg(F.sum("w").alias("tw"))
-    return (
-        local.join(F.broadcast(offsets), "bucket")
-        .crossJoin(F.broadcast(tw))
-        .withColumn("cw", F.col("offset") + F.col("local_cw"))
-        .filter(
-            F.expr("cw >= (tw + 1) div 2 AND cw - w < (tw + 1) div 2")
-        )
-        .select(
-            F.col("cents").alias("weighted_median_cents"),
-            F.col("tw").cast("long").alias("total_weight"),
-        )
+    return scanned.filter(
+        F.expr("cw >= (tw + 1) div 2 AND cw - w < (tw + 1) div 2")
+    ).select(
+        F.col("cents").alias("weighted_median_cents"),
+        F.col("tw").cast("long").alias("total_weight"),
     )
 
 
@@ -888,3 +924,79 @@ def q_etl_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = prof if out is None else out.unionAll(prof)
     return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling: systematic PPS over cumulative weight
+# ---------------------------------------------------------------------------
+
+_PPS_K = 50
+
+_PPS_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), scanned AS (
+  SELECT l_orderkey, l_linenumber, w,
+         sum(w) OVER (
+           ORDER BY l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER () AS tw
+  FROM li
+), pts AS (
+  SELECT (2 * t + 1) * (SELECT max(tw) FROM scanned) // (2 * {_PPS_K}) AS s
+  FROM range({_PPS_K}) AS r(t)
+)
+SELECT l_orderkey, l_linenumber, CAST(w AS BIGINT) AS w,
+       CAST(count(*) AS BIGINT) AS multiplicity
+FROM scanned JOIN pts ON pts.s >= scanned.cw - scanned.w
+                     AND pts.s < scanned.cw
+GROUP BY l_orderkey, l_linenumber, w
+"""
+
+
+@register("q_sample_weighted_pps", oracle=_PPS_ORACLE)
+def q_sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sample of 50 line items by
+    quantity, drawn SYSTEMATICALLY: lay k equally-spaced selection
+    points (2t+1)·W/(2k) over the cumulative-weight axis and take the
+    row whose weight interval each point lands in. Zero randomness —
+    the classic survey-sampling design (Madow 1949) whose inclusion
+    probability is exactly k·w/W for w < W/k, and which is reproducible
+    across runs, retries and engines (the repo-wide determinism rule:
+    no RNG in any sampling operator; heavy rows can be hit by multiple
+    points, reported as ``multiplicity``).
+
+    The cumulative axis comes from segmented_running_weight (band-local
+    sums + offset table, no global sort); selection is a broadcast join
+    of k=50 points against each row's LOCAL interval [cw-w, cw) — no
+    second pass, no window over the corpus.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    scanned = segmented_running_weight(
+        li, "w", "l_orderkey", ["l_linenumber"]
+    )
+    pts = (
+        spark.range(_PPS_K)
+        .withColumnRenamed("id", "t")
+        .crossJoin(
+            F.broadcast(scanned.groupBy().agg(F.max("tw").alias("tw_")))
+        )
+        .select(
+            F.expr(f"(2 * t + 1) * tw_ div (2 * {_PPS_K})").alias("s")
+        )
+    )
+    return (
+        scanned.join(
+            F.broadcast(pts),
+            (F.col("s") >= F.col("cw") - F.col("w"))
+            & (F.col("s") < F.col("cw")),
+        )
+        .groupBy("l_orderkey", "l_linenumber", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+    )

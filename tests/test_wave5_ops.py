@@ -291,3 +291,41 @@ def test_skew_profile_uniform_bound(spark):
         assert r["max_freq"] * r["n_distinct"] >= r["n_rows"]  # pigeonhole
         # ratio >= ~1e6 by pigeonhole (integer division can shave <1 ppm-unit)
         assert r["skew_ratio_ppm"] >= 999_999
+
+
+def test_pps_sample_properties(spark):
+    """Systematic PPS: exactly k selection points land; multiplicities
+    sum to k; every multi-hit row has weight > W/k; matches a
+    driver-side replay of the same grid."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _PPS_K,
+        q_sample_weighted_pps,
+    )
+
+    li = sorted(
+        (
+            (r["l_orderkey"], r["l_linenumber"], int(r["l_quantity"]))
+            for r in table(spark, SF_SMOKE, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .collect()
+        )
+    )
+    tw = sum(w for _, _, w in li)
+    pts = [(2 * t + 1) * tw // (2 * _PPS_K) for t in range(_PPS_K)]
+    want = {}
+    cw = 0
+    it = iter(pts)
+    nxt = next(it, None)
+    for ok_, ln, w in li:
+        cw += w
+        while nxt is not None and nxt < cw:
+            # point fell in [cw-w, cw)
+            key = (ok_, ln)
+            want[key] = want.get(key, 0) + 1
+            nxt = next(it, None)
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["multiplicity"]
+        for r in q_sample_weighted_pps(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == _PPS_K
