@@ -182,6 +182,7 @@ HEADLINE = (
     "q_timeseries_changepoint",
     "q_etl_skew_profile",
     "q_sample_weighted_pps",
+    "q_embed_hard_negatives",
 )
 
 

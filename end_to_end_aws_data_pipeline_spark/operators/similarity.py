@@ -1305,3 +1305,120 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mn") / float(_DIMSTAT_SCALE), 6).alias("min_v"),
         F.round(F.col("mx") / float(_DIMSTAT_SCALE), 6).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: nearest neighbors of a DIFFERENT label
+# ---------------------------------------------------------------------------
+
+_HN_TOP_K = 3
+
+_HN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(
+           (CAST(x AS DOUBLE) /
+             sqrt(list_sum(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+           ) * {_Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, label AS qlabel, q AS qq FROM v
+  WHERE vec_id % {_QUERY_MOD} = 0
+  ORDER BY vec_id LIMIT {_MAX_QUERIES}
+), scored AS (
+  SELECT qs.query_id, v.vec_id AS neighbor_id, v.label AS neg_label,
+         list_sum(list_transform(range(1, len(qq)+1), i -> qq[i] * v.q[i]))
+           AS dot_q
+  FROM qs JOIN v ON v.label <> qs.qlabel
+), ranked AS (
+  SELECT query_id, neighbor_id, neg_label, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(neg_label AS BIGINT) AS neg_label,
+       CAST(rank AS INT) AS rank,
+       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+FROM ranked WHERE rank <= {_HN_TOP_K}
+"""
+
+
+@register("q_embed_hard_negatives", oracle=_HN_ORACLE)
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: for each
+    query vector, the top-3 most similar vectors carrying a DIFFERENT
+    label — the highest-loss negatives a triplet or InfoNCE objective
+    can be fed (mining by similarity rather than random sampling is
+    what makes contrastive embedding training converge).
+
+    Same exact-integer machinery as q_ann_bruteforce_topk (1e8-quantized
+    unit vectors, int64 batch matmul, batch-local top-k that composes
+    to the global top-k because the order is total), plus a label mask
+    per query inside the batch — the mask costs nothing extra since
+    labels ride along the same Arrow batch. One corpus scan for the
+    whole query set; candidates never materialize beyond
+    |batches|·|Q|·k rows.
+    """
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    from end_to_end_aws_data_pipeline_spark.functions.vector import l2_normalize
+
+    quant = F.transform(
+        l2_normalize(F.col("embedding")),
+        lambda x: F.round(x * _Q_SCALE).cast("long"),
+    )
+    v = e.select("vec_id", F.col("label").cast("long").alias("label"), quant.alias("q"))
+    qdf = (
+        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERIES)
+    )
+    rows = qdf.collect()
+    q_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q_labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    q_mat = np.array([r["q"] for r in rows], dtype=np.int64)
+
+    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            s = m @ q_mat.T
+            out = {"query_id": [], "neighbor_id": [], "neg_label": [], "dot_q": []}
+            for j, qid in enumerate(q_ids):
+                mask = labels != q_labels[j]
+                col, nid, nl = s[mask, j], ids[mask], labels[mask]
+                take = min(_HN_TOP_K, len(nid))
+                order = np.lexsort((nid, -col))[:take]
+                out["query_id"].extend([qid] * take)
+                out["neighbor_id"].extend(nid[order])
+                out["neg_label"].extend(nl[order])
+                out["dot_q"].extend(col[order])
+            yield pd.DataFrame(
+                {k: pd.Series(vv, dtype="int64") for k, vv in out.items()}
+            )
+
+    scored = spread(v).mapInPandas(
+        _score,
+        schema="query_id long, neighbor_id long, neg_label long, dot_q long",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _HN_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            "rank",
+            F.round(F.col("dot_q").cast("double") / _SCALE_SQ, 6).alias(
+                "cosine"
+            ),
+        )
+    )

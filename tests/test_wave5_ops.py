@@ -329,3 +329,27 @@ def test_pps_sample_properties(spark):
     }
     assert got == want
     assert sum(got.values()) == _PPS_K
+
+
+def test_hard_negatives_labels_differ_and_beat_random(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_embed_hard_negatives,
+    )
+
+    rows = q_embed_hard_negatives(spark, SF_SMOKE).collect()
+    assert rows
+    e = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q = defaultdict(list)
+    for r in rows:
+        assert e[r["neighbor_id"]] == r["neg_label"]
+        assert r["neg_label"] != e[r["query_id"]], "negative shares the label"
+        by_q[r["query_id"]].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
