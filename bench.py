@@ -183,6 +183,7 @@ HEADLINE = (
     "q_etl_skew_profile",
     "q_sample_weighted_pps",
     "q_embed_hard_negatives",
+    "q_funnel_latency",
 )
 
 

@@ -1000,3 +1000,79 @@ def q_sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_linenumber", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel latency: exact median / p90 time-to-convert
+# ---------------------------------------------------------------------------
+
+_FLAT_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT user_id,
+         CAST(date_diff('second', first_view, first_buy) AS BIGINT) AS sec
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+    AND first_buy >= first_view
+), ranked AS (
+  SELECT sec, row_number() OVER (ORDER BY sec, user_id) AS rk,
+         count(*) OVER () AS n
+  FROM lat
+)
+SELECT
+  CAST(max(n) AS BIGINT) AS n_converted,
+  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN sec END) AS BIGINT)
+    AS median_latency_s,
+  CAST(max(CASE WHEN rk = (n * 9 + 9) // 10 THEN sec END) AS BIGINT)
+    AS p90_latency_s
+FROM ranked
+"""
+
+
+@register("q_funnel_latency", oracle=_FLAT_ORACLE)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: exact median and p90 of (first purchase − first
+    view) per converting user — the latency half of the funnel story
+    (q_funnel_conversion counts WHO converts; this measures HOW LONG
+    conversion takes, the number product teams actually watch).
+
+    One combinable per-user min-pair aggregate produces the latency
+    series; the order statistics come from segmented_global_rank folded
+    into a single conditional aggregate (the single-consumption rule
+    from q_agg_robust_stats — no second execution of the rank pass, no
+    persist). Rank for p90 is ceil(0.9·n) = (9n+9) div 10, exact lower
+    percentile semantics in both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_buy"),
+    )
+    lat = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        (
+            F.unix_timestamp("first_buy") - F.unix_timestamp("first_view")
+        ).alias("sec"),
+    )
+    ranked = segmented_global_rank(lat, "sec", ["user_id"])
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.max(F.when(F.expr("rk = (n + 1) div 2"), F.col("sec")))
+        .cast("long")
+        .alias("median_latency_s"),
+        F.max(F.when(F.expr("rk = (n * 9 + 9) div 10"), F.col("sec")))
+        .cast("long")
+        .alias("p90_latency_s"),
+    )

@@ -353,3 +353,31 @@ def test_hard_negatives_labels_differ_and_beat_random(spark):
         rs.sort(key=lambda r: r["rank"])
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_funnel_latency_matches_driver_recompute(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_funnel_latency,
+    )
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", F.unix_timestamp("ts").alias("s"))
+        .collect()
+    )
+    first = defaultdict(lambda: [None, None])
+    for r in ev:
+        if r["event_type"] == "view":
+            cur = first[r["user_id"]][0]
+            first[r["user_id"]][0] = r["s"] if cur is None else min(cur, r["s"])
+        elif r["event_type"] == "purchase":
+            cur = first[r["user_id"]][1]
+            first[r["user_id"]][1] = r["s"] if cur is None else min(cur, r["s"])
+    lats = sorted(
+        b - v for v, b in first.values() if v is not None and b is not None and b >= v
+    )
+    n = len(lats)
+    got = q_funnel_latency(spark, SF_SMOKE).collect()[0]
+    assert got["n_converted"] == n
+    assert got["median_latency_s"] == lats[(n + 1) // 2 - 1]
+    assert got["p90_latency_s"] == lats[(n * 9 + 9) // 10 - 1]
