@@ -1004,3 +1004,27 @@ def test_chi2_contingency_joins_are_broadcast(spark):
         "BroadcastNestedLoopJoin"
     ) >= 3, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_segmented_rank_windows_are_partitioned(spark):
+    """The segmented-scan family's promise, asserted on the plan: every
+    Window over the corpus-sized relation carries a partition spec
+    (the value band / time segment); unpartitioned windows exist only
+    downstream of an Aggregate (the bounded band/segment-totals
+    table)."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_interval_concurrency,
+        q_window_global_decile,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import physical_plan
+
+    for fn, seg in (
+        (q_window_global_decile, "bucket"),
+        (q_interval_concurrency, "hour"),
+    ):
+        plan = physical_plan(fn(spark, SF_SMOKE))
+        # at least one partitioned window on the segment key
+        assert any(
+            "Window" in ln and seg in ln and "windowspecdefinition" in ln
+            for ln in plan.splitlines()
+        ), f"no {seg}-partitioned window in {fn.__name__} plan"
