@@ -714,10 +714,12 @@ def q_etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds calibrate on the same fixed-point scale).
 
     Shape: reference decile boundaries come from the segmented global
-    rank of period A (9 boundary rows); binning is a 9× broadcast
-    fan-out + conditional count — no per-row join against a quantile
-    table, no corpus-sized window. The bin histogram is 10 rows per
-    period; everything after is arithmetic on a 10-row table.
+    rank of period A, collected as ≤9 SCALARS (a bounded driver-side
+    collect — boundary count is fixed by the bin design, never by the
+    corpus) and folded into a static codegen expression, so binning is
+    a pure map: no fan-out join, no re-group on a corpus-sized key.
+    The only full shuffle in the whole query is the rank pass; the bin
+    histogram aggregate ships ≤10 rows per task.
     """
     from end_to_end_aws_data_pipeline_spark.operators.curation import _l2fp
 
@@ -733,26 +735,21 @@ def q_etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = v.filter(F.col("per") == "a").select("cents", "event_id")
     ra = segmented_global_rank(a, "cents", ["event_id"])
-    bnds = ra.filter(
-        F.expr(
-            "rk IN (n*1 div 10, n*2 div 10, n*3 div 10, n*4 div 10,"
-            " n*5 div 10, n*6 div 10, n*7 div 10, n*8 div 10, n*9 div 10)"
-        )
-    ).select(F.col("cents").alias("b"))
-    binned = (
-        v.crossJoin(F.broadcast(bnds))
-        .groupBy("per", "event_id", "cents")
-        .agg(
-            (
-                1
-                + F.sum(
-                    F.when(F.col("cents") > F.col("b"), 1).otherwise(0)
-                )
+    bvals = sorted(
+        r["b"]
+        for r in ra.filter(
+            F.expr(
+                "rk IN (n*1 div 10, n*2 div 10, n*3 div 10, n*4 div 10,"
+                " n*5 div 10, n*6 div 10, n*7 div 10, n*8 div 10, n*9 div 10)"
             )
-            .cast("long")
-            .alias("bin")
         )
+        .select(F.col("cents").alias("b"))
+        .collect()
     )
+    bin_expr = F.lit(1)
+    for b in bvals:
+        bin_expr = bin_expr + F.when(F.col("cents") > F.lit(int(b)), 1).otherwise(0)
+    binned = v.select("per", bin_expr.cast("long").alias("bin"))
     cnt = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("per") == "a", 1).otherwise(0))
         .cast("long")
