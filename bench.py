@@ -184,6 +184,7 @@ HEADLINE = (
     "q_sample_weighted_pps",
     "q_embed_hard_negatives",
     "q_funnel_latency",
+    "q_events_top_paths",
 )
 
 

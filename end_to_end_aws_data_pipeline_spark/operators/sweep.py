@@ -1073,3 +1073,68 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# path analysis: top 3-step event sequences
+# ---------------------------------------------------------------------------
+
+_PATH_TOP = 15
+
+_PATH_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+  FROM ordered WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+), counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path
+), ranked AS (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rnk
+  FROM counted
+)
+SELECT path, n, CAST(rnk AS INT) AS rnk FROM ranked
+WHERE rnk <= {_PATH_TOP}
+"""
+
+
+@register("q_events_top_paths", oracle=_PATH_ORACLE)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user journeys: the most frequent consecutive
+    event-type trigrams across all users — the path-analysis view
+    behind "what do users do right before purchasing / erroring"
+    (q_events_transition_matrix is the 2-step Markov view; trigrams
+    expose the non-Markov patterns it averages away).
+
+    Two leads over one per-user window (single shuffle on user_id —
+    user cardinality spreads it), a path-vocabulary-sized combinable
+    count (≤|event_types|³ = 125 distinct paths, map-side combined to
+    nothing), TakeOrdered for the top-k, and the rank window sees only
+    the k survivors.
+    """
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    counted = (
+        ordered.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counted.orderBy(F.col("n").desc(), "path").limit(_PATH_TOP)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "path"))
+        .cast("int"),
+    )
