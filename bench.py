@@ -185,6 +185,7 @@ HEADLINE = (
     "q_embed_hard_negatives",
     "q_funnel_latency",
     "q_events_top_paths",
+    "q_window_rolling_hll",
 )
 
 

@@ -1313,3 +1313,154 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM_DOC = q_agg_bitmap_distinct.__doc__
 if _BM_DOC is not None:
     q_agg_bitmap_distinct.__doc__ = _BM_DOC.replace("{bits}", str(_BM_BITS))
+
+
+# ---------------------------------------------------------------------------
+# rolling-window HLL: mergeability over sliding time windows
+# ---------------------------------------------------------------------------
+
+_RHLL_DAYS = 7
+
+_RHLL_ORACLE = f"""
+WITH du AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), rb AS (
+  SELECT day,
+         ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+         least(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+               ELSE {_HLL_WBITS + 1} - length(bin(w)) END,
+               {_HLL_RHO_CAP}) AS rho
+  FROM (SELECT day, hx, ('0x' || substr(hx, 3, 14))::BIGINT AS w FROM du)
+), day_regs AS (
+  SELECT day, bucket, max(rho) AS m_j FROM rb GROUP BY day, bucket
+), days AS (SELECT DISTINCT day FROM du),
+merged AS (
+  SELECT d.day AS tday, r.bucket, max(r.m_j) AS m_j
+  FROM days d JOIN day_regs r
+    ON r.day BETWEEN d.day - {_RHLL_DAYS - 1} AND d.day
+  GROUP BY d.day, r.bucket
+), agg AS (
+  SELECT tday,
+         sum(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m_j)) AS denom_ne,
+         count(*) AS v_cnt
+  FROM merged GROUP BY tday
+), ex AS (
+  SELECT d.day AS tday,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users_7d
+  FROM days d JOIN (SELECT DISTINCT day, user_id FROM du) e
+    ON e.day BETWEEN d.day - {_RHLL_DAYS - 1} AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(a.tday AS VARCHAR) AS day,
+       ex.exact_users_7d,
+       round(CASE WHEN ({_HLL_M} - a.v_cnt) > 0 AND {_HLL_NUM!r} /
+                  (a.denom_ne + ({_HLL_M} - a.v_cnt)
+                   * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP})) <= {2.5 * _HLL_M}
+             THEN {float(_HLL_M)!r} * ({_HLL_LNTAB_SQL})[{_HLL_M} - a.v_cnt]
+             ELSE {_HLL_NUM!r} /
+                  (a.denom_ne + ({_HLL_M} - a.v_cnt)
+                   * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}))
+             END, 2) AS hll_users_7d
+FROM agg a JOIN ex USING (tday)
+"""
+
+
+@register("q_window_rolling_hll", oracle=_RHLL_ORACLE)
+def q_window_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day as a SKETCH MERGE — the
+    100 TB path for q_window_rolling_distinct (sweep.py): at web scale
+    the exact explode-and-re-distinct shuffles the (day,user) pair
+    corpus 7×, while this touches the corpus ONCE to build per-day HLL
+    registers and then merges register tables whose size is days×m
+    (30×256 here) — the sliding window becomes arithmetic on a
+    calendar-bounded table. This is mergeability, the property that
+    makes sketches the right rollup currency: day sketches compose
+    into ANY window (7d, 28d, MTD) without rescanning.
+
+    Same replayable-register recipe as q_agg_hll_distinct (md5 →
+    bucket/rho, MAX-combinable, integer-scaled harmonic estimator,
+    shared literal constants and ln table) so the estimate — not just
+    the registers — hash-matches the DuckDB replay; the exact rolling
+    count rides along per row for an in-result error check. Reference ancestor: delta_load.py:98's
+    drop_duplicates() row-dedup (SURVEY §2.A row 5) is the exact
+    distinct this approximates at scale.
+    """
+    e = table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
+    rho = F.least(
+        F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+        ),
+        F.lit(_HLL_RHO_CAP),
+    )
+    du = e.select(
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
+    # ONE corpus pass → day-level registers (days × m rows)
+    day_regs = du.groupBy("day", "bucket").agg(F.max("rho").alias("m_j"))
+    days = du.select("day").distinct()
+    # register-table explode: ≤7 target days per (day, bucket) row —
+    # fan-out on the BOUNDED sketch table, never on the corpus
+    merged = (
+        day_regs.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), _RHLL_DAYS - 1)
+                )
+            ).alias("tday"),
+            "bucket",
+            "m_j",
+        )
+        .join(F.broadcast(days.select(F.col("day").alias("tday"))), "tday")
+        .groupBy("tday", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    agg = merged.groupBy("tday").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)")
+        ).alias("denom_ne"),
+        F.count(F.lit(1)).alias("v_cnt"),
+    )
+    # exact twin for the in-result error check (cheap at any SF: the
+    # (day,user) distinct is the same shuffle the exact query pays)
+    exact = (
+        du.select("day", "user_id")
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), _RHLL_DAYS - 1)
+                )
+            ).alias("tday"),
+            "user_id",
+        )
+        .join(F.broadcast(days.select(F.col("day").alias("tday"))), "tday")
+        .distinct()
+        .groupBy("tday")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_users_7d"))
+    )
+    denom = F.col("denom_ne") + (_HLL_M - F.col("v_cnt")) * F.lit(
+        1 << _HLL_RHO_CAP
+    ).cast("long")
+    raw = F.lit(_HLL_NUM) / denom
+    v_empty = (F.lit(_HLL_M) - F.col("v_cnt")).cast("int")
+    lntab = F.array(*[F.lit(x) for x in _HLL_LNTAB])
+    est = F.when(
+        (v_empty > 0) & (raw <= F.lit(2.5 * _HLL_M)),
+        F.lit(float(_HLL_M)) * F.element_at(lntab, v_empty),
+    ).otherwise(raw)
+    return (
+        agg.join(exact, "tday")
+        .select(
+            F.col("tday").cast("string").alias("day"),
+            "exact_users_7d",
+            F.round(est, 2).alias("hll_users_7d"),
+        )
+    )

@@ -381,3 +381,19 @@ def test_funnel_latency_matches_driver_recompute(spark):
     assert got["n_converted"] == n
     assert got["median_latency_s"] == lats[(n + 1) // 2 - 1]
     assert got["p90_latency_s"] == lats[(n * 9 + 9) // 10 - 1]
+
+
+def test_rolling_hll_tracks_exact_within_rsd(spark):
+    """The 7-day HLL estimate stays within ~4 standard errors of the
+    exact rolling distinct on every day (m=256 → se ≈ 6.5%)."""
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        q_window_rolling_hll,
+    )
+
+    rows = q_window_rolling_hll(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users_7d"]
+        est = r["hll_users_7d"]
+        assert exact > 0
+        assert abs(est - exact) / exact < 0.26, (r["day"], exact, est)
