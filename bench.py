@@ -186,6 +186,7 @@ HEADLINE = (
     "q_funnel_latency",
     "q_events_top_paths",
     "q_window_rolling_hll",
+    "q_stream_dedup_watermarked",
 )
 
 

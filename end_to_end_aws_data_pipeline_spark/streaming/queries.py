@@ -659,3 +659,61 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_aws_data_pipeline_spark.streaming.windows import ohlc_bars
 
     return ohlc_bars(table(spark, sf_dir, "events"))
+
+
+_DEDUP_WM_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM events GROUP BY event_type
+"""
+
+
+@register("q_stream_dedup_watermarked", oracle=_DEDUP_WM_ORACLE)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup, EXECUTED in the gate: the stream
+    is unioned with itself (every event delivered twice — the
+    at-least-once redelivery model), watermarked 1 hour on event time,
+    and deduplicated with ``dropDuplicatesWithinWatermark(event_id)``.
+    The oracle is the plain batch distinct — counts and id checksums
+    per type must come out as if no duplicate ever existed.
+
+    Why WithinWatermark and not plain dropDuplicates: the plain
+    variant keeps EVERY key ever seen in state — unbounded growth is
+    the classic streaming-dedup production incident. WithinWatermark
+    ages keys out once the watermark passes them, so state is bounded
+    by (watermark span × arrival rate) at any stream length — the only
+    dedup that survives an unbounded 100 TB/day stream. Downstream
+    aggregation happens OUTSIDE the stream (the memory sink's rows are
+    re-aggregated in batch) so the test pins exactly the dedup
+    operator's emission, not a second stateful stage.
+    """
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    name = f"__stream_dedup_{next(_counter)}"
+    src = spark.readStream.schema(schema).parquet(stream_dir_for(path))
+    src = normalize_event_ts(src)
+    doubled = src.unionAll(src)  # at-least-once: every row arrives twice
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.select("event_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+    )
