@@ -187,6 +187,7 @@ HEADLINE = (
     "q_events_top_paths",
     "q_window_rolling_hll",
     "q_stream_dedup_watermarked",
+    "q_etl_zorder_stats",
 )
 
 
