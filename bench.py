@@ -188,6 +188,7 @@ HEADLINE = (
     "q_window_rolling_hll",
     "q_stream_dedup_watermarked",
     "q_etl_zorder_stats",
+    "q_etl_merkle_diff",
 )
 
 

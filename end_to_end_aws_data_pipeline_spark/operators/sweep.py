@@ -1223,3 +1223,151 @@ def q_etl_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bbox_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style snapshot reconciliation: digest buckets, then drill
+# ---------------------------------------------------------------------------
+
+_MERKLE_BUCKET = 1024  # keys per level-1 digest bucket
+
+
+def _merkle_oracle() -> str:
+    row_a = "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR))"
+    return f"""
+WITH a AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  -- the replica drifted: one key in ~1009 dropped, one in ~997 repriced
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 997 = 0 THEN cents + 1 ELSE cents END AS cents
+  FROM a WHERE o_orderkey % 1009 <> 0
+), da AS (
+  SELECT o_orderkey // {_MERKLE_BUCKET} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt_a,
+         CAST(sum(('0x' || substr({row_a}, 1, 12))::BIGINT) AS BIGINT)
+           AS digest_a
+  FROM a GROUP BY 1
+), db AS (
+  SELECT o_orderkey // {_MERKLE_BUCKET} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt_b,
+         CAST(sum(('0x' || substr({row_a}, 1, 12))::BIGINT) AS BIGINT)
+           AS digest_b
+  FROM b GROUP BY 1
+), div AS (
+  SELECT coalesce(da.bucket, db.bucket) AS bucket,
+         coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+  FROM da FULL JOIN db USING (bucket)
+  WHERE da.digest_a IS DISTINCT FROM db.digest_b
+), drill AS (
+  SELECT d.bucket,
+         CAST(count(*) FILTER (b.o_orderkey IS NULL) AS BIGINT) AS n_missing,
+         CAST(count(*) FILTER (b.o_orderkey IS NOT NULL
+                               AND a.cents <> b.cents) AS BIGINT) AS n_changed
+  FROM div d
+  JOIN a ON a.o_orderkey // {_MERKLE_BUCKET} = d.bucket
+  LEFT JOIN b ON b.o_orderkey = a.o_orderkey
+  GROUP BY d.bucket
+)
+SELECT div.bucket, div.cnt_a, div.cnt_b, drill.n_missing, drill.n_changed
+FROM div JOIN drill USING (bucket)
+"""
+
+
+@register("q_etl_merkle_diff", oracle=_merkle_oracle())
+def q_etl_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation between a table and its drifted
+    replica, Merkle style: each side folds into per-key-range digest
+    buckets (count + SUM of a per-row md5-derived int64 — associative
+    and order-independent, so the fold is one combinable aggregate);
+    buckets whose digests disagree are the ONLY ranges that get the
+    expensive row-level drill (missing vs changed counts). This is the
+    Dynamo/Cassandra repair pattern: at 100 TB the row diff
+    (q_etl_snapshot_diff's full-outer digest compare) touches
+    everything, while the Merkle pass ships two bucket tables (rows =
+    keyspace/1024) and row-compares only divergent ranges — the drill
+    join is semi-restricted by the divergent bucket list, which Spark
+    pushes as a broadcast.
+
+    The replica's drift is deterministic (one key in ~1009 dropped,
+    one in ~997 repriced) so both engines reconstruct identical
+    divergence; integer digest sums make bucket comparison exact. Row
+    hashes are 48-bit md5 prefixes so a 1024-key bucket sums to ≤2^58
+    — headroom inside int64 in BOTH engines (a 60-bit prefix overflowed
+    Spark's ANSI sum; a real deployment at larger bucket sizes sums in
+    DECIMAL(38,0) or xors instead).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = o.filter(F.col("o_orderkey") % 1009 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 997 == 0, F.col("cents") + 1
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def digest(df: DataFrame, cnt: str, dig: str) -> DataFrame:
+        rh = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy(
+            F.expr(f"o_orderkey div {_MERKLE_BUCKET}").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias(cnt),
+            F.sum(rh).cast("long").alias(dig),
+        )
+
+    da = digest(o, "cnt_a", "digest_a")
+    db = digest(b, "cnt_b", "digest_b")
+    div = (
+        da.join(db, "bucket", "full_outer")
+        .filter(~F.col("digest_a").eqNullSafe(F.col("digest_b")))
+        .select(
+            "bucket",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    # drill ONLY divergent ranges: the bucket list broadcasts, so the
+    # row-level compare scans a bucket-pruned slice of each side
+    a_div = o.withColumn(
+        "bucket", F.expr(f"o_orderkey div {_MERKLE_BUCKET}")
+    ).join(F.broadcast(div.select("bucket")), "bucket")
+    drill = (
+        a_div.join(
+            b.withColumnRenamed("cents", "cents_b"), "o_orderkey", "left"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("cents_b").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+            F.sum(
+                F.when(
+                    F.col("cents_b").isNotNull()
+                    & (F.col("cents") != F.col("cents_b")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_changed"),
+        )
+    )
+    return div.join(drill, "bucket")

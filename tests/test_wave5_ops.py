@@ -397,3 +397,33 @@ def test_rolling_hll_tracks_exact_within_rsd(spark):
         est = r["hll_users_7d"]
         assert exact > 0
         assert abs(est - exact) / exact < 0.26, (r["day"], exact, est)
+
+
+def test_merkle_diff_finds_exactly_the_drift(spark):
+    """Every injected drift key (dropped %1009, repriced %997) lands in
+    a reported divergent bucket, and per-bucket missing/changed counts
+    equal the construction."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _MERKLE_BUCKET,
+        q_etl_merkle_diff,
+    )
+
+    keys = [
+        r["o_orderkey"]
+        for r in table(spark, SF_SMOKE, "orders").select("o_orderkey").collect()
+    ]
+    want_missing = defaultdict(int)
+    want_changed = defaultdict(int)
+    for k in keys:
+        if k % 1009 == 0:
+            want_missing[k // _MERKLE_BUCKET] += 1
+        elif k % 997 == 0:
+            want_changed[k // _MERKLE_BUCKET] += 1
+    rows = q_etl_merkle_diff(spark, SF_SMOKE).collect()
+    got_missing = {r["bucket"]: r["n_missing"] for r in rows}
+    got_changed = {r["bucket"]: r["n_changed"] for r in rows}
+    want_buckets = {b for b, v in {**want_missing, **want_changed}.items() if v}
+    assert set(got_missing) == want_buckets
+    for b in want_buckets:
+        assert got_missing[b] == want_missing.get(b, 0)
+        assert got_changed[b] == want_changed.get(b, 0)
