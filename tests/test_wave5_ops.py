@@ -427,3 +427,72 @@ def test_merkle_diff_finds_exactly_the_drift(spark):
     for b in want_buckets:
         assert got_missing[b] == want_missing.get(b, 0)
         assert got_changed[b] == want_changed.get(b, 0)
+
+
+def test_top_paths_counts_match_driver_trigram_scan(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_events_top_paths,
+    )
+
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            counts[" > ".join(types[i : i + 3])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = sorted(
+        ((r["path"], r["n"]) for r in q_events_top_paths(spark, SF_SMOKE).collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == want
+
+
+def test_zorder_buckets_partition_rows_with_bounded_boxes(spark):
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_etl_zorder_stats,
+    )
+
+    rows = q_etl_zorder_stats(spark, SF_SMOKE).collect()
+    n = sum(r["n_rows"] for r in rows)
+    assert n == table(spark, SF_SMOKE, "orders").count()
+    total_area = 256 * 256
+    for r in rows:
+        assert 0 <= r["x_min"] <= r["x_max"] <= 255
+        assert 0 <= r["y_min"] <= r["y_max"] <= 255
+        assert r["bbox_area"] == (r["x_max"] - r["x_min"] + 1) * (
+            r["y_max"] - r["y_min"] + 1
+        )
+        # the whole point: every curve bucket's box is a real subset of
+        # the plane (a linear sort's y-range would be the full 256)
+        assert r["bbox_area"] < total_area
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    from end_to_end_aws_data_pipeline_spark.streaming.queries import (
+        q_stream_dedup_watermarked,
+    )
+
+    got = {
+        r["event_type"]: (r["n_unique"], r["id_checksum"])
+        for r in q_stream_dedup_watermarked(spark, SF_SMOKE).collect()
+    }
+    want_rows = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("ck"),
+        )
+        .collect()
+    )
+    want = {r["event_type"]: (r["n"], r["ck"]) for r in want_rows}
+    assert got == want
