@@ -476,10 +476,16 @@ WITH e AS (
   FROM g
 )
 SELECT user_id, h,
-       round(CASE WHEN v IS NOT NULL THEN v
+       -- tie-free 6-decimal publish: floor(x*1e6 + 0.5)/1e6 is a chain
+       -- of correctly-rounded IEEE ops, identical in both engines;
+       -- round(x, 6) is NOT (Spark rounds the exact decimal expansion
+       -- of the double, DuckDB rounds in double arithmetic — ~1e-4 of
+       -- rows landed on .5 ties at sf0.1 and diverged by 1 ulp6)
+       floor((CASE WHEN v IS NOT NULL THEN v
              ELSE vp + (vn - vp) *
                   ((epoch_us(h) - epoch_us(hp)) /
-                   (epoch_us(hn) - epoch_us(hp))) END, 6) AS value_interp,
+                   (epoch_us(hn) - epoch_us(hp))) END) * 1000000 + 0.5)
+         / 1000000 AS value_interp,
        (v IS NULL) AS was_gap
 FROM w
 """
@@ -539,10 +545,14 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
         vp + (vn - vp) * frac
     )
+    # tie-free publish (see the oracle comment): floor(x*1e6 + 0.5)/1e6
+    # — correctly-rounded IEEE ops only, bit-identical across engines,
+    # where round(x, 6) diverges on decimal-expansion .5 ties
+    stable6 = F.floor(filled * 1_000_000 + 0.5) / 1_000_000
     return g.select(
         "user_id",
         "h",
-        F.round(filled, 6).alias("value_interp"),
+        stable6.alias("value_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
 

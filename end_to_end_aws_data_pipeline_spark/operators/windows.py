@@ -230,8 +230,11 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCTRANK_ORACLE = """
 SELECT
   c_nationkey, c_custkey, c_acctbal,
-  round(percent_rank() OVER w, 6) AS pct_rank,
-  round(cume_dist()    OVER w, 6) AS cume,
+  -- floor(x*1e6+0.5)/1e6, not round(x,6): the rank ratios are exact
+  -- rationals whose doubles match across engines, but round()'s
+  -- half-up differs on decimal-expansion ties (3/15000 rows at sf0.1)
+  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+  floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume,
   CAST(ntile(10) OVER w AS INT)   AS decile
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -242,15 +245,20 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution functions: percent_rank / cume_dist / ntile deciles
     over a deterministic total order (both are rank ratios — exact
-    rationals in double, identical across engines)."""
+    rationals in double, identical across engines; published through
+    the tie-free floor(x*1e6+0.5)/1e6 stabilizer, see oracle note)."""
     c = table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+
+    def stable6(col):
+        return F.floor(col * 1_000_000 + 0.5) / 1_000_000
+
     return c.select(
         "c_nationkey",
         "c_custkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        stable6(F.percent_rank().over(w)).alias("pct_rank"),
+        stable6(F.cume_dist().over(w)).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
 
