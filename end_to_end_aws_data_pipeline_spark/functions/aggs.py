@@ -29,36 +29,56 @@ _PREC = 18
 
 
 def dsum(col: Column | str, scale: int = 2, out_scale: int | None = None) -> Column:
-    """Exact sum of a double column with `scale` true decimal digits."""
+    """Exact sum of a double column with `scale` true decimal digits.
+
+    Publish order matters at scale (found by the sf1 full-registry
+    sweep): round IN THE DECIMAL DOMAIN first (exact, identical
+    half-away-from-zero ties in both engines), THEN convert to double.
+    The old round-after-cast diverged by 1 ulp past ~9e9·10^-scale:
+    DuckDB's ``round(double, s)`` multiplies by 10^s in double space
+    (inexact past 2^53), and its decimal→double cast double-rounds via
+    int128/10^s — the SQL twin below routes the conversion through
+    VARCHAR, whose strtod is correctly rounded, matching Spark's
+    BigDecimal.doubleValue exactly at any magnitude.
+    """
     c = F.col(col) if isinstance(col, str) else col
     out_scale = scale if out_scale is None else out_scale
-    return F.round(F.sum(c.cast(f"decimal({_PREC},{scale})")).cast("double"), out_scale)
+    return F.round(
+        F.sum(c.cast(f"decimal({_PREC},{scale})")), out_scale
+    ).cast("double")
 
 
 def dsum_sql(expr: str, scale: int = 2, out_scale: int | None = None) -> str:
     out_scale = scale if out_scale is None else out_scale
     return (
-        f"round(CAST(sum(CAST(({expr}) AS DECIMAL({_PREC},{scale}))) AS DOUBLE),"
-        f" {out_scale})"
+        f"CAST(CAST(round(sum(CAST(({expr}) AS DECIMAL({_PREC},{scale}))),"
+        f" {out_scale}) AS VARCHAR) AS DOUBLE)"
     )
 
 
 def davg(col: Column | str, scale: int = 2, out_scale: int = 6) -> Column:
-    """Exact-sum-based average, rounded to ``out_scale`` digits.
+    """Exact-sum-based average, published to ``out_scale`` digits.
 
-    sum is exact (decimal) and count is exact (long), so the final
-    double division is identical across engines.
+    sum is exact (decimal) and count is exact (long); the conversion to
+    double uses the correctly-rounded path (see dsum) so the division
+    inputs are bit-identical, and the final publish uses the tie-free
+    floor(x·10^s + 0.5)/10^s stabilizer instead of round(double, s)
+    (see scale-lessons: round-on-double diverges on expansion ties).
     """
     c = F.col(col) if isinstance(col, str) else col
     exact = F.sum(c.cast(f"decimal({_PREC},{scale})")).cast("double")
-    return F.round(exact / F.count(c), out_scale)
+    x = exact / F.count(c)
+    p = 10**out_scale
+    return F.floor(x * p + 0.5) / p
 
 
 def davg_sql(expr: str, scale: int = 2, out_scale: int = 6) -> str:
-    return (
-        f"round(CAST(sum(CAST(({expr}) AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
-        f" / count({expr}), {out_scale})"
+    p = 10**out_scale
+    x = (
+        f"CAST(CAST(sum(CAST(({expr}) AS DECIMAL({_PREC},{scale}))) AS VARCHAR)"
+        f" AS DOUBLE) / count({expr})"
     )
+    return f"floor(({x}) * {p} + 0.5) / {p}"
 
 
 def lsum(col: Column | str) -> Column:

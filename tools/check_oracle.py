@@ -11,6 +11,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -154,9 +155,12 @@ def main() -> int:
         spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # scale_up fixtures store each table as a DIRECTORY of part
+        # files (multi-file production layout) — glob those for DuckDB
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     n_fail = 0
