@@ -189,6 +189,7 @@ HEADLINE = (
     "q_stream_dedup_watermarked",
     "q_etl_zorder_stats",
     "q_etl_merkle_diff",
+    "q_agg_auc_rank",
 )
 
 

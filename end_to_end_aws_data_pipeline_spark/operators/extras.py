@@ -1102,6 +1102,109 @@ def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact ROC-AUC via the Mann-Whitney rank-sum (midranks for ties)
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH s AS (
+  SELECT (n_chars * 1000) // len(string_split(text, ' ')) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), g AS (
+  SELECT score, count(*) AS cnt, sum(pos) AS pc FROM s GROUP BY score
+), r AS (
+  SELECT cnt, pc,
+         coalesce(sum(cnt) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM g
+), a AS (
+  SELECT CAST(sum(pc * (2 * cum + cnt + 1)) AS BIGINT) AS r2,
+         CAST(sum(pc) AS BIGINT) AS np,
+         CAST(sum(cnt) - sum(pc) AS BIGINT) AS nn
+  FROM r
+)
+SELECT np + nn AS n_docs, np AS n_pos, nn AS n_neg,
+       r2 - np * (np + 1) AS u_x2,
+       floor(CAST(r2 - np * (np + 1) AS DOUBLE)
+             / CAST(2 * np * nn AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS auc
+FROM a
+"""
+
+
+@register("q_agg_auc_rank", oracle=_AUC_ORACLE)
+def q_agg_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a scoring function against a binary label,
+    computed distributed via the Mann-Whitney rank-sum identity —
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with MIDRANKS for ties — the
+    evaluation every classifier-based quality filter needs before its
+    threshold ships (here: mean token length in milli-chars as an
+    English-document detector, an actual language-ID signal).
+
+    No per-row global sort: scores aggregate to a VALUE TABLE
+    (score → count, positive-count) in one map-side-combinable pass,
+    midranks come from a prefix sum over that table, and the AUC is
+    one more tiny aggregate. The value table is bounded by the score
+    DOMAIN (milli-avg-token-length spans a few thousand values), not
+    by corpus rows, so the unpartitioned window runs on thousands of
+    rows regardless of corpus size — same boundedness argument as the
+    sketch/vocabulary windows elsewhere in this module.
+
+    Exactness: midranks in DOUBLED integer units (midrank×2 =
+    2·cum_before + cnt + 1) keep every rank and the rank-sum in int64
+    — no float ranks, no tie-breaking nondeterminism; u_x2 (the U
+    statistic ×2) is engine-exact. int64 holds the doubled rank-sum
+    to ~2·10⁹ scored rows per evaluation (R₂ < 2n²); shard the
+    evaluation or move the two sums to decimal(38,0) beyond. The one
+    division publishes through the floor(x·1e6 + 0.5)/1e6 stabilizer
+    on operands < 2⁵³ (correctly-rounded IEEE ops, bit-identical
+    across engines)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        F.expr("(n_chars * 1000) div size(split(text, ' '))").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pc")
+    )
+    # bounded window: rows = distinct score values (domain-sized)
+    r = g.withColumn(
+        "cum",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    a = r.agg(
+        F.sum(F.col("pc") * (2 * F.col("cum") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r2"),
+        F.sum("pc").cast("long").alias("np"),
+        (F.sum("cnt") - F.sum("pc")).cast("long").alias("nn"),
+    )
+    u_x2 = F.col("r2") - F.col("np") * (F.col("np") + 1)
+    return a.select(
+        (F.col("np") + F.col("nn")).alias("n_docs"),
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        u_x2.alias("u_x2"),
+        (
+            F.floor(
+                u_x2.cast("double")
+                / (2 * F.col("np") * F.col("nn")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mutual information via a HIGH-PRECISION fixed-point log2 (64 linear
 # segments per octave, 1/65536-bit units — worst case 6.1e-5 bit,
 # swept over 200k random inputs; the 4-fractional-bit _l2fp's ~0.149

@@ -1019,3 +1019,42 @@ def test_l2hi_worst_case_and_mi_float_agreement(spark):
     assert r.n_events == n
     assert abs(r.mi_bits - true_mi) < 5e-4, (r.mi_bits, true_mi)
     assert r.mi_bits >= -5e-4  # MI is non-negative up to fp resolution
+
+
+def test_auc_rank_matches_pairwise_definition(spark):
+    """The Mann-Whitney rank-sum AUC must equal the O(n²) pairwise
+    definition — P(score⁺ > score⁻) + ½·P(tie) — computed
+    independently in Python on the smoke fixture.  Guards the midrank
+    identity itself, so the DuckDB oracle (which shares the rank-sum
+    formulation) is not the only check."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_auc_rank,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = q_agg_auc_rank(spark, SF_SMOKE).collect()[0]
+
+    rows = (
+        table(spark, SF_SMOKE, "documents")
+        .selectExpr(
+            "(n_chars * 1000) div size(split(text, ' ')) AS score",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos",
+        )
+        .collect()
+    )
+    pos = sorted(x.score for x in rows if x.pos == 1)
+    neg = sorted(x.score for x in rows if x.pos == 0)
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    # O(n_pos·log n_neg) pairwise count via bisect — exact, independent
+    import bisect
+
+    wins2 = 0  # doubled: 2 per strict win, 1 per tie
+    for s in pos:
+        lo = bisect.bisect_left(neg, s)
+        hi = bisect.bisect_right(neg, s)
+        wins2 += 2 * lo + (hi - lo)
+    assert r.u_x2 == wins2, (r.u_x2, wins2)
+    true_auc = wins2 / (2 * len(pos) * len(neg))
+    assert abs(r.auc - true_auc) < 2e-6, (r.auc, true_auc)
+    assert 0.0 <= r.auc <= 1.0
