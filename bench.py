@@ -190,6 +190,9 @@ HEADLINE = (
     "q_etl_zorder_stats",
     "q_etl_merkle_diff",
     "q_agg_auc_rank",
+    "q_text_bm25_search",
+    "q_timeseries_stl_dow",
+    "q_etl_compaction_plan",
 )
 
 

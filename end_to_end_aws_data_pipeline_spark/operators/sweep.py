@@ -1371,3 +1371,173 @@ def q_etl_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return div.join(drill, "bucket")
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition: trend / weekly-seasonal / residual split of
+# the daily event series (classical additive decomposition, STL-lite)
+# ---------------------------------------------------------------------------
+
+_STL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1
+), win AS (
+  SELECT day, cnt,
+         sum(cnt) OVER w AS sum7,
+         count(*) OVER w AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, dayofweek(day) AS dow, cnt,
+         7 * cnt - sum7 AS detr_x7
+  FROM win WHERE n7 = 7
+), seas AS (
+  SELECT dow, sum(detr_x7) AS s_x7, count(*) AS n_dow
+  FROM det GROUP BY dow
+)
+SELECT CAST(det.day AS TIMESTAMP) AS day, det.dow,
+       CAST(det.cnt AS BIGINT) AS cnt,
+       floor(CAST(7 * det.cnt - det.detr_x7 AS DOUBLE) / 7
+             * 1000000 + 0.5) / 1000000 AS trend,
+       floor(CAST(seas.s_x7 AS DOUBLE) / (7 * seas.n_dow)
+             * 1000000 + 0.5) / 1000000 AS seasonal,
+       floor((CAST(det.detr_x7 AS DOUBLE) / 7
+              - CAST(seas.s_x7 AS DOUBLE) / (7 * seas.n_dow))
+             * 1000000 + 0.5) / 1000000 AS residual
+FROM det JOIN seas USING (dow)
+"""
+
+
+@register("q_timeseries_stl_dow", oracle=_STL_ORACLE)
+def q_timeseries_stl_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count — trend (centered 7-day moving average, complete windows
+    only), weekly seasonal (per-day-of-week mean of the detrended
+    series), residual (what anomaly detectors should actually score;
+    raw counts alarm every weekend).
+
+    Scale shape: the only corpus-sized pass is the groupBy(day) count
+    (map-side combinable). Everything after runs on the DAY table —
+    bounded by the calendar span, not by event volume — so the
+    unpartitioned 7-row moving window and the 7-row seasonal join are
+    constant-cost at any corpus size; the seasonal table broadcasts.
+
+    Integer-exact core: the detrended series is carried as
+    detr_x7 = 7·cnt − Σ₇cnt (pure int64 — no float trend subtraction),
+    the per-dow seasonal mean as the rational (Σ detr_x7) / (7·n_dow).
+    The three published doubles each perform the SAME fixed parse tree
+    of correctly-rounded IEEE ops in both engines and publish through
+    the tie-free floor(x·1e6 + 0.5)/1e6 stabilizer.
+
+    dow mapping: Spark dayofweek is 1–7 (Sun=1), DuckDB 0–6 (Sun=0);
+    published as the 0-based convention."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)  # bounded: day-domain rows
+    win = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    det = win.filter(F.col("n7") == 7).select(
+        "day",
+        (F.dayofweek("day") - 1).alias("dow"),
+        "cnt",
+        (7 * F.col("cnt") - F.col("sum7")).alias("detr_x7"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("detr_x7").alias("s_x7"), F.count(F.lit(1)).alias("n_dow")
+    )
+
+    def _stab(col):
+        return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+    return det.join(F.broadcast(seas), "dow").select(
+        F.col("day").cast("timestamp").alias("day"),
+        "dow",
+        F.col("cnt").cast("long").alias("cnt"),
+        _stab(
+            (7 * F.col("cnt") - F.col("detr_x7")).cast("double") / 7
+        ).alias("trend"),
+        _stab(
+            F.col("s_x7").cast("double") / (7 * F.col("n_dow"))
+        ).alias("seasonal"),
+        _stab(
+            F.col("detr_x7").cast("double") / 7
+            - F.col("s_x7").cast("double") / (7 * F.col("n_dow"))
+        ).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planner: the OPTIMIZE bin-packing step
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 5_000  # rows per output file (stand-in for 1 GB)
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT o_orderdate AS day, count(*) AS rows_in
+  FROM orders GROUP BY 1
+), placed AS (
+  SELECT day, rows_in,
+         CAST(coalesce(sum(rows_in) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_COMPACT_TARGET} AS BIGINT) AS file_bin
+  FROM files
+)
+SELECT file_bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(rows_in) AS BIGINT) AS rows_out,
+       CAST(min(day) AS TIMESTAMP) AS first_day,
+       CAST(max(day) AS TIMESTAMP) AS last_day
+FROM placed
+GROUP BY file_bin
+"""
+
+
+@register("q_etl_compaction_plan", oracle=_COMPACT_ORACLE)
+def q_etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (the OPTIMIZE / auto-compaction step
+    every partitioned lakehouse table needs): per-day micro-files are
+    packed, in day order, into target-sized output files by exclusive-
+    prefix-sum binning — file_bin = ⌊running_rows_before / target⌋ —
+    the same deterministic assignment Delta's size-ordered greedy
+    produces on sorted input, and one every engine can replay (no
+    first-fit state machine).
+
+    Scale shape: one corpus-sized combinable groupBy builds the FILE
+    table (bounded by the partition-key domain — calendar days — not
+    row volume); the prefix sum and re-aggregate run on that bounded
+    table. For an unbounded file inventory, the prefix sum drops into
+    sweep.segmented_running_weight (SUM monoid) unchanged. Output is
+    the compaction manifest: each output file's input-file count, row
+    total, and covered day range — min/max day doubles as the
+    data-skipping statistics the rewritten files will carry."""
+    files = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("rows_in"))
+    )
+    # bounded window: rows = distinct partition days (calendar-domain)
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    placed = files.select(
+        "day",
+        "rows_in",
+        (
+            F.coalesce(F.sum("rows_in").over(w), F.lit(0))
+            / _COMPACT_TARGET
+        )
+        .cast("long")
+        .alias("file_bin"),
+    )
+    return placed.groupBy("file_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("rows_in").cast("long").alias("rows_out"),
+        F.min("day").cast("timestamp").alias("first_day"),
+        F.max("day").cast("timestamp").alias("last_day"),
+    )

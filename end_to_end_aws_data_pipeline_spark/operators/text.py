@@ -1692,3 +1692,121 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_fp").desc(), F.col("bigram")
     ).limit(_COLL_TOP)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search: the retrieval scorer behind every lexical search
+# and retrieval-augmented data-curation pass
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "merge")
+_BM25_K1 = 1.2  # term-frequency saturation
+_BM25_B = 0.75  # length normalization
+_BM25_TOP = 10
+
+_BM25_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), dl AS (
+  SELECT doc_id, len(ws) AS dl FROM d
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM dl
+), tok AS (
+  SELECT doc_id, unnest(ws) AS word FROM d
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok
+  WHERE word IN ('hash', 'join', 'merge') GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (ln((CAST(corpus.n_docs AS DOUBLE) - df.df + 0.5)
+               / (df.df + 0.5) + 1.0)
+            * (CAST(tf.tf AS DOUBLE) * 2.2))
+           / (CAST(tf.tf AS DOUBLE) + 0.3
+              + 0.9 * ((CAST(dl.dl AS DOUBLE) * corpus.n_docs)
+                       / corpus.n_tokens))
+           * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM tf
+  JOIN df USING (word)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("q_text_bm25_search", oracle=_BM25_ORACLE)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a fixed keyword query — the
+    lexical-search scorer (Robertson/Sparck-Jones; Lucene's default)
+    every retrieval-augmented curation pass starts from.
+
+    Scale shape: the term filter lands BEFORE the tf groupBy, so the
+    only corpus-sized work is the tokenize scan — tf/df/scoring run on
+    query-matching postings only (|terms| × matching docs). Corpus
+    stats (N, total tokens) and the |terms|-row df table broadcast.
+    The final top-10 is orderBy+limit → TakeOrderedAndProject: per-
+    partition heaps, no global sort, no single-partition window.
+
+    Cross-engine float discipline: k1=1.2 / b=0.75 folded to literal
+    constants; per-(doc,term) score is one fixed parse tree of
+    correctly-rounded IEEE ops (ln, *, /) evaluated identically in
+    both engines, quantized to BIGINT micro-units via the tie-free
+    floor(x*1e6 + 0.5) stabilizer; the per-doc sum is then exact
+    integer arithmetic — associative, merge-order-free."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    denom = (
+        F.col("tf").cast("double")
+        + 0.3
+        + 0.9
+        * ((F.col("dl").cast("double") * F.col("n_docs")) / F.col("n_tokens"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.floor(
+                (idf * (F.col("tf").cast("double") * 2.2)) / denom * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("term_micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )

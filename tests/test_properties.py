@@ -1058,3 +1058,46 @@ def test_auc_rank_matches_pairwise_definition(spark):
     true_auc = wins2 / (2 * len(pos) * len(neg))
     assert abs(r.auc - true_auc) < 2e-6, (r.auc, true_auc)
     assert 0.0 <= r.auc <= 1.0
+
+
+def test_bm25_matches_independent_recompute(spark):
+    """The distributed BM25 pipeline must equal an independent pure-
+    Python recompute of Okapi BM25 (k1=1.2, b=0.75, Lucene idf) on the
+    smoke corpus — exact integer micro-units, exact top-10 order."""
+    import math
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _BM25_TERMS,
+        q_text_bm25_search,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = q_text_bm25_search(spark, SF_SMOKE).collect()
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    n_docs = len(docs)
+    n_tokens = sum(len(ws) for ws in docs.values())
+    df = {
+        t: sum(1 for ws in docs.values() if t in ws) for t in _BM25_TERMS
+    }
+    exp = {}
+    for did, ws in docs.items():
+        total, hits = 0, 0
+        for t in _BM25_TERMS:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log((float(n_docs) - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            denom = float(tf) + 0.3 + 0.9 * ((float(len(ws)) * n_docs) / n_tokens)
+            total += math.floor((idf * (float(tf) * 2.2)) / denom * 1e6 + 0.5)
+        if hits:
+            exp[did] = (hits, total)
+    top = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    assert [(r.doc_id, r.n_terms_hit, r.bm25_micro) for r in got] == [
+        (did, h, s) for did, (h, s) in top
+    ]

@@ -82,3 +82,58 @@ def test_basket_affinity_invariants(spark):
         assert 0 < r["conf_ab_ppm"] <= 1_000_000
         assert 0 < r["conf_ba_ppm"] <= 1_000_000
         assert r["conf_ab_ppm"] == r["pair_count"] * 1_000_000 // r["cnt_a"]
+
+
+def test_stl_decomposition_reconstructs_counts(spark):
+    """trend + seasonal + residual must reconstruct the daily count
+    (to publish-rounding resolution), per-dow residuals must mean to
+    ~0 (the seasonal mean was subtracted), and only complete 7-day
+    windows may publish."""
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_timeseries_stl_dow,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_timeseries_stl_dow(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    by_dow = defaultdict(list)
+    for r in rows:
+        assert abs((r.trend + r.seasonal + r.residual) - r.cnt) < 3e-6, r
+        assert 0 <= r.dow <= 6
+        by_dow[r.dow].append(r.residual)
+    for dow, res in by_dow.items():
+        assert abs(sum(res) / len(res)) < 2e-6, (dow, res)
+
+
+def test_compaction_plan_conserves_and_orders(spark):
+    """The compaction manifest must conserve rows and input files,
+    assign contiguous bins, and cover non-overlapping ordered day
+    ranges — the invariants that make the plan safe to execute."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _COMPACT_TARGET,
+        q_etl_compaction_plan,
+    )
+    from tests.conftest import SF_SMOKE
+
+    bins = sorted(
+        q_etl_compaction_plan(spark, SF_SMOKE).collect(),
+        key=lambda r: r.file_bin,
+    )
+    o = table(spark, SF_SMOKE, "orders")
+    total_rows = o.count()
+    n_days = o.select("o_orderdate").distinct().count()
+    assert [b.file_bin for b in bins] == list(range(len(bins)))
+    assert sum(b.rows_out for b in bins) == total_rows
+    assert sum(b.n_files for b in bins) == n_days
+    for a, b in zip(bins, bins[1:]):
+        assert a.last_day < b.first_day  # non-overlapping, ordered
+    # exclusive-prefix binning: a bin stops growing only once the
+    # running total has crossed its boundary, so every bin except the
+    # last must end at-or-past its boundary minus one input file
+    running = 0
+    for b in bins[:-1]:
+        running += b.rows_out
+        assert running >= (b.file_bin + 1) * _COMPACT_TARGET
