@@ -193,6 +193,7 @@ HEADLINE = (
     "q_text_bm25_search",
     "q_timeseries_stl_dow",
     "q_etl_compaction_plan",
+    "q_embed_pca_power",
 )
 
 

@@ -1422,3 +1422,181 @@ def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA: top principal component by exact integer power
+# iteration over a one-pass covariance accumulation
+# ---------------------------------------------------------------------------
+
+_PCA_QS = 4096  # component quantization (2^12): float32 → int, ~0.01% err
+_PCA_VS = 1 << 20  # eigenvector fixed-point scale between iterations
+_PCA_CS = 1 << 30  # covariance renormalization target
+_PCA_ITERS = 3
+
+
+def _shift_for(m: int, target_bits: int) -> int:
+    """Minimal s with (m >> s) < 2**target_bits, by the 6-step binary
+    chain — written as the EXACT loop the SQL oracle unrolls, so the
+    two implementations are provably the same function."""
+    s = 0
+    for step in (32, 16, 8, 4, 2, 1):
+        if (m >> s) >= 1 << (target_bits + step):
+            s += step
+    return s
+
+
+def _pca_power_core(gram: dict, d: int) -> list[tuple[int, int]]:
+    """Driver-side exact-integer power iteration on the (d+1)×(d+1)
+    homogeneous Gram accumulation (row/col d holds component sums; the
+    [d][d] cell holds the count). All Python ints — overflow-free; the
+    SQL oracle replays the identical arithmetic in int64 (bounds in
+    q_embed_pca_power's docstring)."""
+    n = gram[(d, d)]
+    cov = {
+        (i, j): n * gram[(i, j)] - gram[(i, d)] * gram[(j, d)]
+        for i in range(d)
+        for j in range(d)
+    }
+    s_c = _shift_for(max(abs(v) for v in cov.values()), 30)
+    cov = {k: v >> s_c for k, v in cov.items()}
+    vec = [_PCA_VS if i == 0 else 0 for i in range(d)]
+    for _ in range(_PCA_ITERS):
+        w = [sum(cov[(i, j)] * vec[j] for j in range(d)) for i in range(d)]
+        s_k = _shift_for(max(abs(x) for x in w), 20)
+        vec = [x >> s_k for x in w]
+    return list(enumerate(vec))
+
+
+def _pca_chain_sql(src: str, col: str, target_bits: int) -> str:
+    """Unrolled SQL twin of _shift_for: six CASE steps over ({src}.{col})."""
+    expr = "0"
+    for step in (32, 16, 8, 4, 2, 1):
+        expr = (
+            f"({expr} + CASE WHEN ({col} >> ({expr})) >= "
+            f"{1 << (target_bits + step)} THEN {step} ELSE 0 END)"
+        )
+    return f"SELECT {col} AS m, {expr} AS s FROM {src}"
+
+
+def _pca_oracle() -> str:
+    d = 64
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PCA_QS} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), g AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+  FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i
+), mz AS (
+  SELECT i, CAST(sum(q) AS BIGINT) AS m FROM q GROUP BY i
+), nn AS (
+  SELECT count(*) AS n FROM embeddings
+), c0 AS (
+  SELECT g.i, g.j, nn.n * g.g - ma.m * mb.m AS c
+  FROM g JOIN mz ma ON ma.i = g.i JOIN mz mb ON mb.i = g.j CROSS JOIN nn
+), cmax AS (SELECT max(abs(c)) AS m FROM c0
+), csh AS ({_pca_chain_sql('cmax', 'm', 30)}
+), cs AS (
+  SELECT c0.i, c0.j, c0.c >> csh.s AS c FROM c0 CROSS JOIN csh
+), v0 AS (
+  SELECT CAST(r.range AS BIGINT) AS i,
+         CASE WHEN r.range = 0 THEN {_PCA_VS} ELSE 0 END AS v
+  FROM range(0, {d}) r
+)"""
+    ]
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f""", w{k} AS (
+  SELECT cs.i, CAST(sum(cs.c * {prev}.v) AS BIGINT) AS w
+  FROM cs JOIN {prev} ON {prev}.i = cs.j GROUP BY cs.i
+), wm{k} AS (SELECT max(abs(w)) AS m FROM w{k}
+), ws{k} AS ({_pca_chain_sql(f'wm{k}', 'm', 20)}
+), v{k} AS (
+  SELECT w{k}.i, w{k}.w >> ws{k}.s AS v FROM w{k} CROSS JOIN ws{k}
+)"""
+        )
+        prev = f"v{k}"
+    parts.append(
+        f"""
+SELECT CAST(i AS INT) AS dim, CAST(v AS BIGINT) AS v_fp,
+       CAST(v AS DOUBLE) / {_PCA_VS}.0 AS loading
+FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register("q_embed_pca_power", oracle=_pca_oracle())
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — the whitening
+    / drift / dimensionality-reduction primitive — by the textbook
+    distributed-PCA layout (Spark MLlib RowMatrix does the same): the
+    ONLY corpus-sized work is one pass of per-partition dense Gram
+    partials, reduced to a (d+1)² table; the d×d eigen-iteration runs
+    on that bounded accumulation.
+
+    One-pass trick: a homogeneous 1 appended to each quantized vector
+    makes AᵀA carry the component sums (row d) and the row count
+    (cell [d][d]) alongside the raw Gram, so covariance
+    C = n·G − m·mᵀ assembles without a second scan.
+
+    Exact-integer discipline end to end: float32 components quantize
+    ×2¹² (floor(x·4096 + 0.5) — identical IEEE ops both engines);
+    Gram partials are numpy int64 matmuls (batch·q² ≪ 2⁶³); the power
+    iteration renormalizes by ARITHMETIC RIGHT SHIFT (floor semantics
+    in Python, Spark, and DuckDB alike) with shift amounts from a
+    6-step binary chain — no float, no division, no rounding mode to
+    disagree on. Bounds: |C'| < 2³⁰ and |v| < 2²⁰ keep every matvec
+    term < 2⁵⁶; covariance assembly n²·q̄² < 2⁶³ holds to ~10⁶ rows at
+    this quantization — beyond that, accumulate G in decimal(38,0)
+    (the oracle's HUGEINT already allows it). The published loading
+    v_fp/2²⁰ is an exact power-of-two division — dtype-identical with
+    no stabilizer needed. Deterministic v₀ = e₀ and fixed 3
+    iterations make the result a pure function of the data: this op
+    publishes the ITERATE, and the property test separately certifies
+    it climbs toward numpy's true eigenvector."""
+    import numpy as np
+    import pandas as pd
+
+    d = 64
+    e = table(spark, sf_dir, "embeddings")
+    quant = F.concat(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _PCA_QS + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        F.array(F.lit(1).cast("long")),
+    )
+    rows = e.select(quant.alias("q"))
+
+    def _partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["q"].tolist(), dtype=np.int64)
+            p = a.T @ a  # exact int64 (d+1)² partial
+            ii, jj = np.indices(p.shape)
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "p": p.ravel(),
+                }
+            )
+
+    gram_df = (
+        rows.mapInPandas(_partials, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+    )
+    gram = {(r.i, r.j): r.g for r in gram_df.collect()}  # bounded: (d+1)²
+    out = [
+        (dim, int(v), float(v) / _PCA_VS) for dim, v in _pca_power_core(gram, d)
+    ]
+    return spark.createDataFrame(out, "dim int, v_fp long, loading double")

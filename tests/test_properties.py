@@ -1101,3 +1101,58 @@ def test_bm25_matches_independent_recompute(spark):
     assert [(r.doc_id, r.n_terms_hit, r.bm25_micro) for r in got] == [
         (did, h, s) for did, (h, s) in top
     ]
+
+
+def test_pca_power_iterate_exact_and_climbing(spark):
+    """The published PCA iterate must (a) equal an independent
+    arbitrary-precision replay bit-for-bit (covariance assembly, shift
+    chains, matvecs), and (b) climb: its alignment with numpy's true
+    top eigenvector and its Rayleigh quotient must strictly improve
+    over the starting basis vector."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _PCA_ITERS,
+        _PCA_QS,
+        _PCA_VS,
+        _shift_for,
+        q_embed_pca_power,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r.dim: r for r in q_embed_pca_power(spark, SF_SMOKE).collect()}
+    assert len(got) == 64
+
+    X = np.array(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in table(spark, SF_SMOKE, "embeddings").collect()
+        ]
+    )
+    Q = np.floor(X * _PCA_QS + 0.5).astype(np.int64)
+    n = len(Q)
+    C = (n * (Q.T @ Q) - np.outer(Q.sum(0), Q.sum(0))).astype(object)
+    top = np.linalg.eigh(np.array(C, dtype=np.float64))[1][:, -1]
+
+    Cs = C >> _shift_for(int(max(abs(int(c)) for c in C.ravel())), 30)
+    v = np.zeros(64, dtype=object)
+    v[0] = _PCA_VS
+    align, rayleigh = [], []
+    for _ in range(_PCA_ITERS):
+        vf = np.array(v, dtype=np.float64)
+        align.append(abs(vf @ top) / np.linalg.norm(vf))
+        rayleigh.append((vf @ np.array(C, dtype=np.float64) @ vf) / (vf @ vf))
+        w = Cs @ v
+        s = _shift_for(int(max(abs(int(x)) for x in w)), 20)
+        v = np.array([int(x) >> s for x in w], dtype=object)
+    vf = np.array(v, dtype=np.float64)
+    align.append(abs(vf @ top) / np.linalg.norm(vf))
+    rayleigh.append((vf @ np.array(C, dtype=np.float64) @ vf) / (vf @ vf))
+
+    # (a) bit-exact match with the engine's published iterate
+    assert [int(got[i].v_fp) for i in range(64)] == [int(x) for x in v]
+    assert all(got[i].loading == int(v[i]) / _PCA_VS for i in range(64))
+    # (b) monotone climb toward the true principal axis
+    assert all(b > a for a, b in zip(align, align[1:])), align
+    assert all(b > a for a, b in zip(rayleigh, rayleigh[1:])), rayleigh
