@@ -194,6 +194,8 @@ HEADLINE = (
     "q_timeseries_stl_dow",
     "q_etl_compaction_plan",
     "q_embed_pca_power",
+    "q_etl_ks_drift",
+    "q_agg_decile_lift",
 )
 
 

@@ -1432,3 +1432,106 @@ def q_etl_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("observed_ppm") - expected).alias("dev_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# decile lift / calibration table for a scoring function (pairs with
+# q_agg_auc_rank: AUC says IF the score ranks, lift says WHERE to cut)
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH s AS (
+  SELECT (n_chars * 1000) // len(string_split(text, ' ')) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), g AS (
+  SELECT score, count(*) AS cnt, sum(pos) AS pc FROM s GROUP BY score
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pc) AS BIGINT) AS p FROM g
+), r AS (
+  SELECT score, cnt, pc,
+         coalesce(sum(cnt) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM g
+), dd AS (
+  SELECT CAST((r.cum * 10) // tot.n AS BIGINT) AS decile,
+         CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(sum(pc) AS BIGINT) AS n_pos
+  FROM r CROSS JOIN tot
+  GROUP BY 1
+), cc AS (
+  SELECT decile, n_rows, n_pos,
+         CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+  FROM dd
+)
+SELECT decile, n_rows, n_pos,
+       floor(CAST(n_pos AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000
+         AS pos_rate,
+       floor(CAST(n_pos AS DOUBLE) * tot.n / (CAST(n_rows AS DOUBLE) * tot.p)
+             * 1000000 + 0.5) / 1000000 AS lift,
+       floor(CAST(cum_pos AS DOUBLE) / tot.p * 1000000 + 0.5) / 1000000
+         AS cum_capture
+FROM cc CROSS JOIN tot
+"""
+
+
+@register("q_agg_decile_lift", oracle=_LIFT_ORACLE)
+def q_agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / calibration table for the same scorer
+    q_agg_auc_rank evaluates (mean token length as an English
+    detector): rows ranked by score DESC are cut into 10 population
+    deciles; each publishes its positive rate, lift over the base
+    rate, and cumulative capture of positives — the table a curation
+    pipeline reads to pick the keep-threshold (AUC says IF the score
+    ranks; lift says WHERE to cut and what recall the cut buys).
+
+    Scale shape: one corpus-sized combinable pass to the score VALUE
+    TABLE (domain-bounded); the decile assignment is an integer
+    prefix-sum bucket — decile = ⌊10·cum_before/N⌋ — over that bounded
+    table (tied scores stay together, the statistically honest
+    convention), then a 10-row aggregate. No corpus-sized sort or
+    window anywhere. Ratios publish integer-exact through the
+    floor-stabilizer."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        F.expr("(n_chars * 1000) div size(split(text, ' '))").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pc")
+    )
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"), F.sum("pc").cast("long").alias("p")
+    )
+    # bounded window: rows = distinct score values (domain-sized)
+    wr = W.orderBy(F.col("score").desc()).rowsBetween(W.unboundedPreceding, -1)
+    r = g.withColumn("cum", F.coalesce(F.sum("cnt").over(wr), F.lit(0)))
+    dd = (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("(cum * 10) div n").cast("long").alias("decile")
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum("pc").cast("long").alias("n_pos"),
+        )
+    )
+    wc = W.orderBy("decile")  # bounded: ≤10 rows
+    cc = dd.withColumn("cum_pos", F.sum("n_pos").over(wc).cast("long"))
+
+    def _stab(col):
+        return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+    return cc.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        _stab(F.col("n_pos").cast("double") / F.col("n_rows")).alias("pos_rate"),
+        _stab(
+            F.col("n_pos").cast("double")
+            * F.col("n")
+            / (F.col("n_rows").cast("double") * F.col("p"))
+        ).alias("lift"),
+        _stab(F.col("cum_pos").cast("double") / F.col("p")).alias("cum_capture"),
+    )

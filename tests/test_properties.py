@@ -1156,3 +1156,33 @@ def test_pca_power_iterate_exact_and_climbing(spark):
     # (b) monotone climb toward the true principal axis
     assert all(b > a for a, b in zip(align, align[1:])), align
     assert all(b > a for a, b in zip(rayleigh, rayleigh[1:])), rayleigh
+
+
+def test_decile_lift_invariants(spark):
+    """Decile table invariants: population conservation, deciles sized
+    ~N/10 (up to tie-group granularity), lift averages to 1 over the
+    population, cumulative capture is monotone and ends at 1, and the
+    capture curve dominates the diagonal iff AUC > 0.5 at the top."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_decile_lift,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        q_agg_decile_lift(spark, SF_SMOKE).collect(), key=lambda r: r.decile
+    )
+    d = table(spark, SF_SMOKE, "documents")
+    n = d.count()
+    p = d.filter("lang = 'en'").count()
+    assert sum(r.n_rows for r in rows) == n
+    assert sum(r.n_pos for r in rows) == p
+    assert [r.decile for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert abs(r.pos_rate - r.n_pos / r.n_rows) < 2e-6
+        assert abs(r.lift - (r.n_pos * n) / (r.n_rows * p)) < 1e-4
+    caps = [r.cum_capture for r in rows]
+    assert all(b >= a for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 2e-6
+    # weighted mean lift over the population is exactly 1
+    assert abs(sum(r.lift * r.n_rows for r in rows) / n - 1.0) < 1e-3

@@ -137,3 +137,40 @@ def test_compaction_plan_conserves_and_orders(spark):
     for b in bins[:-1]:
         running += b.rows_out
         assert running >= (b.file_bin + 1) * _COMPACT_TARGET
+
+
+def test_ks_drift_matches_brute_force(spark):
+    """d_num must equal the brute-force two-sample KS numerator
+    (max over quantized values of |cum1·n2 − cum2·n1|) computed
+    independently in Python, and the integer drift verdict must agree
+    with the float α=0.05 formula D > 1.358·√((n1+n2)/(n1·n2))."""
+    import math
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _KS_SPLIT_DAY,
+        q_etl_ks_drift,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r.event_type: r for r in q_etl_ks_drift(spark, SF_SMOKE).collect()}
+
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in table(spark, SF_SMOKE, "events").collect():
+        cents = math.floor(r.value * 100 + 0.5)
+        per[r.event_type][cents][0 if r.ts.day < _KS_SPLIT_DAY else 1] += 1
+    assert set(per) == set(got)
+    for et, counts in per.items():
+        n1 = sum(v[0] for v in counts.values())
+        n2 = sum(v[1] for v in counts.values())
+        cum1 = cum2 = 0
+        d_num = 0
+        for c in sorted(counts):
+            cum1 += counts[c][0]
+            cum2 += counts[c][1]
+            d_num = max(d_num, abs(cum1 * n2 - cum2 * n1))
+        r = got[et]
+        assert (r.n1, r.n2, r.d_num) == (n1, n2, d_num), et
+        d = d_num / (n1 * n2)
+        assert r.drifted == (d > 1.358 * math.sqrt((n1 + n2) / (n1 * n2))), et
