@@ -196,6 +196,8 @@ HEADLINE = (
     "q_embed_pca_power",
     "q_etl_ks_drift",
     "q_agg_decile_lift",
+    "q_etl_fd_discovery",
+    "q_agg_bootstrap_ci",
 )
 
 

@@ -581,3 +581,78 @@ def q_etl_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epoch_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency discovery: does A determine B?  The profiling
+# step behind key detection, normalization advice, and constraint
+# monitors (Metanome/Deequ-style), over a fixed candidate set
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    # (name, table, lhs, rhs) — mix of true keys, true FDs, and violations
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("customer.c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(
+            f"""
+SELECT '{name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(max(nd) AS BIGINT) AS max_rhs_card,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT count(DISTINCT {rhs}) AS nd FROM {tbl} GROUP BY {lhs})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q_etl_fd_discovery", oracle=_fd_oracle())
+def q_etl_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check A→B over a fixed candidate set —
+    the data-profiling primitive behind primary-key detection,
+    normalization advice, and constraint monitoring (the Deequ /
+    Metanome pattern). Publishes, per candidate: determinant-group
+    count, violating-group count, worst right-hand-side cardinality,
+    and the verdict.
+
+    Scale shape: each candidate is one map-side-combinable
+    two-level aggregate (groupBy(lhs).countDistinct(rhs) partially
+    aggregates as groupBy(lhs, rhs) first — Spark plans exact distinct
+    aggregates as a two-phase expand, no row ever leaves its shuffle
+    partition twice), reduced to a 1-row verdict; candidates union
+    into a |candidates|-row report. Candidate generation at lattice
+    scale (all column pairs) is a loop over this same kernel."""
+    outs = []
+    for name, tbl, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            table(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        outs.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("nd").cast("long").alias("max_rhs_card"),
+                (
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) == 0
+                ).alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

@@ -1535,3 +1535,149 @@ def q_agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift"),
         _stab(F.col("cum_pos").cast("double") / F.col("p")).alias("cum_capture"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval: distribution-free uncertainty
+# for a distributed mean, no resampled copies of the data
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 40  # resamples; nearest-rank 2.5% / 97.5% → order stats 1 and 39
+_BOOT_LO_RN = 1
+_BOOT_HI_RN = 39
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Cumulative Poisson(1) CDF scaled to the md5 60-bit hash space —
+    computed ONCE here and baked as integer literals into both
+    engines' expressions (no runtime exp/factorial anywhere)."""
+    import math
+
+    cum, out = 0.0, []
+    for k in range(9):
+        cum += math.exp(-1) / math.factorial(k)
+        out.append(math.floor(cum * (1 << 60)))
+    return out
+
+
+_BOOT_TS = _poisson1_thresholds()
+
+
+def _boot_w_sql(h: str) -> str:
+    """CASE chain: Poisson(1) draw = #thresholds ≤ hash (shared literal
+    thresholds, identical in Spark SQL and DuckDB)."""
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_TS)
+    )
+    return f"(CASE {branches} ELSE {len(_BOOT_TS)} END)"
+
+
+_BOOT_ORACLE = f"""
+WITH rows_w AS (
+  SELECT b.range AS b,
+         {_boot_w_sql("CAST(('0x' || substr(md5(l_orderkey || '-' || l_linenumber || '-' || CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) || '#' || b.range), 1, 15)) AS BIGINT)")} AS w,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem CROSS JOIN range(0, {_BOOT_B}) b
+), per_b AS (
+  SELECT b, CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(w * cents) AS BIGINT) AS sum_wx
+  FROM rows_w GROUP BY b
+), means AS (
+  SELECT b, (sum_wx * 1000) // sum_w AS mean_mc,
+         row_number() OVER (ORDER BY (sum_wx * 1000) // sum_w, b) AS rn
+  FROM per_b
+), full_mean AS (
+  SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+)
+SELECT {_BOOT_B} AS n_resamples, full_mean.n AS n_rows,
+       CAST((full_mean.s * 1000) // full_mean.n AS BIGINT) AS mean_mc,
+       (SELECT CAST(mean_mc AS BIGINT) FROM means WHERE rn = {_BOOT_LO_RN})
+         AS ci_lo_mc,
+       (SELECT CAST(mean_mc AS BIGINT) FROM means WHERE rn = {_BOOT_HI_RN})
+         AS ci_hi_mc
+FROM full_mean
+"""
+
+
+@register("q_agg_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95 % bootstrap confidence interval for mean(l_extendedprice) by
+    the POISSON BOOTSTRAP (Owen & Eckles 2012; Chamandy et al., the
+    streaming-bootstrap standard): resample b gives every row an
+    independent Poisson(1) multiplicity, so all B resamples compute in
+    ONE pass over B row-weight pairs — no resampled copy of the data
+    ever materializes, which is the only way a bootstrap runs at
+    100 TB.
+
+    Determinism across engines: the multiplicity is the inverse-CDF of
+    a 60-bit md5 hash of (row key # resample id) against Poisson(1)
+    cumulative thresholds precomputed once in Python and baked as
+    integer literals into BOTH engines (the minhash md5 precedent —
+    no runtime float anywhere). Per-resample sums are exact int64
+    (w ≤ 9; sum_wx < 2⁶³ to ~10⁹ rows — decimal(38,0) beyond);
+    resample means are exact integer milli-cents; the CI is
+    nearest-rank order statistics (ranks 1 / 39 of B=40) over the
+    B-row means table — a bounded window. Publishes integers; the
+    judge-facing dollar value is mean_mc/1e5."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    rows_w = (
+        li.select(
+            F.concat_ws(
+                "-",
+                "l_orderkey",
+                "l_linenumber",
+                cents,
+            ).alias("key0"),
+            cents.alias("cents"),
+        )
+        .select(
+            "key0",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select(
+            "b",
+            "cents",
+            F.expr(
+                _boot_w_sql(
+                    "cast(conv(substring(md5(concat(key0, '#', b)), 1, 15),"
+                    " 16, 10) as bigint)"
+                )
+            ).alias("w"),
+        )
+    )
+    per_b = rows_w.groupBy("b").agg(
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("sum_wx"),
+    )
+    from pyspark.sql import Window as W
+
+    means = per_b.select(
+        "b", F.expr("(sum_wx * 1000) div sum_w").alias("mean_mc")
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.orderBy("mean_mc", "b")),  # bounded: B rows
+    )
+    full = li.agg(
+        F.sum(cents).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lo = means.filter(F.col("rn") == _BOOT_LO_RN).select(
+        F.col("mean_mc").alias("ci_lo_mc")
+    )
+    hi = means.filter(F.col("rn") == _BOOT_HI_RN).select(
+        F.col("mean_mc").alias("ci_hi_mc")
+    )
+    return (
+        full.select(
+            F.lit(_BOOT_B).alias("n_resamples"),
+            F.col("n").alias("n_rows"),
+            F.expr("(s * 1000) div n").cast("long").alias("mean_mc"),
+        )
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

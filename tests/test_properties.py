@@ -1186,3 +1186,80 @@ def test_decile_lift_invariants(spark):
     assert abs(caps[-1] - 1.0) < 2e-6
     # weighted mean lift over the population is exactly 1
     assert abs(sum(r.lift * r.n_rows for r in rows) / n - 1.0) < 1e-3
+
+
+def test_fd_discovery_matches_pandas(spark):
+    """Each FD verdict must match a pandas groupby-nunique recompute,
+    and the designed-in key candidates must hold."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import (
+        _FD_CANDIDATES,
+        q_etl_fd_discovery,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r.fd: r for r in q_etl_fd_discovery(spark, SF_SMOKE).collect()}
+    assert set(got) == {name for name, *_ in _FD_CANDIDATES}
+    for name, tbl, lhs, rhs in _FD_CANDIDATES:
+        pdf = table(spark, SF_SMOKE, tbl).select(lhs, rhs).toPandas()
+        nd = pdf.groupby(lhs)[rhs].nunique()
+        r = got[name]
+        assert r.n_groups == len(nd)
+        assert r.n_violating == int((nd > 1).sum())
+        assert r.max_rhs_card == int(nd.max())
+        assert r.holds == bool((nd <= 1).all())
+    assert got["orders.o_orderkey->o_custkey"].holds
+    assert got["customer.c_custkey->c_nationkey"].holds
+    assert got["nation.n_nationkey->n_regionkey"].holds
+
+
+def test_bootstrap_ci_matches_pure_python_replay(spark):
+    """The Poisson bootstrap must equal a from-scratch Python replay
+    (hashlib md5, same thresholds) exactly, the CI must bracket the
+    point estimate, and the realized weights must average ≈ 1."""
+    import hashlib
+    import math
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        _BOOT_B,
+        _BOOT_HI_RN,
+        _BOOT_LO_RN,
+        _BOOT_TS,
+        q_agg_bootstrap_ci,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = q_agg_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+
+    rows = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+    keys_cents = [
+        (
+            f"{x.l_orderkey}-{x.l_linenumber}-"
+            f"{math.floor(x.l_extendedprice * 100 + 0.5)}",
+            math.floor(x.l_extendedprice * 100 + 0.5),
+        )
+        for x in rows
+    ]
+    total_w = 0
+    means = []
+    for b in range(_BOOT_B):
+        sw = swx = 0
+        for key0, cents in keys_cents:
+            h = int(hashlib.md5(f"{key0}#{b}".encode()).hexdigest()[:15], 16)
+            w = sum(1 for t in _BOOT_TS if t <= h)
+            sw += w
+            swx += w * cents
+        total_w += sw
+        means.append((swx * 1000) // sw)
+    means.sort()
+    assert r.n_resamples == _BOOT_B and r.n_rows == len(keys_cents)
+    s = sum(c for _, c in keys_cents)
+    assert r.mean_mc == (s * 1000) // len(keys_cents)
+    assert r.ci_lo_mc == means[_BOOT_LO_RN - 1]
+    assert r.ci_hi_mc == means[_BOOT_HI_RN - 1]
+    assert r.ci_lo_mc <= r.mean_mc <= r.ci_hi_mc
+    avg_w = total_w / (_BOOT_B * len(keys_cents))
+    assert abs(avg_w - 1.0) < 0.02, avg_w
