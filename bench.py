@@ -198,6 +198,7 @@ HEADLINE = (
     "q_agg_decile_lift",
     "q_etl_fd_discovery",
     "q_agg_bootstrap_ci",
+    "q_graph_kcore",
 )
 
 

@@ -451,3 +451,125 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt)
         frontier = nxt
     return out.filter(F.col("n_reached") > 0)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel): the density filter behind
+# community mining, spam/bot subgraph isolation, and graph sampling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: each round drops nodes whose CURRENT degree is
+    below k, then induces the surviving subgraph."""
+    parts = [
+        f"""
+WITH e0 AS ({_PR_EDGES_SQL}
+), g0 AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+)"""
+    ]
+    rows = []
+    prev = "g0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT src, count(*) AS d FROM {prev} GROUP BY src
+), rm{i} AS (
+  SELECT src FROM d{i} WHERE d < {_KCORE_K}
+), g{i} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src NOT IN (SELECT src FROM rm{i})
+    AND e.dst NOT IN (SELECT src FROM rm{i})
+)"""
+        )
+        rows.append(
+            f"""
+SELECT {i} AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM rm{i}) AS n_removed,
+       (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM g{i}) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM g{i}) // 2 AS n_edges,
+       (SELECT CAST(coalesce(sum(DISTINCT src), 0) AS BIGINT) FROM g{i})
+         AS node_checksum"""
+        )
+        prev = f"g{i}"
+    return "".join(parts) + "\nUNION ALL".join(rows)
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (k=30, 4 synchronous rounds) of the
+    customer-supplier purchase graph — the density filter that
+    isolates the stable trading core (and, on web/social graphs, the
+    spam-farm / bot-cluster detector). Each round drops every node
+    whose CURRENT degree is below k and induces the surviving
+    subgraph; the published per-round trajectory (removed, nodes,
+    edges, node-id checksum) is exactly what a convergence monitor
+    watches, and the checksum pins WHICH nodes survive, not just how
+    many.
+
+    Synchronous peeling is deterministic (no tie-breaking: all sub-k
+    nodes drop together), so the DuckDB oracle replays the rounds as
+    unrolled CTEs bit-for-bit. Fixed round count = bounded plan depth;
+    to full convergence, the loop continues until rm is empty with
+    the checkpoint-every-3 policy PageRank measures in SCALING.md.
+
+    Scale shape per round: one combinable degree aggregate + two
+    left_anti hash joins against the (small, shrinking) removal set —
+    Spark broadcasts it once it fits; nothing quadratic, no windows.
+    Each round's induced edge list persists (MEMORY_AND_DISK) so the
+    next round reads a materialized graph, not a re-derivation."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    half = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    g = persisted(
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    out = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        rm = persisted(deg.filter(F.col("d") < _KCORE_K).select("src"))
+        g = persisted(
+            g.join(rm, "src", "left_anti").join(
+                rm.select(F.col("src").alias("dst")), "dst", "left_anti"
+            )
+        )
+        nodes = g.select("src").distinct()
+        stats = (
+            rm.agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+            .crossJoin(
+                nodes.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                    F.coalesce(F.sum("src"), F.lit(0))
+                    .cast("long")
+                    .alias("node_checksum"),
+                )
+            )
+            .crossJoin(
+                g.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+            )
+            .select(
+                F.lit(i).alias("round"),
+                "n_removed",
+                "n_nodes",
+                "n_edges",
+                "node_checksum",
+            )
+        )
+        out.append(stats)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionAll(s)
+    return res

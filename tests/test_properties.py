@@ -1263,3 +1263,48 @@ def test_bootstrap_ci_matches_pure_python_replay(spark):
     assert r.ci_lo_mc <= r.mean_mc <= r.ci_hi_mc
     avg_w = total_w / (_BOOT_B * len(keys_cents))
     assert abs(avg_w - 1.0) < 0.02, avg_w
+
+
+def test_kcore_peel_matches_python_replay(spark):
+    """The per-round k-core trajectory must equal an independent
+    Python peel of the same graph, node counts must be non-increasing,
+    and after any round every surviving node's induced degree is
+    either ≥ k or subject to removal in a later round."""
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        q_graph_kcore,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(q_graph_kcore(spark, SF_SMOKE).collect(), key=lambda r: r.round)
+    assert [r.round for r in got] == list(range(1, _KCORE_ROUNDS + 1))
+
+    o = {r.o_orderkey: r.o_custkey for r in table(spark, SF_SMOKE, "orders").collect()}
+    adj = defaultdict(set)
+    for r in table(spark, SF_SMOKE, "lineitem").collect():
+        if r.l_orderkey in o:
+            c, s = o[r.l_orderkey] * 2, r.l_suppkey * 2 + 1
+            adj[c].add(s)
+            adj[s].add(c)
+    for i in range(_KCORE_ROUNDS):
+        rm = {n for n, nb in adj.items() if len(nb) < _KCORE_K}
+        adj = {
+            n: {m for m in nb if m not in rm}
+            for n, nb in adj.items()
+            if n not in rm
+        }
+        adj = {n: nb for n, nb in adj.items() if nb}
+        r = got[i]
+        n_edges = sum(len(nb) for nb in adj.values()) // 2
+        assert (r.n_removed, r.n_nodes, r.n_edges, r.node_checksum) == (
+            len(rm),
+            len(adj),
+            n_edges,
+            sum(adj),
+        ), i
+    counts = [r.n_nodes for r in got]
+    assert all(b <= a for a, b in zip(counts, counts[1:]))
