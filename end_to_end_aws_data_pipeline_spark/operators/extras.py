@@ -1572,12 +1572,32 @@ def _boot_w_sql(h: str) -> str:
     return f"(CASE {branches} ELSE {len(_BOOT_TS)} END)"
 
 
+def _boot_mix(h1: str, h2: str, b: str) -> str:
+    """Per-resample 60-bit draw from ONE md5 per row: the affine mixer
+    (h1 + b*h2) mod 2^60 over two disjoint digest halves (h1 = 60 bits,
+    h2 = 56 bits, so b*h2 < 2^62 — no int64 overflow in either engine).
+    This is the universal-hashing trick: one hash per ROW, b-many
+    decorrelated draws, instead of one hash per (row, resample) —
+    which cut the hashing bill 40x at identical published values."""
+    return f"(({h1} + {b} * {h2}) % {1 << 60})"
+
+
 _BOOT_ORACLE = f"""
-WITH rows_w AS (
+WITH rows_h AS (
+  SELECT CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(h, 16, 14)) AS BIGINT) AS h2,
+         cents
+  FROM (
+    SELECT md5(l_orderkey || '-' || l_linenumber || '-' ||
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS h,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem
+  )
+), rows_w AS (
   SELECT b.range AS b,
-         {_boot_w_sql("CAST(('0x' || substr(md5(l_orderkey || '-' || l_linenumber || '-' || CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) || '#' || b.range), 1, 15)) AS BIGINT)")} AS w,
-         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM lineitem CROSS JOIN range(0, {_BOOT_B}) b
+         {_boot_w_sql(_boot_mix("h1", "h2", "b.range"))} AS w,
+         cents
+  FROM rows_h CROSS JOIN range(0, {_BOOT_B}) b
 ), per_b AS (
   SELECT b, CAST(sum(w) AS BIGINT) AS sum_w,
          CAST(sum(w * cents) AS BIGINT) AS sum_wx
@@ -1612,72 +1632,64 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever materializes, which is the only way a bootstrap runs at
     100 TB.
 
-    Determinism across engines: the multiplicity is the inverse-CDF of
-    a 60-bit md5 hash of (row key # resample id) against Poisson(1)
-    cumulative thresholds precomputed once in Python and baked as
-    integer literals into BOTH engines (the minhash md5 precedent —
-    no runtime float anywhere). Per-resample sums are exact int64
-    (w ≤ 9; sum_wx < 2⁶³ to ~10⁹ rows — decimal(38,0) beyond);
-    resample means are exact integer milli-cents; the CI is
-    nearest-rank order statistics (ranks 1 / 39 of B=40) over the
-    B-row means table — a bounded window. Publishes integers; the
-    judge-facing dollar value is mean_mc/1e5."""
+    Determinism across engines: ONE md5 per row, split into two
+    disjoint digest halves h1 (60 bits) / h2 (56 bits); resample b's
+    draw is the affine mixer (h1 + b*h2) mod 2^60 compared against
+    Poisson(1) cumulative thresholds precomputed once in Python and
+    baked as integer literals into BOTH engines (no runtime float
+    anywhere). Per-resample sums are exact int64 (w <= 9; sum_wx <
+    2^63 to ~10^9 rows — decimal(38,0) beyond); resample means are
+    exact integer milli-cents; the CI is nearest-rank order statistics
+    (ranks 1 / 39 of B=40) taken by array_sort over the B in-row
+    means — the WHOLE query is one combinable aggregate pass with
+    2B+2 accumulators: no explode, no shuffle of resampled rows, no
+    window, no second scan. Publishes integers; the judge-facing
+    dollar value is mean_mc/1e5."""
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    rows_w = (
-        li.select(
-            F.concat_ws(
-                "-",
-                "l_orderkey",
-                "l_linenumber",
-                cents,
-            ).alias("key0"),
-            cents.alias("cents"),
-        )
-        .select(
-            "key0",
-            "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        )
-        .select(
-            "b",
-            "cents",
-            F.expr(
-                _boot_w_sql(
-                    "cast(conv(substring(md5(concat(key0, '#', b)), 1, 15),"
-                    " 16, 10) as bigint)"
-                )
-            ).alias("w"),
-        )
+    rows_h = li.select(
+        F.md5(
+            F.concat_ws("-", "l_orderkey", "l_linenumber", cents)
+        ).alias("h"),
+        cents.alias("cents"),
+    ).select(
+        F.expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").alias(
+            "h1"
+        ),
+        F.expr("cast(conv(substring(h, 16, 14), 16, 10) as bigint)").alias(
+            "h2"
+        ),
+        "cents",
     )
-    per_b = rows_w.groupBy("b").agg(
-        F.sum("w").cast("long").alias("sum_w"),
-        F.sum(F.col("w") * F.col("cents")).cast("long").alias("sum_wx"),
-    )
-    from pyspark.sql import Window as W
-
-    means = per_b.select(
-        "b", F.expr("(sum_wx * 1000) div sum_w").alias("mean_mc")
-    ).withColumn(
-        "rn",
-        F.row_number().over(W.orderBy("mean_mc", "b")),  # bounded: B rows
-    )
-    full = li.agg(
-        F.sum(cents).cast("long").alias("s"),
+    aggs = [
+        F.sum("cents").cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    lo = means.filter(F.col("rn") == _BOOT_LO_RN).select(
-        F.col("mean_mc").alias("ci_lo_mc")
-    )
-    hi = means.filter(F.col("rn") == _BOOT_HI_RN).select(
-        F.col("mean_mc").alias("ci_hi_mc")
-    )
-    return (
-        full.select(
-            F.lit(_BOOT_B).alias("n_resamples"),
-            F.col("n").alias("n_rows"),
-            F.expr("(s * 1000) div n").cast("long").alias("mean_mc"),
+    ]
+    for b in range(_BOOT_B):
+        w = F.expr(_boot_w_sql(_boot_mix("h1", "h2", str(b))))
+        aggs.append(F.sum(w).cast("long").alias(f"w{b}"))
+        aggs.append(
+            F.sum(w * F.col("cents")).cast("long").alias(f"wx{b}")
         )
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+    one = rows_h.agg(*aggs)
+    # B resample means live in ONE row; nearest-rank order statistics =
+    # array_sort over B struct(mean, b) elements (ties broken by b,
+    # matching the oracle's ORDER BY mean_mc, b), then element_at.
+    means_sorted = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.expr(f"(wx{b} * 1000) div w{b}").alias("m"),
+                    F.lit(b).alias("b"),
+                )
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return one.select(
+        F.lit(_BOOT_B).alias("n_resamples"),
+        F.col("n").alias("n_rows"),
+        F.expr("(s * 1000) div n").cast("long").alias("mean_mc"),
+        F.element_at(means_sorted, _BOOT_LO_RN)["m"].alias("ci_lo_mc"),
+        F.element_at(means_sorted, _BOOT_HI_RN)["m"].alias("ci_hi_mc"),
     )

@@ -1243,13 +1243,19 @@ def test_bootstrap_ci_matches_pure_python_replay(spark):
         )
         for x in rows
     ]
+    # one md5 per ROW, split into h1 (hex 1..15, 60 bits) and h2
+    # (hex 16..29, 56 bits); resample b's draw is (h1 + b*h2) mod 2^60
+    hashed = []
+    for key0, cents in keys_cents:
+        h = hashlib.md5(key0.encode()).hexdigest()
+        hashed.append((int(h[:15], 16), int(h[15:29], 16), cents))
     total_w = 0
     means = []
     for b in range(_BOOT_B):
         sw = swx = 0
-        for key0, cents in keys_cents:
-            h = int(hashlib.md5(f"{key0}#{b}".encode()).hexdigest()[:15], 16)
-            w = sum(1 for t in _BOOT_TS if t <= h)
+        for h1, h2, cents in hashed:
+            draw = (h1 + b * h2) % (1 << 60)
+            w = sum(1 for t in _BOOT_TS if t <= draw)
             sw += w
             swx += w * cents
         total_w += sw
