@@ -123,17 +123,22 @@ def pagerank_ranks(
         )
         .distinct()
     )
-    edges = persisted(
-        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # contribution-ready edge list (src, dst, d) built ONCE: the
+    # per-round loop then needs a single equi-join instead of re-joining
+    # (and re-aggregating) the degree table every iteration
+    edges_d = persisted(
+        edges.join(deg, "src").select("src", "dst", "d")
+    )
     ranks = deg.select("src", F.lit(_PR_R0).cast("long").alias("rank")).select(
         F.col("src").alias("node"), "rank"
     )
     for i in range(1, iters + 1):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            edges_d.join(ranks, edges_d["src"] == ranks["node"])
             .select("dst", F.expr("rank div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -419,7 +424,7 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    frontier = persisted(
+    frontier = (
         edges.select("src")
         .filter(
             (F.col("src") % 2 == 0)
@@ -427,30 +432,39 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("src").alias("node"))
         .distinct()
+        .localCheckpoint()
     )
     visited = frontier
-    out = frontier.groupBy().agg(
-        F.lit(0).cast("long").alias("hop"),
-        F.count(F.lit(1)).cast("long").alias("n_reached"),
-        F.sum("node").cast("long").alias("key_checksum"),
-    )
+    # per-hop stats are a bounded driver fetch (3 int64 per hop — the
+    # audited iterative-collect pattern): lazily unioning all hops into
+    # one plan re-embeds every prior hop's lineage under each stats
+    # leaf (the k-core lesson); localCheckpoint keeps the growing
+    # visited union's plan flat.
+    r0 = frontier.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("node").cast("long").alias("ck"),
+    ).collect()[0]
+    rows = [(0, r0["n"], r0["ck"])]
     for hop in range(1, _KHOP_DEPTH + 1):
-        nxt = persisted(
+        nxt = (
             edges.join(frontier, edges["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
+            .localCheckpoint()
         )
-        out = out.unionAll(
-            nxt.groupBy().agg(
-                F.lit(hop).cast("long").alias("hop"),
-                F.count(F.lit(1)).cast("long").alias("n_reached"),
-                F.sum("node").cast("long").alias("key_checksum"),
-            )
-        )
-        visited = visited.unionAll(nxt)
+        r = nxt.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("node").cast("long").alias("ck"),
+        ).collect()[0]
+        if r["n"] == 0:
+            break  # empty frontier: every deeper hop is empty too
+        rows.append((hop, r["n"], r["ck"]))
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    return out.filter(F.col("n_reached") > 0)
+    return spark.createDataFrame(
+        rows, "hop long, n_reached long, key_checksum long"
+    )
 
 
 # ---------------------------------------------------------------------------
