@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from end_to_end_aws_data_pipeline_spark.cache import persisted
 from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.ingest.clean import clean
 from end_to_end_aws_data_pipeline_spark.ingest.merge import upsert
@@ -656,3 +657,102 @@ def q_etl_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# GDPR/CCPA erasure cascade: right-to-be-forgotten impact analysis
+# ---------------------------------------------------------------------------
+
+_GDPR_MOD = 211  # deletion request set: customers with c_custkey % 211 == 7
+
+_GDPR_ORACLE = f"""
+WITH req AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_GDPR_MOD} = 7
+), ord AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM req)
+), li AS (
+  SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+  WHERE l.l_orderkey IN (SELECT o_orderkey FROM ord)
+)
+SELECT 'customer' AS tbl,
+       (SELECT CAST(count(*) AS BIGINT) FROM req) AS n_delete,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer)
+         - (SELECT count(*) FROM req) AS n_survive,
+       (SELECT CAST(coalesce(sum(c_custkey), 0) AS BIGINT) FROM req)
+         AS key_checksum
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM ord),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         - (SELECT count(*) FROM ord),
+       (SELECT CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) FROM ord)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(count(*) AS BIGINT) FROM li),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+         - (SELECT count(*) FROM li),
+       (SELECT CAST(coalesce(sum(l_orderkey * 8 + l_linenumber), 0)
+          AS BIGINT) FROM li)
+"""
+
+
+@register("q_etl_gdpr_erasure", oracle=_GDPR_ORACLE)
+def q_etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure cascade: given a deletion-request
+    set (customers), resolve the full referential closure — their
+    orders, and those orders' line items — and publish, per table, the
+    delete count, the surviving count, and a key checksum pinning
+    EXACTLY which rows the cascade touches (an auditor's evidence that
+    the erasure neither over- nor under-deletes). This is the impact
+    report every GDPR/CCPA pipeline runs before (and after) the
+    physical delete; the delete itself is the partition-scoped
+    anti-join MERGE that ingest/merge.py already executes.
+
+    Scale shape: the cascade is two semi-joins down the foreign-key
+    chain (request set -> orders -> lineitem), each a broadcast while
+    request sets are small (AQE decides at runtime); counts and
+    checksums are combinable aggregates. The lineitem checksum folds
+    the composite key as orderkey*8 + linenumber (linenumber <= 7 in
+    TPC-H, so the fold is collision-free int64)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    req = persisted(
+        c.filter(F.col("c_custkey") % _GDPR_MOD == 7).select("c_custkey")
+    )
+    ords = persisted(
+        o.join(
+            req, o["o_custkey"] == req["c_custkey"], "left_semi"
+        ).select("o_orderkey")
+    )
+    lis = li.join(
+        ords, li["l_orderkey"] == ords["o_orderkey"], "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+    def _row(name: str, hit: DataFrame, total: DataFrame, ck) -> DataFrame:
+        return hit.agg(
+            F.count(F.lit(1)).cast("long").alias("n_delete"),
+            F.coalesce(F.sum(ck), F.lit(0)).cast("long").alias(
+                "key_checksum"
+            ),
+        ).crossJoin(
+            total.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        ).select(
+            F.lit(name).alias("tbl"),
+            "n_delete",
+            (F.col("n_total") - F.col("n_delete")).alias("n_survive"),
+            "key_checksum",
+        )
+    return (
+        _row("customer", req, c, F.col("c_custkey"))
+        .unionAll(_row("orders", ords, o, F.col("o_orderkey")))
+        .unionAll(
+            _row(
+                "lineitem",
+                lis,
+                li,
+                F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+            )
+        )
+    )

@@ -1600,3 +1600,121 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dim, int(v), float(v) / _PCA_VS) for dim, v in _pca_power_core(gram, d)
     ]
     return spark.createDataFrame(out, "dim int, v_fp long, loading double")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of lexical BM25 and semantic
+# embedding-cosine rankings — the standard two-tower search fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # Cormack/Clarke/Buettcher's constant: dampens rank-1 dominance
+_RRF_N = 50  # depth of each ranked list entering the fusion
+_RRF_TOP = 10
+_RRF_PROBE = 0  # semantic query = vec_id 0's embedding (deterministic)
+
+
+def _rrf_oracle() -> str:
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _BM25_SCORED_SQL,
+    )
+
+    return f"""
+WITH {_BM25_SCORED_SQL}, lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+    FROM bm25
+  ) WHERE rank <= {_RRF_N}
+), v AS ({_QV_SQL}
+), probe AS (
+  SELECT q AS pq FROM v WHERE vec_id = {_RRF_PROBE}
+), sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT v.vec_id AS doc_id,
+           row_number() OVER (ORDER BY
+             list_sum(list_transform(range(1, len(pq)+1),
+                                     i -> pq[i] * v.q[i])) DESC,
+             v.vec_id) AS rank
+    FROM v CROSS JOIN probe
+    WHERE v.vec_id <> {_RRF_PROBE}
+  ) WHERE rank <= {_RRF_N}
+)
+SELECT doc_id,
+       CAST(lex.rank AS BIGINT) AS lex_rank,
+       CAST(sem.rank AS BIGINT) AS sem_rank,
+       CAST(coalesce(1000000 // ({_RRF_K} + lex.rank), 0)
+          + coalesce(1000000 // ({_RRF_K} + sem.rank), 0) AS BIGINT)
+         AS rrf_micro
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {_RRF_TOP}
+"""
+
+
+@register("q_search_hybrid_rrf", oracle=_rrf_oracle())
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse the BM25 lexical ranking (operators/text.py)
+    with a semantic embedding-cosine ranking by Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher SIGIR'09) — score(d) = sum over lists
+    of 1/(k + rank_d), k=60 — the fusion every lexical+vector retrieval
+    stack (Elasticsearch, Vespa, OpenSearch) ships as its default.
+
+    Determinism: ranks come from total orders (score DESC, id), and the
+    fused score is INTEGER micro-units 1000000 div (k + rank) — pure
+    integer division in both engines, no float anywhere in the fusion.
+
+    Scale shape: each list is cut to its top-{_RRF_N} by
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps, never a
+    corpus-sized global window — the segmented-rank lesson), so the
+    fusion join touches at most 2x{_RRF_N} rows regardless of corpus
+    size; the semantic side is one broadcast probe vector against the
+    quantized embeddings (expression-only zip_with dot product)."""
+    from end_to_end_aws_data_pipeline_spark.operators.text import bm25_scores
+
+    lex_top = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25_micro").desc(), "doc_id"))
+        .alias("lex_rank"),  # bounded window: <= _RRF_N rows
+    )
+    v = _quantized(spark, sf_dir)
+    probe = v.filter(F.col("vec_id") == _RRF_PROBE).select(
+        F.col("q").alias("pq")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "pq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sem_top = (
+        v.filter(F.col("vec_id") != _RRF_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col("vec_id").alias("doc_id"), dot.alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("dot_q").desc(), "doc_id"))
+        .alias("sem_rank"),  # bounded window: <= _RRF_N rows
+    )
+    rrf = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K} + lex_rank)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + sem_rank)"), F.lit(0))
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            rrf.cast("long").alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )

@@ -1704,8 +1704,10 @@ _BM25_K1 = 1.2  # term-frequency saturation
 _BM25_B = 0.75  # length normalization
 _BM25_TOP = 10
 
-_BM25_ORACLE = """
-WITH d AS (
+# shared CTE chain (tokenize -> tf/df -> per-(doc,term) micro score ->
+# per-doc sum); the lexical top-10 below and the RRF hybrid oracle in
+# operators/similarity.py both build on `bm25` defined here
+_BM25_SCORED_SQL = """d AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), dl AS (
   SELECT doc_id, len(ws) AS dl FROM d
@@ -1732,12 +1734,18 @@ WITH d AS (
   JOIN df USING (word)
   JOIN dl USING (doc_id)
   CROSS JOIN corpus
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_terms_hit,
-       CAST(sum(term_micro) AS BIGINT) AS bm25_micro
-FROM scored
-GROUP BY doc_id
+), bm25 AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+  FROM scored
+  GROUP BY doc_id
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_SCORED_SQL}
+SELECT doc_id, n_terms_hit, bm25_micro
+FROM bm25
 ORDER BY bm25_micro DESC, doc_id
 LIMIT 10
 """
@@ -1762,6 +1770,17 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, quantized to BIGINT micro-units via the tie-free
     floor(x*1e6 + 0.5) stabilizer; the per-doc sum is then exact
     integer arithmetic — associative, merge-order-free."""
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unranked BM25 scores (doc_id, n_terms_hit, bm25_micro) for the
+    fixed keyword query — shared by the lexical top-10 above and the
+    RRF hybrid fusion in operators/similarity.py."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("ws")
     )
@@ -1801,12 +1820,7 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_micro"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-            F.sum("term_micro").cast("long").alias("bm25_micro"),
-        )
-        .orderBy(F.col("bm25_micro").desc(), "doc_id")
-        .limit(_BM25_TOP)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("term_micro").cast("long").alias("bm25_micro"),
     )

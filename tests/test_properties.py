@@ -1314,3 +1314,89 @@ def test_kcore_peel_matches_python_replay(spark):
         ), i
     counts = [r.n_nodes for r in got]
     assert all(b <= a for a, b in zip(counts, counts[1:]))
+
+
+def test_rrf_hybrid_matches_python_fusion(spark):
+    """The RRF fusion must equal an independent Python fusion of the
+    two component rankings (BM25 lexical, quantized-cosine semantic),
+    including the integer 1e6//(k+rank) scoring and tie-breaks."""
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _RRF_K,
+        _RRF_N,
+        _RRF_PROBE,
+        _RRF_TOP,
+        _quantized,
+        q_search_hybrid_rrf,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.text import bm25_scores
+    from tests.conftest import SF_SMOKE
+
+    got = q_search_hybrid_rrf(spark, SF_SMOKE).collect()
+
+    lex_scores = bm25_scores(spark, SF_SMOKE).collect()
+    lex_sorted = sorted(lex_scores, key=lambda r: (-r.bm25_micro, r.doc_id))
+    lex_rank = {r.doc_id: i + 1 for i, r in enumerate(lex_sorted[:_RRF_N])}
+
+    vecs = {r.vec_id: r.q for r in _quantized(spark, SF_SMOKE).collect()}
+    pq = vecs[_RRF_PROBE]
+    dots = [
+        (vid, sum(a * b for a, b in zip(q, pq)))
+        for vid, q in vecs.items()
+        if vid != _RRF_PROBE
+    ]
+    dots.sort(key=lambda t: (-t[1], t[0]))
+    sem_rank = {vid: i + 1 for i, (vid, _) in enumerate(dots[:_RRF_N])}
+
+    fused = {}
+    for d in set(lex_rank) | set(sem_rank):
+        s = 0
+        if d in lex_rank:
+            s += 1_000_000 // (_RRF_K + lex_rank[d])
+        if d in sem_rank:
+            s += 1_000_000 // (_RRF_K + sem_rank[d])
+        fused[d] = s
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:_RRF_TOP]
+
+    assert [(r.doc_id, r.rrf_micro) for r in got] == want
+    for r in got:
+        assert r.lex_rank == lex_rank.get(r.doc_id)
+        assert r.sem_rank == sem_rank.get(r.doc_id)
+
+
+def test_gdpr_erasure_cascade_is_exact(spark):
+    """The erasure cascade must equal an independent pandas resolution
+    of the foreign-key closure, and deletes+survivors must partition
+    each table."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import (
+        _GDPR_MOD,
+        q_etl_gdpr_erasure,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r.tbl: r for r in q_etl_gdpr_erasure(spark, SF_SMOKE).collect()}
+
+    c = table(spark, SF_SMOKE, "customer").select("c_custkey").toPandas()
+    o = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    ).toPandas()
+    req = set(c[c.c_custkey % _GDPR_MOD == 7].c_custkey)
+    ords = o[o.o_custkey.isin(req)]
+    lis = li[li.l_orderkey.isin(set(ords.o_orderkey))]
+
+    assert got["customer"].n_delete == len(req)
+    assert got["customer"].n_survive == len(c) - len(req)
+    assert got["customer"].key_checksum == sum(req)
+    assert got["orders"].n_delete == len(ords)
+    assert got["orders"].n_survive == len(o) - len(ords)
+    assert got["orders"].key_checksum == int(ords.o_orderkey.sum())
+    assert got["lineitem"].n_delete == len(lis)
+    assert got["lineitem"].n_survive == len(li) - len(lis)
+    assert got["lineitem"].key_checksum == int(
+        (lis.l_orderkey * 8 + lis.l_linenumber).sum()
+    )
+    # composite-key fold is collision-free: linenumber fits in 3 bits
+    assert int(li.l_linenumber.max()) <= 7
