@@ -1125,7 +1125,9 @@ def connected_components(
 
 
 def connected_components_star(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame,
+    max_iterations: int = 50,
+    local_max_edges: int = _LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -1152,6 +1154,13 @@ def connected_components_star(
     e0 = edges.toDF("src", "dst")
     e = sym(e0).localCheckpoint(eager=True)
     e_cnt = e.count()
+    # same adaptive routing as connected_components above: a graph at
+    # or under the cap is a driver problem — a SINGLE star round costs
+    # more in fixed job overhead than the whole exact answer (the
+    # checkpointed count makes the probe free). local_max_edges=0
+    # forces the distributed contraction (tests do, at any size).
+    if local_max_edges and e_cnt <= local_max_edges:
+        return _driver_union_find(e)
     # every input node must appear in the output even if its edges
     # contract away mid-run (they don't, but cheap insurance)
     all_nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
@@ -1313,7 +1322,14 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE oracle — in O(log n) rounds independent of component diameter.
     This is the variant to run on corpora whose duplicate families chain
     (paraphrase cascades), where propagation's round count equals the
-    chain length."""
+    chain length.
+
+    Both variants share the audited adaptive routing: a near-dup graph
+    at or under the edge cap short-cuts to the bounded driver
+    union-find (a few hundred edges is a driver problem — one star
+    round costs more in fixed job overhead than the exact answer),
+    while anything larger runs the distributed contraction, which the
+    property suite forces at every size via local_max_edges=0."""
     return _cluster_docs(spark, sf_dir, connected_components_star)
 
 

@@ -91,6 +91,26 @@ LIMIT {_PR_TOP}"""
     return "".join(parts)
 
 
+def _purchase_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (custkey*2, suppkey*2+1) purchase edges — the shared
+    build for PageRank / k-hop / k-core; matches _PR_EDGES_SQL
+    row-for-row. (A collect_set(supplier)-per-order variant that
+    shrinks the join probe side 4x won in isolation, 3.1 s -> 2.3 s,
+    but A/B-measured a wash INSIDE the full queries — the downstream
+    symmetrize+distinct shuffles dominate and the pre-group adds its
+    own — so the plain join stays.)"""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def pagerank_ranks(
     spark: SparkSession,
     sf_dir: str,
@@ -113,16 +133,7 @@ def pagerank_ranks(
     arithmetic — equality with the uncheckpointed run is
     property-tested, and the depth-10 wall/plan-size measurements live
     in SCALING.md."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    fwd = _purchase_fwd(spark, sf_dir)
     edges = fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -294,12 +305,32 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Count/wedge arithmetic is pure integers; the one clustering-
     coefficient division runs once on identical operands."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    la = li.toDF("o", "a")
-    lb = li.toDF("o", "b")
+    # co-purchase edges WITHOUT the lineitem self-join: group parts per
+    # order (bounded — TPC-H orders hold ≤7 line items, and any real
+    # basket fits a task) and expand ordered pairs from the sorted set
+    # map-side; one shuffle (the groupBy) instead of the join's
+    # exchange+join, measured 3.8 s -> 2.8 s at sf0.1 for the same
+    # 1.196M distinct edges
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     e = persisted(
-        la.join(lb, "o")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        ps.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + 2, F.size("ps")),
+                            lambda y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
     deg = persisted(
@@ -409,16 +440,7 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint-every-k above). Per-hop key checksums pin WHICH nodes
     are first reached at each depth, not just how many.
     """
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    fwd = _purchase_fwd(spark, sf_dir)
     edges = persisted(
         fwd.unionAll(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -536,16 +558,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark broadcasts it once it fits; nothing quadratic, no windows.
     Each round's induced edge list persists (MEMORY_AND_DISK) so the
     next round reads a materialized graph, not a re-derivation."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    half = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    half = _purchase_fwd(spark, sf_dir)
     g = persisted(
         half.unionAll(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -524,7 +524,10 @@ if _has_protobuf():  # pragma: no cover — env-bound (see _has_protobuf)
 # ---------------------------------------------------------------------------
 
 _PYDS_STREAM_N = 5000
-_PYDS_STREAM_BATCH = 700  # 8 uneven micro-batches
+_PYDS_STREAM_BATCH = 1300  # 4 uneven micro-batches (3×1300 + 1100): the
+# conformance content — offset advancement, per-batch partition fan-out,
+# an uneven tail batch — is identical at 4 batches and 8; each extra
+# micro-batch is ~0.6 s of pure fixed cost in the suite
 
 _PYDS_STREAM_ORACLE = f"""
 WITH ev AS (

@@ -33,9 +33,9 @@ GRAPHS = {
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_star_matches_propagation(spark, name):
     e = _edges(spark, GRAPHS[name])
-    # force the distributed propagation path; the adaptive default
-    # routes graphs this small to the driver union-find
-    assert _labels(connected_components_star(e)) == _labels(
+    # force BOTH distributed paths; the adaptive default routes graphs
+    # this small to the driver union-find
+    assert _labels(connected_components_star(e, local_max_edges=0)) == _labels(
         connected_components(e, local_max_edges=0)
     )
 
@@ -43,10 +43,14 @@ def test_star_matches_propagation(spark, name):
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_local_union_find_matches_distributed(spark, name):
     """The adaptive driver fast path (graphs under the edge cap) must
-    produce byte-identical labels to the forced distributed path."""
+    produce byte-identical labels to the forced distributed paths of
+    BOTH variants."""
     e = _edges(spark, GRAPHS[name])
     assert _labels(connected_components(e)) == _labels(
         connected_components(e, local_max_edges=0)
+    )
+    assert _labels(connected_components_star(e)) == _labels(
+        connected_components_star(e, local_max_edges=0)
     )
 
 
@@ -63,7 +67,9 @@ def test_star_handles_long_path_propagation_raises(spark):
     assert _labels(connected_components(e, max_iterations=10)) == {
         i: 0 for i in range(201)
     }
-    got = _labels(connected_components_star(e, max_iterations=10))
+    got = _labels(
+        connected_components_star(e, max_iterations=10, local_max_edges=0)
+    )
     assert got == {i: 0 for i in range(201)}
 
 
@@ -77,9 +83,9 @@ def test_star_on_corpus_neardup_graph(spark):
     pairs = ngram_jaccard_pairs(docs.select("doc_id", "text")).select(
         "doc_a", "doc_b"
     )
-    assert _labels(connected_components_star(pairs)) == _labels(
-        connected_components(pairs)
-    )
+    assert _labels(
+        connected_components_star(pairs, local_max_edges=0)
+    ) == _labels(connected_components(pairs))
 
 
 def test_propagation_converged_path_unchanged(spark):
