@@ -298,6 +298,27 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # like-for-like subtotal over the round-5-close query set (112
+    # names, tools/r5_subset.json): the suite keeps growing — 112 ->
+    # 169+ queries — so the grand total alone conflates engine speed
+    # with coverage growth; this pins a fixed basket for
+    # round-over-round comparison (r5 record: 124.268 s at sf0.1).
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools",
+                "r5_subset.json",
+            )
+        ) as fh:
+            _r5 = json.load(fh)["queries"]
+        hit = [n for n in _r5 if n in timings]
+        if len(hit) == len(_r5):
+            record["subtotal_r5_basket"] = round(
+                sum(timings[n] for n in hit), 3
+            )
+    except (OSError, KeyError, ValueError):
+        pass
     if errors:
         record["errors"] = errors
     # full per-query detail always lands in a file next to bench.py ...

@@ -703,15 +703,26 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.select("event_id", "event_type")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # right-size the stateful shuffle (the pyds lesson above): the gate
+    # runs one availableNow pass whose live state is bounded by the
+    # watermark span, and each state store carries fixed per-micro-batch
+    # maintenance — 8 stores measured 2.3 s -> 1.4 s at sf0.1.  A
+    # production deployment sizes this to watermark-span x arrival rate
+    # instead; the count is fixed into the checkpoint at query start.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.select("event_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return (
         spark.table(name)
         .groupBy("event_type")
