@@ -1028,3 +1028,42 @@ def test_segmented_rank_windows_are_partitioned(spark):
             "Window" in ln and seg in ln and "windowspecdefinition" in ln
             for ln in plan.splitlines()
         ), f"no {seg}-partitioned window in {fn.__name__} plan"
+
+
+def test_bootstrap_is_one_aggregate_pass(spark):
+    """The Poisson bootstrap must stay a SINGLE combinable aggregate
+    over the scan: no Generate (explode), no Window, no join — the
+    whole B-resample computation lives in the aggregate buffers, and
+    the only exchange is the final single-partition merge."""
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_bootstrap_ci,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import physical_plan
+
+    plan = physical_plan(q_agg_bootstrap_ci(spark, SF_SMOKE))
+    assert "Generate" not in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert plan.count("HashAggregate") == 2, plan[:1500]  # partial+final
+
+
+def test_rrf_lists_are_take_ordered(spark):
+    """Both RRF component rankings must be cut by TakeOrdered
+    (per-partition heaps) BEFORE any ranking window runs — the
+    corpus-sized global-window anti-pattern gate, applied to hybrid
+    search."""
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_search_hybrid_rrf,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import physical_plan
+
+    plan = physical_plan(q_search_hybrid_rrf(spark, SF_SMOKE))
+    assert plan.count("TakeOrdered") >= 2, plan[:2000]
+    # every ranking Window must sit ABOVE a TakeOrdered in the tree
+    # string (window consumes the limit's bounded output, never the
+    # full corpus)
+    pos = 0
+    for _ in range(plan.count("Window")):
+        w = plan.index("Window", pos)
+        assert plan.find("TakeOrdered", w) != -1, plan[w : w + 800]
+        pos = w + 1
