@@ -143,6 +143,28 @@ SHOWCASE = {
         "partition by value band; offsets/n are broadcast joins",
         "final decile aggregate is hash-partitioned and combinable",
     ],
+    "q_agg_bootstrap_ci": [
+        "the WHOLE 40-resample bootstrap is ONE HashAggregate pair "
+        "(partial+final) over the scan: 82 combinable accumulators",
+        "no Generate (explode), no Window, no join — resample draws "
+        "are per-row expressions from one md5 split into two halves",
+        "CI = array_sort over the 40 in-row means (a scalar expression "
+        "in the final 1-row projection)",
+    ],
+    "q_search_hybrid_rrf": [
+        "both component rankings cut by TakeOrderedAndProject "
+        "(per-partition heaps) BEFORE their <=50-row ranking windows",
+        "semantic side: one broadcast probe vector, expression-only "
+        "zip_with dot products (no UDF)",
+        "fusion join touches at most 2x50 rows regardless of corpus "
+        "size; final top-10 is TakeOrdered again",
+    ],
+    "q_etl_gdpr_erasure": [
+        "the cascade is two LeftSemi joins down the FK chain; AQE "
+        "broadcasts the request set at runtime",
+        "delete/survive counts + key checksums are combinable "
+        "aggregates (no distinct, no window)",
+    ],
 }
 
 
