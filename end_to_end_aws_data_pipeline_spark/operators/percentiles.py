@@ -197,6 +197,12 @@ def binned_exact_percentiles_multi(
         )
         .filter(F.col("v").isNotNull())
     )
+    # deliberately NOT persisted: base is consumed by pass 1, each
+    # histogram round, and the candidate fetch, but re-deriving the
+    # columnar scan+stack per consumer A/B-measured FASTER (5.0 s vs
+    # 6.0 s for the two percentile consumers at sf0.1) than paying the
+    # corpus-sized cache materialization — the "don't persist a
+    # corpus-sized relation to save cheap scans" rule (SCALING.md).
     all_stats = {
         (r["cidx"], r["g"]): (r["n"], r["lo"], r["hi"])
         for r in base.groupBy("cidx", "g")
