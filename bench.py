@@ -298,27 +298,34 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # like-for-like subtotal over the round-5-close query set (112
-    # names, tools/r5_subset.json): the suite keeps growing — 112 ->
-    # 169+ queries — so the grand total alone conflates engine speed
-    # with coverage growth; this pins a fixed basket for
-    # round-over-round comparison (r5 record: 124.268 s at sf0.1).
-    try:
-        with open(
+    # like-for-like subtotals over FIXED query baskets (tools/
+    # r*_subset.json, one frozen at each round's close): the suite
+    # keeps growing — 112 (r5) -> 169 (r6) -> ... — so the grand total
+    # alone conflates engine speed with coverage growth; a basket's
+    # subtotal only appears when every basket query ran (full-suite
+    # runs, not SPARK_GRAFT_BENCH_ONLY subsets). r5 basket record:
+    # 124.268 s; r6 basket record: 164.911 s (both sf0.1 min-of-3).
+    import glob as _glob
+
+    for path in sorted(
+        _glob.glob(
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "tools",
-                "r5_subset.json",
+                "r*_subset.json",
             )
-        ) as fh:
-            _r5 = json.load(fh)["queries"]
-        hit = [n for n in _r5 if n in timings]
-        if len(hit) == len(_r5):
-            record["subtotal_r5_basket"] = round(
-                sum(timings[n] for n in hit), 3
+        )
+    ):
+        try:
+            with open(path) as fh:
+                basket = json.load(fh)["queries"]
+        except (OSError, KeyError, ValueError):
+            continue
+        if all(n in timings for n in basket):
+            tag = os.path.basename(path).split("_")[0]
+            record[f"subtotal_{tag}_basket"] = round(
+                sum(timings[n] for n in basket), 3
             )
-    except (OSError, KeyError, ValueError):
-        pass
     if errors:
         record["errors"] = errors
     # full per-query detail always lands in a file next to bench.py ...
