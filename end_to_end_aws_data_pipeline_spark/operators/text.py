@@ -1824,3 +1824,129 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         F.sum("term_micro").cast("long").alias("bm25_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction: stopword-delimited candidate phrases scored
+# by word degree/frequency — the classic unsupervised keyword extractor
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("a", "the")
+_RAKE_TOP = 15
+
+_RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, i, w,
+         CASE WHEN w IN {_RAKE_STOPS!r} THEN 1 ELSE 0 END AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+  )
+), marked AS (
+  SELECT doc_id, i, w, pid FROM (
+    SELECT doc_id, i, w, is_stop,
+           sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+    FROM tok
+  ) WHERE is_stop = 0
+), phrases AS (
+  SELECT doc_id, pid,
+         string_agg(w, ' ' ORDER BY i) AS phrase,
+         CAST(count(*) AS BIGINT) AS len
+  FROM marked GROUP BY doc_id, pid
+), occur AS (
+  SELECT m.doc_id, m.pid, m.w, p.len
+  FROM marked m JOIN phrases p
+    ON p.doc_id = m.doc_id AND p.pid = m.pid
+), wscore AS (
+  SELECT w,
+         (CAST(sum(len) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+           AS score_micro
+  FROM occur GROUP BY w
+), pscore AS (
+  SELECT o.doc_id, o.pid,
+         CAST(sum(ws.score_micro) AS BIGINT) AS score_micro
+  FROM occur o JOIN wscore ws ON ws.w = o.w
+  GROUP BY o.doc_id, o.pid
+)
+SELECT p.phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(s.score_micro) AS BIGINT) AS score_micro
+FROM phrases p
+JOIN pscore s ON s.doc_id = p.doc_id AND s.pid = p.pid
+GROUP BY p.phrase
+ORDER BY score_micro DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
+@register("q_text_rake_keywords", oracle=_RAKE_ORACLE)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg(w)/freq(w) (degree = summed length of the phrases its
+    occurrences sit in), and a phrase scores the sum of its words'
+    scores — the classic unsupervised keyword extractor every corpus
+    exploration pass reaches for before anything model-based.
+
+    Determinism: word scores are integer micro-units (deg * 1e6 div
+    freq — integer division in both engines); phrase scores are exact
+    integer sums; the top-{_RAKE_TOP} order (score desc, phrase) is
+    total. Identical phrases always contain identical words, so max()
+    over their per-occurrence scores is exact, not a tie-break.
+
+    Scale shape: phrase segmentation is a per-DOCUMENT running sum
+    (window partitioned by doc_id — never corpus-global); word scores
+    are one combinable aggregate over the vocabulary; the phrase-score
+    join broadcasts the vocabulary-sized score table; the final top-k
+    is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("ws").alias("i", "w")
+    ).withColumn("is_stop", F.col("w").isin(*_RAKE_STOPS).cast("int"))
+    from pyspark.sql import Window as W
+
+    pid = F.sum("is_stop").over(
+        W.partitionBy("doc_id").orderBy("i")  # per-document: bounded
+    )
+    marked = (
+        tok.withColumn("pid", pid)
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pid", "i", "w")
+    )
+    phrases = marked.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("len"),
+    )
+    occur = marked.join(phrases, ["doc_id", "pid"]).select(
+        "doc_id", "pid", "w", "len"
+    )
+    wscore = occur.groupBy("w").agg(
+        F.expr("(sum(len) * 1000000) div count(*)")
+        .cast("long")
+        .alias("score_micro")
+    )
+    pscore = (
+        occur.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("score_micro").cast("long").alias("score_micro"))
+    )
+    return (
+        phrases.join(pscore, ["doc_id", "pid"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(_RAKE_TOP)
+    )

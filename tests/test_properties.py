@@ -1400,3 +1400,50 @@ def test_gdpr_erasure_cascade_is_exact(spark):
     )
     # composite-key fold is collision-free: linenumber fits in 3 bits
     assert int(li.l_linenumber.max()) <= 7
+
+
+def test_rake_matches_python_replay(spark):
+    """RAKE must equal a from-scratch Python implementation: phrase
+    segmentation at stopwords, deg/freq word scores in integer
+    micro-units, phrase scores, and the (score desc, phrase) top-k."""
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _RAKE_STOPS,
+        _RAKE_TOP,
+        q_text_rake_keywords,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = q_text_rake_keywords(spark, SF_SMOKE).collect()
+
+    phrases = []  # (phrase_words)
+    for r in table(spark, SF_SMOKE, "documents").select("text").collect():
+        cur = []
+        for w in r.text.split(" "):
+            if w in _RAKE_STOPS:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+    deg, freq = defaultdict(int), defaultdict(int)
+    for ph in phrases:
+        for w in ph:
+            deg[w] += len(ph)
+            freq[w] += 1
+    wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in deg}
+    agg = defaultdict(lambda: [0, 0])  # phrase -> [n, score]
+    for ph in phrases:
+        s = sum(wscore[w] for w in ph)
+        key = " ".join(ph)
+        agg[key][0] += 1
+        agg[key][1] = s
+    want = sorted(
+        ((k, n, s) for k, (n, s) in agg.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:_RAKE_TOP]
+    assert [(r.phrase, r.n_occurrences, r.score_micro) for r in got] == want
