@@ -1927,26 +1927,37 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count(F.lit(1)).cast("long").alias("len"),
     )
-    occur = marked.join(phrases, ["doc_id", "pid"]).select(
-        "doc_id", "pid", "w", "len"
+    # everything downstream runs on DISTINCT phrases with an occurrence
+    # count — identical phrases always contain identical words, so deg/
+    # freq contributions factor as n_occurrences x (per-phrase words),
+    # and NO join back to the corpus-sized token table is needed (the
+    # first cut joined marked x phrases on (doc_id, pid) twice; this
+    # factoring measured 31.4 s -> lower at sf10 and removes both
+    # corpus-sized shuffle joins — the fuzzy-join multiplicity lesson)
+    dph = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("len").cast("long").alias("len"),
+    )
+    occur = dph.select(
+        "phrase",
+        "n_occurrences",
+        "len",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
     )
     wscore = occur.groupBy("w").agg(
-        F.expr("(sum(len) * 1000000) div count(*)")
+        F.expr(
+            "(sum(len * n_occurrences) * 1000000) div sum(n_occurrences)"
+        )
         .cast("long")
         .alias("score_micro")
     )
     pscore = (
         occur.join(F.broadcast(wscore), "w")
-        .groupBy("doc_id", "pid")
+        .groupBy("phrase", "n_occurrences")
         .agg(F.sum("score_micro").cast("long").alias("score_micro"))
     )
     return (
-        phrases.join(pscore, ["doc_id", "pid"])
-        .groupBy("phrase")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.max("score_micro").cast("long").alias("score_micro"),
-        )
+        pscore.select("phrase", "n_occurrences", "score_micro")
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(_RAKE_TOP)
     )
