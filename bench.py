@@ -202,6 +202,7 @@ HEADLINE = (
     "q_search_hybrid_rrf",
     "q_etl_gdpr_erasure",
     "q_text_rake_keywords",
+    "q_text_textrank",
 )
 
 

@@ -1961,3 +1961,149 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: integer PageRank over the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_R0 = 1_000_000_000
+_TR_TELEPORT = 150_000_000  # (1-0.85) * R0
+_TR_TOP = 10
+
+_TR_EDGES_SQL = f"""
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS wt FROM (
+    SELECT CASE WHEN a < b THEN a ELSE b END AS w1,
+           CASE WHEN a < b THEN b ELSE a END AS w2
+    FROM (
+      SELECT bg['a'] AS a, bg['b'] AS b FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> {{'a': ws[i], 'b': ws[i + 1]}})) AS bg
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+      )
+    )
+    WHERE a NOT IN {_RAKE_STOPS!r} AND b NOT IN {_RAKE_STOPS!r}
+      AND a <> b
+  ) GROUP BY w1, w2
+"""
+
+
+def _textrank_oracle() -> str:
+    parts = [
+        f"""
+WITH e0 AS ({_TR_EDGES_SQL}
+), edges AS (
+  SELECT w1 AS src, w2 AS dst, wt FROM e0
+  UNION ALL SELECT w2, w1, wt FROM e0
+), wdeg AS (
+  SELECT src, CAST(sum(wt) AS BIGINT) AS wd FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, CAST({_TR_R0} AS BIGINT) AS rank FROM wdeg
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node, CAST(sum((r.rank * e.wt) // d.wd) AS BIGINT)
+           AS contrib
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN wdeg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT node,
+         CAST({_TR_TELEPORT} + (85 * contrib) // 100 AS BIGINT) AS rank
+  FROM c{i}
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT node AS word, rank AS rank_q
+FROM {prev}
+ORDER BY rank DESC, node
+LIMIT {_TR_TOP}"""
+    )
+    return "".join(parts)
+
+
+@register("q_text_textrank", oracle=_textrank_oracle())
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    word co-occurrence graph (adjacent non-stopword pairs, edge weight
+    = corpus co-occurrence count) — the graph-based complement to
+    RAKE's frequency scoring above, and a direct composition of this
+    engine's integer-PageRank machinery (operators/graph.py) with its
+    text surface.
+
+    Weighted integer PageRank: per-edge contribution is
+    (rank * weight) div weighted_degree — exact int64 (rank ≤ R0=1e9,
+    weight/wdeg ratios ≤ 1), damping is the integer (85·x) div 100,
+    so the DuckDB oracle replays all {_TR_ITERS} unrolled rounds
+    bit-for-bit, exactly like q_graph_pagerank.
+
+    Scale shape: the co-occurrence build is one corpus scan + one
+    vocabulary²-bounded aggregate; iteration state is VOCABULARY-sized
+    (node ranks), each round one join + combinable aggregate. At any
+    corpus size the iteration cost is bounded by the word-pair
+    vocabulary, not the corpus."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("ws")
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS a, "
+                "element_at(ws, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pairs = pairs.filter(
+        (~F.col("a").isin(*_RAKE_STOPS))
+        & (~F.col("b").isin(*_RAKE_STOPS))
+        & (F.col("a") != F.col("b"))
+    ).select(
+        F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+    )
+    e0 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("wt")
+    )
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    edges = persisted(
+        e0.select(
+            F.col("w1").alias("src"), F.col("w2").alias("dst"), "wt"
+        ).unionAll(
+            e0.select(
+                F.col("w2").alias("src"), F.col("w1").alias("dst"), "wt"
+            )
+        )
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("wt").cast("long").alias("wd"))
+    edges_d = persisted(edges.join(wdeg, "src").select("src", "dst", "wt", "wd"))
+    ranks = wdeg.select(
+        F.col("src").alias("node"), F.lit(_TR_R0).cast("long").alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges_d.join(ranks, edges_d["src"] == ranks["node"])
+            .select("dst", F.expr("(rank * wt) div wd").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = persisted(
+            contrib.select(
+                F.col("dst").alias("node"),
+                (F.lit(_TR_TELEPORT) + F.expr("(85 * contrib) div 100"))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("rank").alias("rank_q"))
+        .orderBy(F.col("rank_q").desc(), "word")
+        .limit(_TR_TOP)
+    )

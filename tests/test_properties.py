@@ -1447,3 +1447,46 @@ def test_rake_matches_python_replay(spark):
         key=lambda t: (-t[2], t[0]),
     )[:_RAKE_TOP]
     assert [(r.phrase, r.n_occurrences, r.score_micro) for r in got] == want
+
+
+def test_textrank_matches_python_replay(spark):
+    """Weighted integer TextRank must equal a from-scratch Python
+    replay of the co-occurrence build and all damped rounds."""
+    from collections import defaultdict
+
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _RAKE_STOPS,
+        _TR_ITERS,
+        _TR_R0,
+        _TR_TELEPORT,
+        _TR_TOP,
+        q_text_textrank,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = q_text_textrank(spark, SF_SMOKE).collect()
+
+    wt = defaultdict(int)
+    for r in table(spark, SF_SMOKE, "documents").select("text").collect():
+        ws = r.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a in _RAKE_STOPS or b in _RAKE_STOPS or a == b:
+                continue
+            wt[(min(a, b), max(a, b))] += 1
+    edges = defaultdict(list)
+    wdeg = defaultdict(int)
+    for (a, b), w in wt.items():
+        edges[a].append((b, w))
+        edges[b].append((a, w))
+        wdeg[a] += w
+        wdeg[b] += w
+    rank = {n: _TR_R0 for n in wdeg}
+    for _ in range(_TR_ITERS):
+        contrib = defaultdict(int)
+        for src, outs in edges.items():
+            for dst, w in outs:
+                contrib[dst] += (rank[src] * w) // wdeg[src]
+        rank = {n: _TR_TELEPORT + (85 * c) // 100 for n, c in contrib.items()}
+    want = sorted(rank.items(), key=lambda t: (-t[1], t[0]))[:_TR_TOP]
+    assert [(r.word, r.rank_q) for r in got] == want
