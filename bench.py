@@ -201,6 +201,7 @@ HEADLINE = (
     "q_graph_kcore",
     "q_search_hybrid_rrf",
     "q_etl_gdpr_erasure",
+    "q_etl_referential_integrity",
     "q_text_rake_keywords",
     "q_text_textrank",
 )

@@ -756,3 +756,86 @@ def q_etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan detection across every FK chain
+# ---------------------------------------------------------------------------
+
+_RI_CHECKS = (
+    # (name, child, fk, parent, pk)
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+)
+
+
+def _ri_oracle() -> str:
+    rows = []
+    for name, child, fk, parent, pk in _RI_CHECKS:
+        rows.append(f"""
+SELECT '{name}' AS fk,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}
+        WHERE {fk} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans,
+       (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {child})
+         AS n_fk_values,
+       (SELECT CAST(count(*) AS BIGINT) FROM {parent}) AS n_parent""")
+    return "\nUNION ALL".join(rows)
+
+
+@register("q_etl_referential_integrity", oracle=_ri_oracle())
+def q_etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every foreign-key chain in the
+    schema: per FK, the child row count, ORPHAN count (child rows whose
+    key has no parent — the broken-pipeline signal every warehouse
+    monitors after partial loads), distinct FK cardinality, and parent
+    count. The complement to q_etl_fd_discovery (which finds column
+    DEPENDENCIES) and q_etl_gdpr_erasure (which walks the closure DOWN
+    the chain): this proves the chain itself is intact.
+
+    Scale shape: each check is one left_anti join (AQE broadcasts the
+    parent key projection when it fits) plus combinable counts; the
+    distinct-FK count is a two-phase aggregate. Checks run as
+    independent plans unioned at the end, so a 100 TB audit
+    parallelizes across chains as well as within them. Note nulls:
+    NOT IN with a null-free parent PK equals the anti join; TPC-H keys
+    are non-null by construction, which the child counts pin."""
+    rows = []
+    for name, child, fk, parent, pk in _RI_CHECKS:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(
+            p, c[fk] == p[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        stats = c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count_distinct(F.col(fk)).cast("long").alias("n_fk_values"),
+        )
+        par = p.agg(F.count(F.lit(1)).cast("long").alias("n_parent"))
+        rows.append(
+            stats.crossJoin(orphans)
+            .crossJoin(par)
+            .select(
+                F.lit(name).alias("fk"),
+                "n_child",
+                "n_orphans",
+                "n_fk_values",
+                "n_parent",
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionAll(r)
+    return res

@@ -1490,3 +1490,26 @@ def test_textrank_matches_python_replay(spark):
         rank = {n: _TR_TELEPORT + (85 * c) // 100 for n, c in contrib.items()}
     want = sorted(rank.items(), key=lambda t: (-t[1], t[0]))[:_TR_TOP]
     assert [(r.word, r.rank_q) for r in got] == want
+
+
+def test_referential_integrity_audit_exact(spark):
+    """The RI audit must equal a pandas FK resolution on every chain,
+    and the canonical fixtures must be orphan-free."""
+    from end_to_end_aws_data_pipeline_spark.catalog import table
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import (
+        _RI_CHECKS,
+        q_etl_referential_integrity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r.fk: r for r in q_etl_referential_integrity(spark, SF_SMOKE).collect()}
+    assert set(got) == {name for name, *_ in _RI_CHECKS}
+    for name, child, fk, parent, pk in _RI_CHECKS:
+        c = table(spark, SF_SMOKE, child).select(fk).toPandas()[fk]
+        p = set(table(spark, SF_SMOKE, parent).select(pk).toPandas()[pk])
+        r = got[name]
+        assert r.n_child == len(c)
+        assert r.n_orphans == int((~c.isin(p)).sum())
+        assert r.n_orphans == 0  # canonical fixtures are FK-complete
+        assert r.n_fk_values == c.nunique()
+        assert r.n_parent == len(p)
