@@ -44,6 +44,16 @@ SHOWCASE = (
     ("co-occurrence: basket affinity (conf ppm)", "q_basket_affinity", 5),
     ("co-occurrence: PMI collocations", "q_text_collocations", 5),
     ("sketch rollup: rolling 7-day HLL vs exact", "q_window_rolling_hll", 5),
+    # round-6 close: retrieval, statistics, governance
+    ("retrieval: BM25 lexical top-10", "q_text_bm25_search", 5),
+    ("retrieval: RRF hybrid lexical+vector fusion", "q_search_hybrid_rrf", 5),
+    ("keywords: RAKE phrases", "q_text_rake_keywords", 5),
+    ("keywords: TextRank (PageRank on co-occurrence)", "q_text_textrank", 5),
+    ("stats: Poisson-bootstrap CI for the mean", "q_agg_bootstrap_ci", 1),
+    ("stats: KS two-sample drift", "q_etl_ks_drift", 1),
+    ("governance: GDPR erasure cascade", "q_etl_gdpr_erasure", 3),
+    ("governance: referential-integrity audit", "q_etl_referential_integrity", 7),
+    ("graph: k-core trading core", "q_graph_kcore", 4),
 )
 
 
