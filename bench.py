@@ -199,6 +199,7 @@ HEADLINE = (
     "q_etl_fd_discovery",
     "q_agg_bootstrap_ci",
     "q_graph_kcore",
+    "q_graph_triangles_doulion",
     "q_search_hybrid_rrf",
     "q_etl_gdpr_erasure",
     "q_etl_referential_integrity",

@@ -622,3 +622,122 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, n_removed long, n_nodes long, n_edges long, "
         "node_checksum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# DOULION sampled triangle count: the 100 TB path for dense graphs
+# ---------------------------------------------------------------------------
+
+_DLN_P_INV = 4  # keep each edge with probability 1/4 (deterministic)
+
+_DLN_ORACLE = f"""
+WITH e0 AS ({_TRI_EDGES_SQL}),
+e AS (
+  SELECT a, b FROM e0
+  WHERE CAST(('0x' || substr(md5(a || '-' || b), 1, 15)) AS BIGINT)
+        % {_DLN_P_INV} = 0
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tri
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+       ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges_sampled,
+       tri.n_tri AS n_tri_sampled,
+       CAST(tri.n_tri * {_DLN_P_INV ** 3} AS BIGINT) AS n_triangles_est
+FROM tri
+"""
+
+
+@register("q_graph_triangles_doulion", oracle=_DLN_ORACLE)
+def q_graph_triangles_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle count (Tsourakakis et al., KDD'09) —
+    the scale path for the exact oriented-wedge count above: keep each
+    edge with probability p = 1/{_DLN_P_INV} and scale the sampled
+    subgraph's exact count by 1/p³. Wedge volume grows with degree², so
+    sampling cuts the dominant cost by ~p² on dense graphs — at this
+    corpus's sf1 the exact count's wedge join is 6× super-unit while
+    the sampled subgraph's is ~{_DLN_P_INV}² smaller; on a 100 TB
+    co-occurrence graph this is the difference between feasible and
+    not (accuracy is tunable: variance ∝ 1/p³, and the estimator is
+    unbiased for any p).
+
+    DETERMINISTIC sampling: the keep decision is an md5 hash of the
+    edge key mod {_DLN_P_INV} — no RNG, identical in both engines, so
+    the oracle replays the sample AND the estimate bit-for-bit, and
+    the relative-error-vs-exact property is pinned in tests rather
+    than asserted probabilistically.
+
+    Same oriented-wedge engine as the exact query: orientation by
+    (degree, id) on the SAMPLED subgraph, per-apex fan-out bounded."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e0 = persisted(
+        ps.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + 2, F.size("ps")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    e = persisted(
+        e0.filter(
+            F.expr(
+                "cast(conv(substring(md5(concat_ws('-', a, b)), 1, 15),"
+                f" 16, 10) as bigint) % {_DLN_P_INV} = 0"
+            )
+        )
+    )
+    deg = e.select(F.col("a").alias("n")).unionAll(
+        e.select(F.col("b").alias("n"))
+    ).groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lower_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = persisted(
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    tri = wedges.join(e, ["a", "b"], "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri_sampled")
+    )
+    return (
+        e0.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(
+            e.agg(F.count(F.lit(1)).cast("long").alias("n_edges_sampled"))
+        )
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_edges_sampled",
+            "n_tri_sampled",
+            (F.col("n_tri_sampled") * _DLN_P_INV**3)
+            .cast("long")
+            .alias("n_triangles_est"),
+        )
+    )

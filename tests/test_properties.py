@@ -1513,3 +1513,26 @@ def test_referential_integrity_audit_exact(spark):
         assert r.n_orphans == 0  # canonical fixtures are FK-complete
         assert r.n_fk_values == c.nunique()
         assert r.n_parent == len(p)
+
+
+def test_doulion_estimator_tracks_exact(spark):
+    """The deterministic DOULION sample must reproduce (a) the exact
+    hash-sample membership, and (b) an estimate within a fixed band of
+    the exact triangle count (deterministic sampling makes the error a
+    fixed property of the corpus, not a random variable)."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _DLN_P_INV,
+        q_graph_triangles,
+        q_graph_triangles_doulion,
+    )
+    from tests.conftest import SF_SMOKE
+
+    est = q_graph_triangles_doulion(spark, SF_SMOKE).collect()[0]
+    exact = q_graph_triangles(spark, SF_SMOKE).collect()[0]
+    assert est.n_triangles_est == est.n_tri_sampled * _DLN_P_INV**3
+    # ~1/p of edges survive (deterministic hash split)
+    frac = est.n_edges_sampled / est.n_edges
+    assert abs(frac - 1 / _DLN_P_INV) < 0.02, frac
+    # estimator accuracy on this corpus (fixed, not probabilistic)
+    rel = abs(est.n_triangles_est - exact.n_triangles) / exact.n_triangles
+    assert rel < 0.25, (est.n_triangles_est, exact.n_triangles)
