@@ -253,8 +253,6 @@ def q_etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [
             F.count(c).cast("long").alias(f"nn_{c}"),
             F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
-            F.min(c).alias(f"mn_{c}"),
-            F.max(c).alias(f"mx_{c}"),
         ]
 
     a = o.agg(
@@ -267,6 +265,19 @@ def q_etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderdate").cast("long").alias("nn_d"),
         F.count_distinct(F.col("o_orderdate")).cast("long").alias("nd_d"),
     )
+    # STRING min/max in an aggregation buffer forces SortAggregate —
+    # which sorted the full multi-distinct Expand (7x rows) and
+    # dominated the query (2.9 s -> 1.x s at sf0.1). Instead: hash-agg
+    # each low-cardinality string column to its dictionary, then take
+    # extents over the handful of groups — every aggregate stays a
+    # HashAggregate, the big pass carries only primitive buffers.
+    for c in ("o_orderstatus", "o_orderpriority"):
+        ext = (
+            o.groupBy(c)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .agg(F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))
+        )
+        a = a.crossJoin(F.broadcast(ext))
     rows = ", ".join(
         [
             "'o_orderkey', n, nn_o_orderkey, nd_o_orderkey, "
