@@ -32,6 +32,29 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet schema cache, keyed by (realpath, mtime). Schema inference
+# reads footers on the DRIVER on every `spark.read.parquet` call —
+# measured 80 ms/call vs 12.5 ms with an explicit schema at sf0.1; at
+# ~300 table() calls per bench pass that is ~20 s of pure repeated
+# footer reads. The mtime key invalidates on rewrite (parquet writers
+# create new files, bumping the parent mtime), so test fixtures that
+# overwrite a path re-infer. At cluster scale the same role is played
+# by a metastore/lakehouse catalog schema.
+_SCHEMA_CACHE: dict = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (os.path.realpath(path), mtime)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one canonical table as a DataFrame (lazy parquet scan).
@@ -49,7 +72,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_cached_schema(spark, path)).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     return df

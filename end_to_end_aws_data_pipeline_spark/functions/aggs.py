@@ -81,6 +81,26 @@ def davg_sql(expr: str, scale: int = 2, out_scale: int = 6) -> str:
     return f"floor(({x}) * {p} + 0.5) / {p}"
 
 
+def stable_round(col: Column | str, out_scale: int = 6) -> Column:
+    """Tie-free publish of a double to ``out_scale`` decimal digits:
+    floor(x·10^s + 0.5)/10^s. Every step is one correctly-rounded IEEE
+    op, so the result is bit-identical in Spark and DuckDB — unlike
+    round(double, s), where Spark rounds the double's exact decimal
+    expansion (BigDecimal HALF_UP) and DuckDB rounds in double space,
+    diverging by one last-digit ulp on expansion ties (~1e-4 of rows at
+    sf0.1; see scale-lessons). Use for every float-valued publish —
+    ratios, differences, cosines — paired with stable_round_sql in the
+    oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10**out_scale
+    return F.floor(c * p + 0.5) / p
+
+
+def stable_round_sql(expr: str, out_scale: int = 6) -> str:
+    p = 10**out_scale
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
 def lsum(col: Column | str) -> Column:
     """Integer sum as BIGINT (DuckDB widens to HUGEINT; align on int64)."""
     c = F.col(col) if isinstance(col, str) else col

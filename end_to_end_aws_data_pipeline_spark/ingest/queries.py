@@ -268,16 +268,29 @@ def q_etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STRING min/max in an aggregation buffer forces SortAggregate —
     # which sorted the full multi-distinct Expand (7x rows) and
     # dominated the query (2.9 s -> 1.x s at sf0.1). Instead: hash-agg
-    # each low-cardinality string column to its dictionary, then take
-    # extents over the handful of groups — every aggregate stays a
-    # HashAggregate, the big pass carries only primitive buffers.
+    # each low-cardinality string column to its dictionary (a pure
+    # HashAggregate), fetch the bounded dictionary to the driver, and
+    # attach extents as literals. A lazy min/max OVER the dictionary
+    # does not work: RemoveRedundantAggregates sees the outer agg only
+    # touches the grouping key, elides the inner groupBy, and the
+    # string min/max lands back on a SortAggregate over the full scan.
+    # Boundedness: these are enum columns (order status 3 values,
+    # priority 5) — the same class of bounded driver fetch as the
+    # per-round graph stats; the cap asserts it. Extents compare by
+    # UTF-8 bytes to match both engines' binary string collation.
     for c in ("o_orderstatus", "o_orderpriority"):
-        ext = (
-            o.groupBy(c)
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .agg(F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))
+        dic = [
+            r[0]
+            for r in o.groupBy(c).agg(F.count(F.lit(1))).collect()
+            if r[0] is not None
+        ]
+        assert len(dic) <= 10_000, f"profile: {c} is not an enum column"
+        key = lambda s: s.encode("utf-8")  # noqa: E731
+        mn = min(dic, key=key) if dic else None
+        mx = max(dic, key=key) if dic else None
+        a = a.withColumn(f"mn_{c}", F.lit(mn).cast("string")).withColumn(
+            f"mx_{c}", F.lit(mx).cast("string")
         )
-        a = a.crossJoin(F.broadcast(ext))
     rows = ", ".join(
         [
             "'o_orderkey', n, nn_o_orderkey, nd_o_orderkey, "

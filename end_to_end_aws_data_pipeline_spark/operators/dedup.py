@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import spread, table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -117,7 +118,8 @@ WITH sh AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+       floor(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+             * 1000000 + 0.5) / 1000000 AS jaccard
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -236,7 +238,7 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_shared"))
         )
         return shared.filter(jac >= tau).select(
-            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+            "doc_a", "doc_b", stable_round(jac, 6).alias("jaccard")
         )
 
     # PPJoin path: rarest-first global order (ties by hash value — any
@@ -301,7 +303,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return shared.filter(jac >= tau).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        "doc_a", "doc_b", stable_round(jac, 6).alias("jaccard")
     )
 
 
@@ -437,8 +439,9 @@ WITH sh AS (
   WHERE {screen} >= {_MINHASH_SCREEN_MIN}
 )
 SELECT s.doc_a, s.doc_b,
-       round(CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
-             (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s))), 6) AS jaccard
+       floor(CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+             (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s)))
+             * 1000000 + 0.5) / 1000000 AS jaccard
 FROM screened s
 JOIN sh da ON da.doc_id = s.doc_a
 JOIN sh db ON db.doc_id = s.doc_b
@@ -559,7 +562,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("sa") + F.size("sb") - inter
     jac = inter.cast("double") / union
     return verified.filter(jac >= _JACCARD_TAU).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        "doc_a", "doc_b", stable_round(jac, 6).alias("jaccard")
     )
 
 
@@ -774,8 +777,8 @@ WITH v AS (
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_sum(list_transform(range(1, len(a.e)+1),
-             i -> a.e[i] * b.e[i])), 6) AS cosine
+       floor(list_sum(list_transform(range(1, len(a.e)+1),
+             i -> a.e[i] * b.e[i])) * 1000000 + 0.5) / 1000000 AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))
       >= {_COS_TAU}
@@ -819,7 +822,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("vec_a", "vec_b", cos.alias("__raw"))
         .filter(F.col("__raw") >= _COS_TAU)
-        .select("vec_a", "vec_b", F.round("__raw", 6).alias("cosine"))
+        .select("vec_a", "vec_b", stable_round("__raw", 6).alias("cosine"))
     )
 
 
@@ -855,9 +858,9 @@ WITH v AS (
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(CAST(list_sum(list_transform(range(1, len(a.q)+1),
-             i -> a.q[i] * b.q[i])) AS DOUBLE) / {_Q_SCALE * _Q_SCALE}.0, 6)
-         AS cosine
+       floor(CAST(list_sum(list_transform(range(1, len(a.q)+1),
+             i -> a.q[i] * b.q[i])) AS DOUBLE) / {_Q_SCALE * _Q_SCALE}.0
+             * 1000000 + 0.5) / 1000000 AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE CAST(list_sum(list_transform(range(1, len(a.q)+1),
       i -> a.q[i] * b.q[i])) AS DOUBLE) / {_Q_SCALE * _Q_SCALE}.0 >= {_COS_TAU}
@@ -945,9 +948,9 @@ def q_dedup_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a",
         "vec_b",
-        F.round(F.col("dot_q").cast("double") / (_Q_SCALE * _Q_SCALE), 6).alias(
-            "cosine"
-        ),
+        stable_round(
+            F.col("dot_q").cast("double") / (_Q_SCALE * _Q_SCALE), 6
+        ).alias("cosine"),
     )
 
 
@@ -1727,7 +1730,8 @@ WITH sh AS (
 )
 SELECT doc_a AS contained_id, doc_b AS container_id,
        n_shared, CAST(n_a AS BIGINT) AS n_shingles,
-       round(CAST(n_shared AS DOUBLE) / n_a, 6) AS containment
+       floor(CAST(n_shared AS DOUBLE) / n_a * 1000000 + 0.5) / 1000000
+         AS containment
 FROM pairs
 WHERE n_shared * 1.0 >= {_CONT_TAU} * n_a
 """
@@ -1780,7 +1784,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("container_id"),
         "n_shared",
         F.col("n_a").cast("long").alias("n_shingles"),
-        F.round(F.col("n_shared").cast("double") / F.col("n_a"), 6).alias(
+        stable_round(F.col("n_shared").cast("double") / F.col("n_a"), 6).alias(
             "containment"
         ),
     )
@@ -1880,8 +1884,9 @@ SELECT ch.doc_id,
        CAST(count(*) AS BIGINT) AS n_lines,
        CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_lines,
-       round(1.0 - sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
-                   / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+       floor((1.0 - sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS kept_frac
 FROM ch JOIN df USING (g)
 GROUP BY ch.doc_id
 """
@@ -1931,7 +1936,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             dup.cast("long").alias("n_dup_lines"),
-            F.round(
+            stable_round(
                 1.0 - dup / F.count(F.lit(1)).cast("double"), 6
             ).alias("kept_frac"),
         )
@@ -1991,9 +1996,9 @@ WITH sh AS (
   WHERE {screen} >= {_MINHASH_SCREEN_MIN}
 )
 SELECT s.doc_new, s.doc_corpus,
-       round(CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
-             (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s))), 6)
-         AS jaccard
+       floor(CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+             (len(da.s) + len(db.s) - len(list_intersect(da.s, db.s)))
+             * 1000000 + 0.5) / 1000000 AS jaccard
 FROM screened s
 JOIN sh da ON da.doc_id = s.doc_new
 JOIN sh db ON db.doc_id = s.doc_corpus
@@ -2106,6 +2111,6 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "doc_corpus")
         .filter(jac >= _JACCARD_TAU)
         .select(
-            "doc_new", "doc_corpus", F.round(jac, 6).alias("jaccard")
+            "doc_new", "doc_corpus", stable_round(jac, 6).alias("jaccard")
         )
     )

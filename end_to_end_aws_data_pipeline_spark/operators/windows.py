@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import (
+    stable_round,
+    stable_round_sql,
+)
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -93,7 +97,7 @@ def q_window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAG_ORACLE = """
 SELECT
   user_id, event_id, ts, value,
-  round(value - lag(value)  OVER w, 6) AS delta_prev,
+  floor((value - lag(value) OVER w) * 1000000 + 0.5) / 1000000 AS delta_prev,
   lead(event_type) OVER w AS next_type,
   first_value(event_type) OVER w AS first_type
 FROM events
@@ -111,7 +115,9 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        stable_round(F.col("value") - F.lag("value").over(w), 6).alias(
+            "delta_prev"
+        ),
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_type").over(w).alias("first_type"),
     )
@@ -124,10 +130,10 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_ORACLE = """
 SELECT
   o_custkey, o_orderkey, o_orderdate,
-  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS DOUBLE), 2) AS running_spend,
+  ) AS DOUBLE) * 100 + 0.5) / 100 AS running_spend,
   CAST(count(*) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -153,7 +159,7 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(
+        stable_round(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
             2,
         ).alias("running_spend"),
@@ -164,9 +170,9 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLIDING_ORACLE = """
 SELECT
   o_custkey, o_orderkey, o_orderdate,
-  round(
+  floor(
     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-    / count(*) OVER w, 6) AS moving_avg_3
+    / count(*) OVER w * 1000000 + 0.5) / 1000000 AS moving_avg_3
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -188,7 +194,9 @@ def q_window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(exact_sum / F.count(F.lit(1)).over(w), 6).alias("moving_avg_3"),
+        stable_round(exact_sum / F.count(F.lit(1)).over(w), 6).alias(
+            "moving_avg_3"
+        ),
     )
 
 
@@ -196,8 +204,8 @@ _RANGE_FRAME_ORACLE = """
 SELECT
   c_custkey, c_nationkey, c_acctbal,
   CAST(count(*) OVER w AS BIGINT) AS n_within_500,
-  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
-    AS sum_within_500
+  floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
+    * 100 + 0.5) / 100 AS sum_within_500
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
              RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
@@ -222,8 +230,8 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_acctbal",
         f"count(*) OVER ({wspec}) AS n_within_500",
-        f"round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER ({wspec}) "
-        f"AS DOUBLE), 2) AS sum_within_500",
+        f"floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER ({wspec}) "
+        f"AS DOUBLE) * 100 + 0.5) / 100 AS sum_within_500",
     )
 
 
@@ -351,10 +359,10 @@ WITH seq AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(sum(dt) AS BIGINT) AS span_us,
-       round(CAST(sum(CAST(vc AS HUGEINT) * dt) AS DOUBLE)
-             / (100.0 * sum(dt)), 6) AS twap,
-       round(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
-             / (100.0 * count(*)), 6) AS plain_avg
+       floor(CAST(sum(CAST(vc AS HUGEINT) * dt) AS DOUBLE)
+             / (100.0 * sum(dt)) * 1000000 + 0.5) / 1000000 AS twap,
+       floor(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
+             / (100.0 * count(*)) * 1000000 + 0.5) / 1000000 AS plain_avg
 FROM iv
 GROUP BY user_id
 HAVING sum(dt) > 0
@@ -411,10 +419,10 @@ def q_window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_intervals",
             "span_us",
-            F.round(
+            stable_round(
                 F.col("_num").cast("double") / (100.0 * F.col("span_us")), 6
             ).alias("twap"),
-            F.round(
+            stable_round(
                 F.col("_vs").cast("double") / (100.0 * F.col("n_intervals")),
                 6,
             ).alias("plain_avg"),
@@ -442,13 +450,13 @@ WITH e AS (
   FROM events
 )
 SELECT event_type, bar_ts,
-       round(max(CASE WHEN rn_a = 1 THEN vc END) / 100.0, 2) AS open,
-       round(max(vc) / 100.0, 2) AS high,
-       round(min(vc) / 100.0, 2) AS low,
-       round(max(CASE WHEN rn_d = 1 THEN vc END) / 100.0, 2) AS close,
+       floor(max(CASE WHEN rn_a = 1 THEN vc END) + 0.5) / 100 AS open,
+       floor(max(vc) + 0.5) / 100 AS high,
+       floor(min(vc) + 0.5) / 100 AS low,
+       floor(max(CASE WHEN rn_d = 1 THEN vc END) + 0.5) / 100 AS close,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
-             / (100.0 * count(*)), 6) AS mean_value
+       floor(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
+             / (100.0 * count(*)) * 1000000 + 0.5) / 1000000 AS mean_value
 FROM e
 GROUP BY event_type, bar_ts
 """
@@ -488,12 +496,14 @@ def q_window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wd).alias("rn_d"),
     )
     return e.groupBy("event_type", "bar_ts").agg(
-        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("vc"))) / 100.0, 2).alias("open"),
-        F.round(F.max("vc") / 100.0, 2).alias("high"),
-        F.round(F.min("vc") / 100.0, 2).alias("low"),
-        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("vc"))) / 100.0, 2).alias("close"),
+        # cents are exact int64: floor(vc + 0.5)/100 publishes the 2-dp
+        # value with one correctly-rounded division in both engines
+        (F.floor(F.max(F.when(F.col("rn_a") == 1, F.col("vc"))) + 0.5) / 100).alias("open"),
+        (F.floor(F.max("vc") + 0.5) / 100).alias("high"),
+        (F.floor(F.min("vc") + 0.5) / 100).alias("low"),
+        (F.floor(F.max(F.when(F.col("rn_d") == 1, F.col("vc"))) + 0.5) / 100).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(
+        stable_round(
             F.sum(F.col("vc").cast("decimal(38,0)")).cast("double")
             / (100.0 * F.count(F.lit(1))),
             6,
@@ -517,12 +527,12 @@ WITH seq AS (
 )
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(max(peak) / 100.0, 2) AS peak_value,
-       round(max(peak - vc) / 100.0, 2) AS max_drawdown,
-       round(CAST(max(CASE WHEN peak > 0
+       floor(max(peak) + 0.5) / 100 AS peak_value,
+       floor(max(peak - vc) + 0.5) / 100 AS max_drawdown,
+       floor(CAST(max(CASE WHEN peak > 0
                            THEN (peak - vc) * 1000000 // peak
-                           ELSE 0 END) AS DOUBLE) / 10000.0, 4)
-         AS max_drawdown_pct
+                           ELSE 0 END) AS DOUBLE) / 10000.0 * 10000 + 0.5)
+         / 10000 AS max_drawdown_pct
 FROM seq
 GROUP BY user_id
 """
@@ -560,11 +570,11 @@ def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0))
     return seq.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.max("peak") / 100.0, 2).alias("peak_value"),
-        F.round(F.max(F.col("peak") - F.col("vc")) / 100.0, 2).alias(
+        (F.floor(F.max("peak") + 0.5) / 100).alias("peak_value"),
+        (F.floor(F.max(F.col("peak") - F.col("vc")) + 0.5) / 100).alias(
             "max_drawdown"
         ),
-        F.round(F.max(dd_pct_fp).cast("double") / 10000.0, 4).alias(
+        stable_round(F.max(dd_pct_fp).cast("double") / 10000.0, 4).alias(
             "max_drawdown_pct"
         ),
     )

@@ -34,7 +34,10 @@ RUNTIME_REQUIRED_CONFS = {
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Idempotently apply the session confs the engine requires; safe to
-    call per-query (conf writes are cheap no-ops when already set)."""
+    call per-query (conf writes are cheap no-ops when already set; the
+    3 conf.get py4j round trips are ~1 ms — kept so table() restores
+    the confs even after an external caller changes them mid-session,
+    see tests/test_session_robustness.py)."""
     for k, v in RUNTIME_REQUIRED_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:

@@ -16,7 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end_to_end_aws_data_pipeline_spark.catalog import normalize_event_ts, table
+from end_to_end_aws_data_pipeline_spark.catalog import _cached_schema, normalize_event_ts, table
 from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum_sql
 from end_to_end_aws_data_pipeline_spark.registry import register
 from end_to_end_aws_data_pipeline_spark.streaming.windows import (
@@ -145,7 +145,7 @@ def q_stream_exactly_once_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts arrives as ns-long
+    schema = _cached_schema(spark, path)  # ts arrives as ns-long
     name = f"__stream_counts_{next(_counter)}"
     src = spark.readStream.schema(schema).parquet(stream_dir_for(path))
     # (distinct aggregates are unsupported on streams — an integer
@@ -198,7 +198,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
     name = f"__stream_join_{next(_counter)}"
 
     def side(event_type: str, prefix: str) -> DataFrame:
@@ -270,7 +270,7 @@ def q_stream_stateful_user_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
     name = f"__stream_state_{next(_counter)}"
     src = normalize_event_ts(
         spark.readStream.schema(schema).parquet(stream_dir_for(path))
@@ -336,7 +336,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
     name = f"__stream_static_{next(_counter)}"
     src = normalize_event_ts(
         spark.readStream.schema(schema).parquet(stream_dir_for(path))
@@ -459,7 +459,7 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
             pass
 
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
     name = f"__tws_{next(_counter)}"
     src = normalize_event_ts(
         spark.readStream.schema(schema).parquet(stream_dir_for(path))
@@ -695,7 +695,7 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _cached_schema(spark, path)
     name = f"__stream_dedup_{next(_counter)}"
     src = spark.readStream.schema(schema).parquet(stream_dir_for(path))
     src = normalize_event_ts(src)

@@ -711,9 +711,16 @@ def test_round5_fourth_wave_plan_posture(spark):
     assert "Python" not in physical_plan(reg)
     assert has_wholestage_codegen(reg)
 
+    # q_etl_profile's big multi-DISTINCT pass must stay on
+    # HashAggregate: string extents come from per-column dictionary
+    # hash-aggregates crossJoined in (two extra scans, each a
+    # handful-of-groups agg) so no STRING min/max ever enters the
+    # Expand'd buffer and forces SortAggregate over 7x rows.
     prof = q_etl_profile(spark, SF_SMOKE)
     pprof = physical_plan(prof)
-    assert pprof.count("Scan parquet") == 1
+    assert pprof.count("Scan parquet") <= 3
+    assert "HashAggregate" in pprof
+    assert "SortAggregate" not in pprof
     assert "Expand" in pprof
     assert "Python" not in pprof
 
