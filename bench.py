@@ -205,6 +205,10 @@ HEADLINE = (
     "q_etl_referential_integrity",
     "q_text_rake_keywords",
     "q_text_textrank",
+    # round-7 additions
+    "q_dedup_longest_run",
+    "q_text_unigram_train",
+    "q_text_unigram_encode",
 )
 
 

@@ -17,6 +17,7 @@ from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.ingest.clean import clean
 from end_to_end_aws_data_pipeline_spark.ingest.merge import upsert
 from end_to_end_aws_data_pipeline_spark.ingest.watermark import gate_strictly_newer
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 
@@ -27,9 +28,12 @@ def _dirty_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         F.when(F.col("user_id") % 7 != 0, F.col("event_type")).alias("etype"),
-        F.when(F.col("event_type") != "error", F.round(F.col("value"), 0)).alias(
-            "value_bucket"
-        ),
+        F.when(
+            F.col("event_type") != "error",
+            # floor returns LONG in Spark but DOUBLE in DuckDB — pin the
+            # published type to double on both sides
+            F.floor(F.col("value") + 0.5).cast("double"),
+        ).alias("value_bucket"),
     )
 
 
@@ -37,7 +41,8 @@ _DIRTY_SQL = """
   SELECT
     user_id,
     CASE WHEN user_id % 7 <> 0 THEN event_type END AS etype,
-    CASE WHEN event_type <> 'error' THEN round(value, 0) END AS value_bucket
+    CASE WHEN event_type <> 'error' THEN floor(value + 0.5) END
+      AS value_bucket
   FROM events
 """
 
@@ -199,11 +204,14 @@ _PROFILE_ORACLE = """
 WITH a AS (
   SELECT count(*) AS n,
          count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
-         round(min(o_orderkey), 2) AS mn_k, round(max(o_orderkey), 2) AS mx_k,
+         floor(min(o_orderkey) * 100 + 0.5) / 100 AS mn_k,
+         floor(max(o_orderkey) * 100 + 0.5) / 100 AS mx_k,
          count(o_custkey) AS nn_c, count(DISTINCT o_custkey) AS nd_c,
-         round(min(o_custkey), 2) AS mn_c, round(max(o_custkey), 2) AS mx_c,
+         floor(min(o_custkey) * 100 + 0.5) / 100 AS mn_c,
+         floor(max(o_custkey) * 100 + 0.5) / 100 AS mx_c,
          count(o_totalprice) AS nn_p, count(DISTINCT o_totalprice) AS nd_p,
-         round(min(o_totalprice), 2) AS mn_p, round(max(o_totalprice), 2) AS mx_p,
+         floor(min(o_totalprice) * 100 + 0.5) / 100 AS mn_p,
+         floor(max(o_totalprice) * 100 + 0.5) / 100 AS mx_p,
          count(o_orderstatus) AS nn_s, count(DISTINCT o_orderstatus) AS nd_s,
          min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
          count(o_orderpriority) AS nn_o, count(DISTINCT o_orderpriority) AS nd_o,
@@ -245,8 +253,8 @@ def q_etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [
             F.count(c).cast("long").alias(f"nn_{c}"),
             F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
-            F.round(F.min(c), 2).cast("double").alias(f"mn_{c}"),
-            F.round(F.max(c), 2).cast("double").alias(f"mx_{c}"),
+            stable_round(F.min(c), 2).cast("double").alias(f"mn_{c}"),
+            stable_round(F.max(c), 2).cast("double").alias(f"mx_{c}"),
         ]
 
     def _str(c: str):

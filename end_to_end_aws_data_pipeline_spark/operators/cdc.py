@@ -252,8 +252,8 @@ WITH a AS (
 SELECT status,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(k) AS BIGINT) AS key_checksum,
-       round(CAST(sum(CAST(delta AS DECIMAL(18,2))) AS DOUBLE), 2)
-         AS price_delta
+       CAST(CAST(round(sum(CAST(delta AS DECIMAL(18,2))), 2) AS VARCHAR)
+         AS DOUBLE) AS price_delta
 FROM d GROUP BY status
 """
 
@@ -304,9 +304,10 @@ def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("key").cast("long").alias("key_checksum"),
+            # decimal-domain round before the double cast (dsum recipe)
             F.round(
-                F.sum(F.col("delta").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("price_delta"),
+                F.sum(F.col("delta").cast("decimal(18,2)")), 2
+            ).cast("double").alias("price_delta"),
         )
     )
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # Knuth multiplicative hash: maps a BIGINT key to a pseudo-uniform
@@ -297,7 +298,8 @@ WITH w AS (
 )
 SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
        CAST(n_distinct AS BIGINT) AS n_distinct,
-       round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS rep_ratio
+       floor((1.0 - CAST(n_distinct AS DOUBLE) / n_words)
+             * 1000000 + 0.5) / 1000000 AS rep_ratio
 FROM w
 WHERE n_words > 0 AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words > {_REP_TAU}
 """
@@ -323,7 +325,7 @@ def q_curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             n_words.cast("long").alias("n_words"),
             n_distinct.cast("long").alias("n_distinct"),
-            F.round(ratio, 6).alias("rep_ratio"),
+            stable_round(ratio, 6).alias("rep_ratio"),
             ratio.alias("_raw_ratio"),
         )
         .filter((F.col("n_words") > 0) & (F.col("_raw_ratio") > _REP_TAU))
@@ -444,7 +446,7 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       round(mwl, 6) AS mean_word_len,
+       floor(mwl * 1000000 + 0.5) / 1000000 AS mean_word_len,
        (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS ok_word_count,
        (mwl >= {_G_MIN_MWL} AND mwl <= {_G_MAX_MWL}) AS ok_mean_word_len,
        (CAST(n_symbols AS DOUBLE) / n_words <= {_G_MAX_SYMBOL_RATIO})
@@ -518,7 +520,7 @@ def q_curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
+        stable_round(mwl, 6).alias("mean_word_len"),
         ok_wc.alias("ok_word_count"),
         ok_mwl.alias("ok_mean_word_len"),
         ok_sym.alias("ok_symbol_ratio"),

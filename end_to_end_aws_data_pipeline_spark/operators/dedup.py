@@ -1704,6 +1704,118 @@ def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# longest shared token run per pair (suffix-array-style substring dedup
+# at ARBITRARY overlap length, via anchors + gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_RUN_ANCHOR = 8  # anchor k-gram width (detection floor)
+_RUN_MIN = 20  # report runs of at least this many shared tokens
+
+
+def positional_shingles(text: Column, k: int) -> Column:
+    """Word k-shingles of a text column WITH positions preserved —
+    element i of the result is the k-gram starting at word i (1-based
+    after posexplode+1). Unlike shingles(), duplicates are kept and
+    order is positional, so consecutive equal anchors across two
+    documents reconstruct shared runs exactly."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    tri = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+        tri = F.zip_with(tri, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.slice(tri, 1, F.greatest(n - k + 1, F.lit(1)))
+
+
+_RUN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), anch AS (
+  SELECT doc_id, i AS pos,
+         md5(concat_ws(' ',
+           {", ".join(f"toks[i+{j}]" for j in range(_RUN_ANCHOR))})) AS g
+  FROM w, unnest(range(1, greatest(len(toks) - {_RUN_ANCHOR - 1}, 0) + 1))
+       AS t(i)
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, a.pos - b.pos AS off
+  FROM anch a JOIN anch b ON a.g = b.g AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, off,
+         pa - row_number() OVER (
+           PARTITION BY doc_a, doc_b, off ORDER BY pa) AS isl_id
+  FROM m
+), runs AS (
+  SELECT doc_a, doc_b, count(*) + {_RUN_ANCHOR - 1} AS run_len
+  FROM isl GROUP BY doc_a, doc_b, off, isl_id
+)
+SELECT doc_a, doc_b,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS dup_tokens
+FROM runs
+WHERE run_len >= {_RUN_MIN}
+GROUP BY doc_a, doc_b
+"""
+
+
+@register("q_dedup_longest_run", oracle=_RUN_ORACLE)
+def q_dedup_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-style exact substring dedup at ARBITRARY overlap length
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — there via suffix arrays at 50-token granularity):
+    for every document pair, the LONGEST exactly-shared token run, plus
+    how many distinct runs of ≥ {_RUN_MIN} tokens they share and the
+    total duplicated token volume. Unlike q_dedup_repeated_ngrams
+    (which counts fixed 8-token chunks), the detected overlap length is
+    exact for any run ≥ the anchor width: a shared run of L tokens
+    produces exactly L-k+1 consecutive k-gram anchor matches at one
+    (doc_a - doc_b) position offset, so run length reconstructs as
+    (consecutive anchors) + k - 1.
+
+    Distributed shape (the suffix array's join-friendly equivalent):
+    positional k-gram anchors -> md5 digest equi-join (digests shuffle,
+    text never does) -> gaps-and-islands per (pair, offset): island id
+    = pos - row_number, one bounded window per (pair, offset) group —
+    never per-corpus. Anchor df is ~1 for natural text, so join output
+    tracks true duplicated-passage volume; the threshold applies to
+    reconstructed run length, so raising the report floor ({_RUN_MIN})
+    needs no re-anchoring. At 100 TB the same plan holds: the anchor
+    index is the only shuffled relation and islands are local to
+    matched pairs."""
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    anch = d.select(
+        "doc_id",
+        F.posexplode(
+            positional_shingles(F.col("text"), k=_RUN_ANCHOR)
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("g"))
+    a = anch.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = anch.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    m = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("off"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    isl = m.select(
+        "doc_a", "doc_b", "off", (F.col("pa") - F.row_number().over(w)).alias("isl_id")
+    )
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "off", "isl_id")
+        .agg((F.count(F.lit(1)) + F.lit(_RUN_ANCHOR - 1)).alias("run_len"))
+        .filter(F.col("run_len") >= _RUN_MIN)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("dup_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram containment: asymmetric quote/subset detection
 # ---------------------------------------------------------------------------
 

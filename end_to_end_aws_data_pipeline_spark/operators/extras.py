@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -94,10 +95,11 @@ WITH s AS (
   FROM customer GROUP BY c_nationkey
 )
 SELECT c_nationkey, n,
-       round(sx / n, 6) AS mean_bal,
-       round((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_bal,
-       round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))), 6)
-         AS stddev_bal
+       floor(sx / n * 1000000 + 0.5) / 1000000 AS mean_bal,
+       floor((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))
+             * 1000000 + 0.5) / 1000000 AS var_bal,
+       floor(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)))
+             * 1000000 + 0.5) / 1000000 AS stddev_bal
 FROM s
 WHERE n > 1
 """
@@ -121,9 +123,9 @@ def q_agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(n > 1).select(
         "c_nationkey",
         "n",
-        F.round(sx / n, 6).alias("mean_bal"),
-        F.round(var, 6).alias("var_bal"),
-        F.round(F.sqrt(var), 6).alias("stddev_bal"),
+        stable_round(sx / n, 6).alias("mean_bal"),
+        stable_round(var, 6).alias("var_bal"),
+        stable_round(F.sqrt(var), 6).alias("stddev_bal"),
     )
 
 
@@ -161,7 +163,7 @@ _ARGMAX_ORACLE = f"""
 SELECT c_nationkey,
        arg_max(c_name, {_ARG_KEY_SQL}) AS richest,
        arg_min(c_name, {_ARG_KEY_SQL}) AS poorest,
-       round(max(c_acctbal), 2) AS max_bal
+       floor(max(c_acctbal) * 100 + 0.5) / 100 AS max_bal
 FROM customer
 GROUP BY c_nationkey
 """
@@ -176,7 +178,7 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").agg(
         F.max_by("c_name", key).alias("richest"),
         F.min_by("c_name", key).alias("poorest"),
-        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        stable_round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
 
 
@@ -247,7 +249,7 @@ def q_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UDAF_ORACLE = """
 SELECT event_type,
-       round(median(value), 6) AS median_value,
+       floor(median(value) * 1000000 + 0.5) / 1000000 AS median_value,
        CAST(count(*) AS BIGINT) AS n
 FROM events
 GROUP BY event_type
@@ -296,7 +298,7 @@ def q_udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.round(_median(F.col("value")), 6).alias("median_value"),
+        stable_round(_median(F.col("value")), 6).alias("median_value"),
         _n(F.col("value")).alias("n"),
     )
 
@@ -327,13 +329,13 @@ WITH m AS (
   ) GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx), 6)
-         AS slope,
-       round((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)
-                 * sx) / n, 6) AS intercept,
-       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       floor((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000 + 0.5) / 1000000 AS slope,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sx) / n * 1000000 + 0.5) / 1000000 AS intercept,
+       floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
              / ((n * sxx - CAST(sx AS DOUBLE) * sx)
-                * (n * syy - sy * sy)), 6) AS r2
+                * (n * syy - sy * sy)) * 1000000 + 0.5) / 1000000 AS r2
 FROM m
 """
 
@@ -370,9 +372,9 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         n.cast("long").alias("n"),
-        F.round(num / den, 6).alias("slope"),
-        F.round((sy - num / den * sx) / n, 6).alias("intercept"),
-        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+        stable_round(num / den, 6).alias("slope"),
+        stable_round((sy - num / den * sx) / n, 6).alias("intercept"),
+        stable_round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
     )
 
 
@@ -515,8 +517,9 @@ WITH seq AS (
 )
 SELECT event_type, next_type,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       round(CAST(count(*) AS DOUBLE) /
-             sum(count(*)) OVER (PARTITION BY event_type), 6) AS p_next
+       floor(CAST(count(*) AS DOUBLE) /
+             sum(count(*)) OVER (PARTITION BY event_type)
+             * 1000000 + 0.5) / 1000000 AS p_next
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
 """
@@ -559,7 +562,7 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n_transitions",
-        F.round(
+        stable_round(
             F.col("n_transitions").cast("double") / row_total, 6
         ).alias("p_next"),
     )
@@ -585,9 +588,10 @@ WITH m AS (
   )
 )
 SELECT col_x, col_y,
-       round((n * sxy - sx * sy) /
+       floor((n * sxy - sx * sy) /
              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS corr
 FROM (
   SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
          CAST(n AS DOUBLE) AS n, CAST(sq AS DOUBLE) AS sx,
@@ -654,7 +658,7 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(
             F.lit(cx).alias("col_x"),
             F.lit(cy).alias("col_y"),
-            F.round(corr, 6).alias("corr"),
+            stable_round(corr, 6).alias("corr"),
         )
 
     pairs = F.array(
@@ -814,15 +818,15 @@ WITH v AS (
 )
 SELECT g AS l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
-       round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
+       floor((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)
               - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
                     * CAST(s2 AS DOUBLE)
               + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                     * CAST(s1 AS DOUBLE))
              / pow(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5), 6)
-         AS skewness,
-       round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 1.5)
+             * 1000000 + 0.5) / 1000000 AS skewness,
+       floor(((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                 * CAST(s4 AS DOUBLE)
               - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                     * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
@@ -833,7 +837,8 @@ SELECT g AS l_returnflag,
              / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) - 3.0, 6)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) - 3.0)
+             * 1000000 + 0.5) / 1000000
          AS excess_kurtosis
 FROM m
 """
@@ -890,8 +895,8 @@ def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("g").alias("l_returnflag"),
         F.col("n").cast("long").alias("n_rows"),
-        F.round(skew, 6).alias("skewness"),
-        F.round(kurt, 6).alias("excess_kurtosis"),
+        stable_round(skew, 6).alias("skewness"),
+        stable_round(kurt, 6).alias("excess_kurtosis"),
     )
 
 
@@ -931,11 +936,12 @@ WITH v AS (
   FROM m WHERE na >= 2 AND nb >= 2
 )
 SELECT event_type, n_a, n_b,
-       round(ma, 6) AS mean_a,
-       round(mb, 6) AS mean_b,
-       round((ma - mb) / sqrt(vna + vnb), 4) AS t_stat,
-       round((vna + vnb) * (vna + vnb)
-             / (vna * vna / (n_a - 1) + vnb * vnb / (n_b - 1)), 2) AS dof
+       floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,
+       floor(mb * 1000000 + 0.5) / 1000000 AS mean_b,
+       floor((ma - mb) / sqrt(vna + vnb) * 10000 + 0.5) / 10000 AS t_stat,
+       floor((vna + vnb) * (vna + vnb)
+             / (vna * vna / (n_a - 1) + vnb * vnb / (n_b - 1))
+             * 100 + 0.5) / 100 AS dof
 FROM d
 """
 
@@ -997,10 +1003,12 @@ def q_agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        F.round(F.col("_ma"), 6).alias("mean_a"),
-        F.round(F.col("_mb"), 6).alias("mean_b"),
-        F.round((F.col("_ma") - F.col("_mb")) / F.sqrt(se2), 4).alias("t_stat"),
-        F.round(
+        stable_round(F.col("_ma"), 6).alias("mean_a"),
+        stable_round(F.col("_mb"), 6).alias("mean_b"),
+        stable_round((F.col("_ma") - F.col("_mb")) / F.sqrt(se2), 4).alias(
+            "t_stat"
+        ),
+        stable_round(
             se2 * se2
             / (
                 F.col("_vna") * F.col("_vna") / (F.col("n_a") - 1)
@@ -1040,7 +1048,8 @@ WITH cell AS (
 SELECT CAST(tot.n AS BIGINT) AS n_events,
        tot.nr AS n_rows, tot.nc AS n_cols,
        (tot.nr - 1) * (tot.nc - 1) AS dof,
-       round(CAST(sum(t_fp) AS DOUBLE) / {_CHI_SCALE}, 4) AS chi2
+       floor(CAST(sum(t_fp) AS DOUBLE) / {_CHI_SCALE} * 10000 + 0.5)
+         / 10000 AS chi2
 FROM terms CROSS JOIN tot
 GROUP BY tot.n, tot.nr, tot.nc
 """
@@ -1097,7 +1106,9 @@ def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_rows"),
         F.col("nc").alias("n_cols"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
-        F.round(F.col("_s").cast("double") / _CHI_SCALE, 4).alias("chi2"),
+        stable_round(F.col("_s").cast("double") / _CHI_SCALE, 4).alias(
+            "chi2"
+        ),
     )
 
 
@@ -1285,8 +1296,8 @@ WITH g AS (
 )
 SELECT CAST(any_value(n) AS BIGINT) AS n_events,
        CAST(sum(t) AS BIGINT) AS mi_num,
-       round(CAST(sum(t) AS DOUBLE) / ({_L2HI_S}.0 * any_value(n)), 6)
-         AS mi_bits
+       floor(CAST(sum(t) AS DOUBLE) / ({_L2HI_S}.0 * any_value(n))
+             * 1000000 + 0.5) / 1000000 AS mi_bits
 FROM terms
 """
 
@@ -1356,7 +1367,7 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("n").agg(F.sum("t").cast("long").alias("mi_num")).select(
         F.col("n").cast("long").alias("n_events"),
         "mi_num",
-        F.round(
+        stable_round(
             F.col("mi_num").cast("double") / (float(_L2HI_S) * F.col("n")), 6
         ).alias("mi_bits"),
     )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.cache import persisted
 from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _PR_ITERS = 3
@@ -279,7 +280,8 @@ SELECT agg.n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        agg.n_wedges,
        CAST(tri.n_tri AS BIGINT) AS n_triangles,
-       round(3.0 * tri.n_tri / agg.n_wedges, 6) AS global_clustering
+       floor(3.0 * tri.n_tri / agg.n_wedges * 1000000 + 0.5) / 1000000
+         AS global_clustering
 FROM agg CROSS JOIN tri
 """
 
@@ -376,7 +378,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             F.col("n_tri").alias("n_triangles"),
-            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+            stable_round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
                 "global_clustering"
             ),
         )

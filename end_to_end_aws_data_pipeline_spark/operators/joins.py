@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum, dsum_sql
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -327,7 +328,7 @@ def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _THETA_ORACLE = """
 SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
-       round(b.s_acctbal - a.s_acctbal, 2) AS bal_gap
+       floor((b.s_acctbal - a.s_acctbal) * 100 + 0.5) / 100 AS bal_gap
 FROM supplier a JOIN supplier b
   ON a.s_nationkey = b.s_nationkey
  AND a.s_suppkey < b.s_suppkey
@@ -361,7 +362,9 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "supp_a",
             "supp_b",
-            F.round(F.col("bal_b") - F.col("bal_a"), 2).alias("bal_gap"),
+            stable_round(F.col("bal_b") - F.col("bal_a"), 2).alias(
+                "bal_gap"
+            ),
         )
     )
 
@@ -659,7 +662,7 @@ WITH pts AS (
    AND abs(a.y - b.y) <= {_GEO_R}
 )
 SELECT id_a, id_b,
-       round(sqrt(CAST(d2 AS DOUBLE)), 2) AS dist_m
+       floor(sqrt(CAST(d2 AS DOUBLE)) * 100 + 0.5) / 100 AS dist_m
 FROM pairs
 WHERE d2 <= {_GEO_R} * {_GEO_R}
 """
@@ -743,6 +746,6 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(F.sqrt(d2.cast("double")), 2).alias("dist_m"),
+            stable_round(F.sqrt(d2.cast("double")), 2).alias("dist_m"),
         )
     )

@@ -21,16 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _PCT_ORACLE = """
 SELECT
   l_returnflag,
-  round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
-  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
-  round(quantile_cont(l_quantity, 0.25), 6)      AS q1_qty,
-  round(min(l_extendedprice), 6)                 AS min_price,
-  round(max(l_extendedprice), 6)                 AS max_price
+  floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) / 1000000
+    AS median_price,
+  floor(quantile_cont(l_extendedprice, 0.95) * 1000000 + 0.5) / 1000000
+    AS p95_price,
+  floor(quantile_cont(l_quantity, 0.25) * 1000000 + 0.5) / 1000000
+    AS q1_qty,
+  floor(min(l_extendedprice) * 1000000 + 0.5) / 1000000 AS min_price,
+  floor(max(l_extendedprice) * 1000000 + 0.5) / 1000000 AS max_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -89,14 +93,16 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("__p"),
-            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q1_qty"),
-            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+            stable_round(F.expr("percentile(l_quantity, 0.25)"), 6).alias(
+                "q1_qty"
+            ),
+            stable_round(F.min("l_extendedprice"), 6).alias("min_price"),
+            stable_round(F.max("l_extendedprice"), 6).alias("max_price"),
         )
         .select(
             "l_returnflag",
-            F.round(F.element_at("__p", 1), 6).alias("median_price"),
-            F.round(F.element_at("__p", 2), 6).alias("p95_price"),
+            stable_round(F.element_at("__p", 1), 6).alias("median_price"),
+            stable_round(F.element_at("__p", 2), 6).alias("p95_price"),
             "q1_qty",
             "min_price",
             "max_price",
@@ -459,11 +465,11 @@ def q_agg_percentiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact query's rounding exactly
     return raw.select(
         "l_returnflag",
-        F.round("median_price", 6).alias("median_price"),
-        F.round("p95_price", 6).alias("p95_price"),
-        F.round("q1_qty", 6).alias("q1_qty"),
-        F.round("min_price", 6).alias("min_price"),
-        F.round("max_price", 6).alias("max_price"),
+        stable_round("median_price", 6).alias("median_price"),
+        stable_round("p95_price", 6).alias("p95_price"),
+        stable_round("q1_qty", 6).alias("q1_qty"),
+        stable_round("min_price", 6).alias("min_price"),
+        stable_round("max_price", 6).alias("max_price"),
     )
 
 
@@ -518,14 +524,14 @@ WITH h AS (
 )
 SELECT a.l_returnflag,
        ex.exact_parts,
-       round(CASE WHEN ({_HLL_M} - a.v_cnt) > 0 AND {_HLL_NUM!r} /
+       floor((CASE WHEN ({_HLL_M} - a.v_cnt) > 0 AND {_HLL_NUM!r} /
                   (a.denom_ne + ({_HLL_M} - a.v_cnt)
                    * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP})) <= {2.5 * _HLL_M}
              THEN {float(_HLL_M)!r} * ({_HLL_LNTAB_SQL})[{_HLL_M} - a.v_cnt]
              ELSE {_HLL_NUM!r} /
                   (a.denom_ne + ({_HLL_M} - a.v_cnt)
                    * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}))
-             END, 2) AS hll_parts
+             END) * 100 + 0.5) / 100 AS hll_parts
 FROM agg a JOIN ex USING (l_returnflag)
 """
 
@@ -589,7 +595,7 @@ def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "exact_parts",
-            F.round(est, 2).alias("hll_parts"),
+            stable_round(est, 2).alias("hll_parts"),
         )
     )
 
@@ -776,14 +782,14 @@ WITH h AS (
   SELECT bucket, max(rho) AS m_j FROM rb GROUP BY bucket
 ), est AS (
   SELECT which,
-         round(CASE WHEN ({_HLL_M} - v_cnt) > 0 AND {_HLL_NUM!r} /
+         floor((CASE WHEN ({_HLL_M} - v_cnt) > 0 AND {_HLL_NUM!r} /
                     (denom_ne + ({_HLL_M} - v_cnt)
                      * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP})) <= {2.5 * _HLL_M}
                THEN {float(_HLL_M)!r} * ({_HLL_LNTAB_SQL})[{_HLL_M} - v_cnt]
                ELSE {_HLL_NUM!r} /
                     (denom_ne + ({_HLL_M} - v_cnt)
                      * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}))
-               END, 2) AS hll_parts
+               END) * 100 + 0.5) / 100 AS hll_parts
   FROM (
     SELECT 'merged' AS which,
            sum(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - m_j)) AS denom_ne,
@@ -858,7 +864,7 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (v_empty > 0) & (raw <= F.lit(2.5 * _HLL_M)),
             F.lit(float(_HLL_M)) * F.element_at(lntab, v_empty),
         ).otherwise(raw)
-        return agg.select(F.round(est, 2).alias("hll_parts"))
+        return agg.select(stable_round(est, 2).alias("hll_parts"))
 
     exact = li.agg(
         F.countDistinct("l_partkey").cast("long").alias("exact_parts")
@@ -896,14 +902,16 @@ WITH v AS (
 )
 SELECT v.g AS l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(b.lo, 6) AS p10_c,
-       round(b.hi, 6) AS p90_c,
-       round((CAST(sum(CASE WHEN vc >= b.lo AND vc <= b.hi
+       floor(b.lo * 1000000 + 0.5) / 1000000 AS p10_c,
+       floor(b.hi * 1000000 + 0.5) / 1000000 AS p90_c,
+       floor((CAST(sum(CASE WHEN vc >= b.lo AND vc <= b.hi
                             THEN vc ELSE 0 END) AS DOUBLE)
               + sum(CASE WHEN vc < b.lo THEN 1 ELSE 0 END) * b.lo
               + sum(CASE WHEN vc > b.hi THEN 1 ELSE 0 END) * b.hi)
-             / (100.0 * count(*)), 6) AS winsorized_mean,
-       round(CAST(sum(vc) AS DOUBLE) / (100.0 * count(*)), 6) AS raw_mean
+             / (100.0 * count(*)) * 1000000 + 0.5) / 1000000
+         AS winsorized_mean,
+       floor(CAST(sum(vc) AS DOUBLE) / (100.0 * count(*))
+             * 1000000 + 0.5) / 1000000 AS raw_mean
 FROM v JOIN b ON v.g = b.g
 GROUP BY v.g, b.lo, b.hi
 """
@@ -960,9 +968,9 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("g").alias("l_returnflag"),
         "n_rows",
-        F.round(F.col("lo"), 6).alias("p10_c"),
-        F.round(F.col("hi"), 6).alias("p90_c"),
-        F.round(
+        stable_round(F.col("lo"), 6).alias("p10_c"),
+        stable_round(F.col("hi"), 6).alias("p90_c"),
+        stable_round(
             (
                 F.col("mid_sum").cast("double")
                 + F.col("n_lo") * F.col("lo")
@@ -971,7 +979,7 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (100.0 * F.col("n_rows")),
             6,
         ).alias("winsorized_mean"),
-        F.round(
+        stable_round(
             F.col("raw_sum").cast("double") / (100.0 * F.col("n_rows")), 6
         ).alias("raw_mean"),
     )
@@ -1005,10 +1013,11 @@ WITH h AS (
 )
 SELECT kth.g AS l_returnflag, ex.exact_parts,
        CAST(kth.h_k AS BIGINT) AS h_k,
-       round(CASE WHEN kth.n_kept < {_KMV_K}
+       floor((CASE WHEN kth.n_kept < {_KMV_K}
              THEN CAST(kth.n_kept AS DOUBLE)
              ELSE ({_KMV_K} - 1.0) * 1152921504606846976.0
-                  / CAST(kth.h_k AS DOUBLE) END, 2) AS kmv_parts
+                  / CAST(kth.h_k AS DOUBLE) END) * 100 + 0.5) / 100
+         AS kmv_parts
 FROM kth JOIN ex ON kth.g = ex.g
 """
 
@@ -1072,7 +1081,7 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("l_returnflag"),
         "exact_parts",
         F.col("h_k").cast("long").alias("h_k"),
-        F.round(est, 2).alias("kmv_parts"),
+        stable_round(est, 2).alias("kmv_parts"),
     )
 
 
@@ -1124,16 +1133,19 @@ WITH h AS (
 SELECT ex.union_exact, ex.inter_exact,
        CAST(ustat.n_u AS BIGINT) AS n_u,
        CAST(both_cnt.n_both AS BIGINT) AS n_both,
-       round(CASE WHEN ustat.n_u < {_KMV_K}
+       floor((CASE WHEN ustat.n_u < {_KMV_K}
              THEN CAST(ustat.n_u AS DOUBLE)
              ELSE ({_KMV_K} - 1.0) * 1152921504606846976.0
-                  / CAST(ustat.h_u AS DOUBLE) END, 2) AS union_est,
-       round(CAST(both_cnt.n_both AS DOUBLE) / ustat.n_u, 6) AS jaccard_est,
-       round(CAST(both_cnt.n_both AS DOUBLE) / ustat.n_u
+                  / CAST(ustat.h_u AS DOUBLE) END) * 100 + 0.5) / 100
+         AS union_est,
+       floor(CAST(both_cnt.n_both AS DOUBLE) / ustat.n_u
+             * 1000000 + 0.5) / 1000000 AS jaccard_est,
+       floor((CAST(both_cnt.n_both AS DOUBLE) / ustat.n_u
              * CASE WHEN ustat.n_u < {_KMV_K}
                THEN CAST(ustat.n_u AS DOUBLE)
                ELSE ({_KMV_K} - 1.0) * 1152921504606846976.0
-                    / CAST(ustat.h_u AS DOUBLE) END, 2) AS inter_est
+                    / CAST(ustat.h_u AS DOUBLE) END) * 100 + 0.5) / 100
+         AS inter_est
 FROM ex, ustat, both_cnt
 """
 
@@ -1246,9 +1258,9 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter_exact",
             F.col("n_u").cast("long").alias("n_u"),
             F.col("n_both").cast("long").alias("n_both"),
-            F.round(union_est, 2).alias("union_est"),
-            F.round(jac, 6).alias("jaccard_est"),
-            F.round(jac * union_est, 2).alias("inter_est"),
+            stable_round(union_est, 2).alias("union_est"),
+            stable_round(jac, 6).alias("jaccard_est"),
+            stable_round(jac * union_est, 2).alias("inter_est"),
         )
     )
 
@@ -1361,14 +1373,14 @@ merged AS (
 )
 SELECT CAST(a.tday AS VARCHAR) AS day,
        ex.exact_users_7d,
-       round(CASE WHEN ({_HLL_M} - a.v_cnt) > 0 AND {_HLL_NUM!r} /
+       floor((CASE WHEN ({_HLL_M} - a.v_cnt) > 0 AND {_HLL_NUM!r} /
                   (a.denom_ne + ({_HLL_M} - a.v_cnt)
                    * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP})) <= {2.5 * _HLL_M}
              THEN {float(_HLL_M)!r} * ({_HLL_LNTAB_SQL})[{_HLL_M} - a.v_cnt]
              ELSE {_HLL_NUM!r} /
                   (a.denom_ne + ({_HLL_M} - a.v_cnt)
                    * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}))
-             END, 2) AS hll_users_7d
+             END) * 100 + 0.5) / 100 AS hll_users_7d
 FROM agg a JOIN ex USING (tday)
 """
 
@@ -1467,6 +1479,6 @@ def q_window_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("tday").cast("string").alias("day"),
             "exact_users_7d",
-            F.round(est, 2).alias("hll_users_7d"),
+            stable_round(est, 2).alias("hll_users_7d"),
         )
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.operators.dedup import shingles
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _MIN_WORDS = 20
@@ -204,7 +205,8 @@ WITH norm AS (
 SELECT lang,
        count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_checksum,
-       round(CAST(sum(score_q) AS DOUBLE) / count(*) / 1000.0, 6) AS avg_nll
+       floor(CAST(sum(score_q) AS DOUBLE) / count(*) / 1000.0
+             * 1000000 + 0.5) / 1000000 AS avg_nll
 FROM kept
 GROUP BY lang
 """
@@ -307,7 +309,7 @@ def q_pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
-        F.round(
+        stable_round(
             F.sum("score_q").cast("double") / F.count(F.lit(1)) / 1000.0, 6
         ).alias("avg_nll"),
     )

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.cache import persisted
 from end_to_end_aws_data_pipeline_spark.catalog import spread
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 from end_to_end_aws_data_pipeline_spark.operators.similarity import (
     _CENTROIDS_SQL,
@@ -603,7 +604,7 @@ WITH q AS (
   FROM c
 )
 SELECT vec_id, CAST(label AS BIGINT) AS label,
-       round(scale, 9) AS scale_r,
+       floor(scale * 1000000000 + 0.5) / 1000000000 AS scale_r,
        CAST(list_sum(code) AS BIGINT) AS code_sum,
        CAST(list_sum(list_transform(code, x -> abs(x))) AS BIGINT)
          AS code_abs_sum,
@@ -660,7 +661,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "vec_id",
         "label",
-        F.round(F.col("scale"), 9).alias("scale_r"),
+        stable_round(F.col("scale"), 9).alias("scale_r"),
         isum(F.col("code")).alias("code_sum"),
         isum(F.transform(F.col("code"), F.abs)).alias("code_abs_sum"),
         isum(F.transform(F.col("err"), lambda x: x * x)).alias("sse_q"),

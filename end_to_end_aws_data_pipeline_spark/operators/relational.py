@@ -25,6 +25,7 @@ from end_to_end_aws_data_pipeline_spark.functions.aggs import (
     dsum,
     dsum_sql,
 )
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -267,8 +268,8 @@ _SALTED_ORACLE = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        {dsum_sql('value', 2)} AS total_value,
-       round(min(value), 2) AS min_value,
-       round(max(value), 2) AS max_value
+       floor(min(value) * 100 + 0.5) / 100 AS min_value,
+       floor(max(value) * 100 + 0.5) / 100 AS max_value
 FROM events
 GROUP BY event_type
 """
@@ -309,9 +310,11 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         merge_aggs=lambda: [
             F.sum("__n").cast("long").alias("n_events"),
-            F.round(F.sum("__sv").cast("double"), 2).alias("total_value"),
-            F.round(F.min("__mn"), 2).alias("min_value"),
-            F.round(F.max("__mx"), 2).alias("max_value"),
+            # decimal-domain round BEFORE the double cast, matching
+            # dsum_sql's publish recipe exactly
+            F.round(F.sum("__sv"), 2).cast("double").alias("total_value"),
+            stable_round(F.min("__mn"), 2).alias("min_value"),
+            stable_round(F.max("__mx"), 2).alias("max_value"),
         ],
     )
     return out

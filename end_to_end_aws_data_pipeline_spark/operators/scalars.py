@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -133,9 +134,10 @@ SELECT
   CAST(floor(l_quantity) AS BIGINT)              AS qty_floor,
   CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_kceil,
   CAST(l_orderkey % 10 AS BIGINT)                AS key_mod,
-  round(sqrt(l_extendedprice), 6)                AS price_sqrt,
-  round(ln(l_extendedprice + 1.0), 6)            AS price_ln,
-  round(pow(1.0 + l_discount, l_linenumber), 6)  AS compound,
+  floor(sqrt(l_extendedprice) * 1000000 + 0.5) / 1000000 AS price_sqrt,
+  floor(ln(l_extendedprice + 1.0) * 1000000 + 0.5) / 1000000 AS price_ln,
+  floor(pow(1.0 + l_discount, l_linenumber) * 1000000 + 0.5) / 1000000
+    AS compound,
   CAST(sign(l_discount - 0.05) AS DOUBLE)        AS disc_sign,
   greatest(l_tax, l_discount)                    AS max_rate,
   least(l_tax, l_discount)                       AS min_rate
@@ -156,9 +158,11 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity")).alias("qty_floor"),
         F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_kceil"),
         (F.col("l_orderkey") % 10).alias("key_mod"),
-        F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
-        F.round(
+        stable_round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
+        stable_round(F.log(F.col("l_extendedprice") + 1.0), 6).alias(
+            "price_ln"
+        ),
+        stable_round(
             F.pow(F.lit(1.0) + F.col("l_discount"), F.col("l_linenumber")), 6
         ).alias("compound"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
@@ -175,12 +179,16 @@ _ARRAY_ORACLE = """
 SELECT
   vec_id,
   CAST(len(embedding) AS INT) AS dim,
-  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS elem_sum,
-  round(sqrt(list_sum(list_transform(
-      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+  floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS first_elem,
+  floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        * 1000000 + 0.5) / 1000000 AS elem_sum,
+  floor(sqrt(list_sum(list_transform(
+      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        * 1000000 + 0.5) / 1000000 AS l2_norm,
   CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem
+  floor(CAST(list_max(embedding) AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS max_elem
 FROM embeddings
 """
 
@@ -199,11 +207,15 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
-        F.round(fsum(as_double), 6).alias("elem_sum"),
-        F.round(F.sqrt(fsum(sq)), 6).alias("l2_norm"),
+        stable_round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_elem"
+        ),
+        stable_round(fsum(as_double), 6).alias("elem_sum"),
+        stable_round(F.sqrt(fsum(sq)), 6).alias("l2_norm"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
-        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        stable_round(F.array_max("embedding").cast("double"), 6).alias(
+            "max_elem"
+        ),
     )
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import spread, table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _TOP_K = 5
@@ -104,7 +105,7 @@ def _query_matrix(qdf: DataFrame):
 
 
 def _cosine_out(col: str = "dot_q"):
-    return F.round(F.col(col).cast("double") / _SCALE_SQ, 6).alias("cosine")
+    return stable_round(F.col(col).cast("double") / _SCALE_SQ, 6).alias("cosine")
 
 
 _BRUTE_ORACLE = f"""
@@ -125,7 +126,8 @@ WITH v AS ({_QV_SQL}
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
 FROM ranked WHERE rank <= {_TOP_K}
 """
 
@@ -234,7 +236,9 @@ def q_ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("datasetA.vec_id").alias("vec_a"),
             F.col("datasetB.vec_id").alias("vec_b"),
-            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine_est"),
+            stable_round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias(
+                "cosine_est"
+            ),
         )
     )
 
@@ -315,7 +319,8 @@ WITH v AS ({_QV_SQL}
 )
 SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
        CAST(rank AS INT) AS rank,
-       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
 FROM ranked WHERE rank <= {_IVF_K}
 """
 
@@ -422,7 +427,8 @@ WITH v AS ({_QV_SQL}
 SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
        CAST(probe_rank AS INT) AS probe_rank,
        CAST(rank AS INT) AS rank,
-       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
 FROM ranked WHERE rank <= {_IVF_K}
 """
 
@@ -600,7 +606,8 @@ _IVF_TRAINED_ORACLE = f"""
 )
 SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
        CAST(rank AS INT) AS rank,
-       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
 FROM ranked WHERE rank <= {_IVF_K}
 """
 
@@ -901,7 +908,8 @@ WITH v AS ({_QV_SQL}
   FROM corp JOIN ev ON corp.cent_id = ev.cent_id
 )
 SELECT vec_id, cent_id, eval_id AS matched_eval_id,
-       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id
                                ORDER BY dot_q DESC, eval_id) AS rn
@@ -1005,8 +1013,8 @@ SELECT e.query_id,
        CAST(count(*) AS BIGINT) AS n_exact,
        CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          AS BIGINT) AS n_hit,
-       round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS recall
+       floor(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall
 FROM exact e
 LEFT JOIN ivf i
   ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
@@ -1047,7 +1055,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.sum(hit).cast("long").alias("n_hit"),
-        F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias("recall"),
+        stable_round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "recall"
+        ),
     )
 
 
@@ -1102,7 +1112,8 @@ WITH v AS ({_QV_SQL}
               JOIN v vb ON vb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b,
-       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
 FROM verified WHERE dot_q >= {_RHP_TAU_DOT}
 """
 
@@ -1252,11 +1263,13 @@ WITH d AS (
   FROM d GROUP BY dim
 )
 SELECT CAST(dim AS INT) AS dim, n,
-       round(CAST(s AS DOUBLE) / (n * {_DIMSTAT_SCALE}.0), 6) AS mean,
-       round(sqrt((n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-             / (CAST(n AS DOUBLE) * n)) / {_DIMSTAT_SCALE}.0, 6) AS std,
-       round(mn / {_DIMSTAT_SCALE}.0, 6) AS min_v,
-       round(mx / {_DIMSTAT_SCALE}.0, 6) AS max_v
+       floor(CAST(s AS DOUBLE) / (n * {_DIMSTAT_SCALE}.0)
+             * 1000000 + 0.5) / 1000000 AS mean,
+       floor(sqrt((n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * n)) / {_DIMSTAT_SCALE}.0
+             * 1000000 + 0.5) / 1000000 AS std,
+       floor(mn / {_DIMSTAT_SCALE}.0 * 1000000 + 0.5) / 1000000 AS min_v,
+       floor(mx / {_DIMSTAT_SCALE}.0 * 1000000 + 0.5) / 1000000 AS max_v
 FROM m
 """
 
@@ -1300,10 +1313,12 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "dim",
         "n",
-        F.round(F.col("s").cast("double") / (F.col("n") * float(_DIMSTAT_SCALE)), 6).alias("mean"),
-        F.round(sd / _DIMSTAT_SCALE, 6).alias("std"),
-        F.round(F.col("mn") / float(_DIMSTAT_SCALE), 6).alias("min_v"),
-        F.round(F.col("mx") / float(_DIMSTAT_SCALE), 6).alias("max_v"),
+        stable_round(
+            F.col("s").cast("double") / (F.col("n") * float(_DIMSTAT_SCALE)), 6
+        ).alias("mean"),
+        stable_round(sd / _DIMSTAT_SCALE, 6).alias("std"),
+        stable_round(F.col("mn") / float(_DIMSTAT_SCALE), 6).alias("min_v"),
+        stable_round(F.col("mx") / float(_DIMSTAT_SCALE), 6).alias("max_v"),
     )
 
 
@@ -1339,7 +1354,8 @@ WITH v AS (
 )
 SELECT query_id, neighbor_id, CAST(neg_label AS BIGINT) AS neg_label,
        CAST(rank AS INT) AS rank,
-       round(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0, 6) AS cosine
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
 FROM ranked WHERE rank <= {_HN_TOP_K}
 """
 
@@ -1417,7 +1433,7 @@ def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "neg_label",
             "rank",
-            F.round(F.col("dot_q").cast("double") / _SCALE_SQ, 6).alias(
+            stable_round(F.col("dot_q").cast("double") / _SCALE_SQ, 6).alias(
                 "cosine"
             ),
         )

@@ -57,10 +57,10 @@ q_sql_pricing_summary = _sql_query(
     "q_sql_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
-         AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
-         AS sum_base_price,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         * 100 + 0.5) / 100 AS sum_qty,
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         * 100 + 0.5) / 100 AS sum_base_price,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'
@@ -73,8 +73,8 @@ q_sql_suppliers_per_nation = _sql_query(
     "q_sql_suppliers_per_nation",
     """
 SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
-       round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
-         AS total_bal
+       floor(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         * 100 + 0.5) / 100 AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_suppliers DESC, n_name

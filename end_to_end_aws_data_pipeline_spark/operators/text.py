@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import spread, table
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _STOPWORDS = ("the", "a", "of", "and")
@@ -33,13 +34,15 @@ SELECT
   CAST(nc AS BIGINT) AS n_chars,
   CAST(len(w) AS BIGINT) AS n_words,
   CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_words,
-  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_ratio,
-  round(CAST(nc - (len(w) - 1) AS DOUBLE) / len(w), 6) AS avg_word_len,
-  round(CAST(len(list_filter(w, x -> x IN {_STOPWORDS})) AS DOUBLE) / len(w), 6)
-    AS stopword_ratio,
-  round(0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+  floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+        * 1000000 + 0.5) / 1000000 AS uniq_ratio,
+  floor(CAST(nc - (len(w) - 1) AS DOUBLE) / len(w)
+        * 1000000 + 0.5) / 1000000 AS avg_word_len,
+  floor(CAST(len(list_filter(w, x -> x IN {_STOPWORDS})) AS DOUBLE) / len(w)
+        * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+  floor((0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
       + 0.5 * (1.0 - CAST(len(list_filter(w, x -> x IN {_STOPWORDS})) AS DOUBLE)
-                     / len(w)), 6) AS quality_score
+                     / len(w))) * 1000000 + 0.5) / 1000000 AS quality_score
 FROM t
 """
 
@@ -65,10 +68,12 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         nc.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
         n_uniq.cast("long").alias("n_uniq_words"),
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        F.round(avg_word_len, 6).alias("avg_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(0.5 * uniq_ratio + 0.5 * (1.0 - stop_ratio), 6).alias("quality_score"),
+        stable_round(uniq_ratio, 6).alias("uniq_ratio"),
+        stable_round(avg_word_len, 6).alias("avg_word_len"),
+        stable_round(stop_ratio, 6).alias("stopword_ratio"),
+        stable_round(0.5 * uniq_ratio + 0.5 * (1.0 - stop_ratio), 6).alias(
+            "quality_score"
+        ),
     )
 
 
@@ -231,7 +236,8 @@ WITH tok AS (
   SELECT tf.doc_id, tf.word,
          CAST(tf.tf AS BIGINT) AS tf,
          CAST(df.df AS BIGINT) AS df,
-         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+               * 1000000 + 0.5) / 1000000 AS tfidf
   FROM tf JOIN df USING (word) CROSS JOIN n
 ), ranked AS (
   SELECT *, row_number() OVER (
@@ -264,7 +270,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "tf",
             "df",
-            F.round(
+            stable_round(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
             ).alias("tfidf"),
         )
@@ -325,8 +331,8 @@ WITH w AS (
 SELECT doc_id,
        count(*) AS n_bigrams,
        CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
-       round(CAST(sum(nll_micro) AS DOUBLE) / count(*) / 1000000, 6)
-         AS avg_nll
+       floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) / 1000000
+             * 1000000 + 0.5) / 1000000 AS avg_nll
 FROM terms
 GROUP BY doc_id
 """
@@ -380,7 +386,7 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("nll_micro").cast("long").alias("nll_micro_sum"),
-        F.round(
+        stable_round(
             F.sum("nll_micro").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
         ).alias("avg_nll"),
     )
@@ -486,8 +492,8 @@ WITH lex(word, polarity) AS (
 SELECT s.doc_id,
        coalesce(s.polarity_sum, 0) AS polarity_sum,
        s.n_scored,
-       round(CAST(coalesce(s.polarity_sum, 0) AS DOUBLE) / w.n_words, 6)
-         AS sentiment
+       floor(CAST(coalesce(s.polarity_sum, 0) AS DOUBLE) / w.n_words
+             * 1000000 + 0.5) / 1000000 AS sentiment
 FROM scores s JOIN words w ON s.doc_id = w.doc_id
 """
 
@@ -517,8 +523,9 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("polarity_sum", F.lit(0)).alias("polarity_sum"),
             "n_scored",
-            F.round(
-                F.coalesce("polarity_sum", F.lit(0)).cast("double") / F.col("n_words"),
+            stable_round(
+                F.coalesce("polarity_sum", F.lit(0)).cast("double")
+                / F.col("n_words"),
                 6,
             ).alias("sentiment"),
         )
@@ -686,8 +693,9 @@ WITH tok AS (
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       floor(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS oov_rate
 FROM tok t LEFT JOIN vocab v ON v.w = t.w
 GROUP BY t.doc_id
 """
@@ -722,7 +730,9 @@ def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum(oov).cast("long").alias("n_oov"),
-        F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
+        stable_round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "oov_rate"
+        ),
     )
 
 
@@ -1033,8 +1043,8 @@ WITH toks AS (
 )
 SELECT hs.source,
        CAST(ts.ns AS BIGINT) AS n_tokens,
-       round(CAST(sum(hs.cs * {_kl_lw("//")}) AS DOUBLE)
-             / (16.0 * ts.ns), 6) AS kl_bits
+       floor(CAST(sum(hs.cs * {_kl_lw("//")}) AS DOUBLE)
+             / (16.0 * ts.ns) * 1000000 + 0.5) / 1000000 AS kl_bits
 FROM hs
 JOIN hg USING (b)
 JOIN ts ON hs.source = ts.source
@@ -1095,7 +1105,7 @@ def q_text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("ns").cast("long").alias("n_tokens"),
-            F.round(
+            stable_round(
                 F.col("klsum").cast("double") / (16.0 * F.col("ns")), 6
             ).alias("kl_bits"),
         )
@@ -1121,7 +1131,8 @@ stoks AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(n_sub) AS BIGINT) AS n_subwords,
-       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subwords_per_token
+       floor(CAST(sum(n_sub) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         / 1000000 AS subwords_per_token
 FROM enc GROUP BY source
 """
 
@@ -1168,7 +1179,429 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("n_sub").cast("long").alias("n_subwords"),
-        F.round(
+        stable_round(
+            F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+        ).alias("subwords_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer training — the EM sibling
+# of BPE: a fixed candidate vocabulary re-scored by Viterbi hard-EM
+# rounds, every score an exact int64 fixed-point -log2 so the oracle
+# replays the full training bit-for-bit
+# ---------------------------------------------------------------------------
+
+_ULM_PLEN = 4  # max piece length (chars)
+_ULM_MAXLEN = 12  # word char cap (bounds the unrolled DP; cf. max_sentence_length)
+_ULM_SEED = 48  # multi-char seed pieces (top by count, tie piece asc)
+_ULM_ROUNDS = 2  # Viterbi hard-EM rounds
+_ULM_TOP = 15  # published pieces
+
+
+def _ulm_l2(x: int) -> int:
+    """Python replica of extras._l2hi_steps: L(x) = 65536·log2(x) via
+    pure integer ops — identical to the SQL spelling digit for digit,
+    so DP costs computed on the driver equal the oracle's exactly."""
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        _L2HI_B,
+        _L2HI_D,
+        _L2HI_S,
+        _L2HI_SEGS,
+    )
+
+    e = x.bit_length() - 1
+    t = x * _L2HI_SEGS
+    q = t // (1 << e)
+    j = q - _L2HI_SEGS
+    r = t - q * (1 << e)
+    sh = max(e - 20, 0)
+    return _L2HI_S * e + _L2HI_B[j] + (r >> sh) * _L2HI_D[j] // (1 << (e - sh))
+
+
+def _ulm_l2_sql(x: str) -> str:
+    """The same L(x) as one inlined DuckDB scalar expression."""
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        _L2HI_B,
+        _L2HI_D,
+        _L2HI_S,
+        _L2HI_SEGS,
+    )
+
+    def case(col: str, tab: list) -> str:
+        return (
+            "CASE " + col + " "
+            + " ".join(f"WHEN {j} THEN {v}" for j, v in enumerate(tab))
+            + " END"
+        )
+
+    e = f"(length(bin({x})) - 1)"
+    q = f"(({x}) * {_L2HI_SEGS} // (CAST(1 AS BIGINT) << {e}))"
+    j = f"({q} - {_L2HI_SEGS})"
+    r = f"(({x}) * {_L2HI_SEGS} - {q} * (CAST(1 AS BIGINT) << {e}))"
+    sh = f"greatest({e} - 20, 0)"
+    return (
+        f"({_L2HI_S} * {e} + {case(j, _L2HI_B)} + "
+        f"({r} // (CAST(1 AS BIGINT) << {sh})) * ({case(j, _L2HI_D)}) "
+        f"// (CAST(1 AS BIGINT) << ({e} - {sh})))"
+    )
+
+
+def _ulm_viterbi(word: str, cost: dict) -> tuple:
+    """Unique best segmentation minimizing (Σcost, n_pieces); at equal
+    (cost, n) the LONGER candidate piece wins (lengths tried 4→1 with
+    strict '<' replacement) — the same tie-break the oracle's
+    row_number ORDER BY cost, np, len DESC encodes, so the chosen
+    segmentation is identical in both engines by induction."""
+    n = len(word)
+    dp = [None] * (n + 1)
+    dp[0] = (0, 0, ())
+    for j in range(1, n + 1):
+        best = None
+        for ln in range(_ULM_PLEN, 0, -1):
+            if ln > j:
+                continue
+            piece = word[j - ln : j]
+            c = cost.get(piece)
+            if c is None or dp[j - ln] is None:
+                continue
+            prev = dp[j - ln]
+            key = (prev[0] + c, prev[1] + 1)
+            if best is None or key < (best[0], best[1]):
+                best = (key[0], key[1], prev[2] + (piece,))
+        dp[j] = best
+    return dp[n][2]
+
+
+def _ulm_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct clean-word frequency table (the vocabulary-sized relation
+    every EM pass runs over): ASCII words, lowercased, length-capped."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(
+            F.col("t").rlike(_bpe_word_filter())
+            & (F.length("t") <= _ULM_MAXLEN)
+        )
+        .select(F.lower("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _ulm_train(spark: SparkSession, sf_dir: str) -> dict:
+    """Run seed + EM; returns the final piece→count model.
+
+    Scale shape: every distributed pass is over the DISTINCT-WORD
+    table (vocabulary-sized at any corpus size), the model state on
+    the driver is ≤ (seed + alphabet) entries, and the per-round
+    E-step is one Arrow-batched mapInPandas (Viterbi DP is inherently
+    per-word sequential — the legitimate Python case) followed by one
+    bounded piece-count aggregate. The corpus-sized token stream is
+    touched exactly once, in _ulm_words' groupBy."""
+    import pandas as pd
+
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    words = persisted(_ulm_words(spark, sf_dir))
+
+    # substr over an index sequence — selectExpr keeps the spelling
+    # identical to the oracle's substr/range form. The length filter is
+    # load-bearing: Spark's sequence(1, stop) DESCENDS when stop < 1
+    # (range() in DuckDB is empty), so short words must not reach the
+    # explode at all.
+    subs = [
+        words.filter(F.length("word") >= ln).selectExpr(
+            f"explode(transform(sequence(1, length(word) - {ln - 1}), "
+            f"i -> substr(word, i, {ln}))) AS piece",
+            "cnt",
+        )
+        for ln in range(2, _ULM_PLEN + 1)
+    ]
+    cand = (
+        subs[0].unionByName(subs[1]).unionByName(subs[2])
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    seed = cand.orderBy(F.col("cnt").desc(), "piece").limit(_ULM_SEED).collect()
+    chars = (
+        words.selectExpr(
+            "explode(transform(sequence(1, length(word)), "
+            "i -> substr(word, i, 1))) AS piece",
+            "cnt",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .collect()
+    )
+    model = {r["piece"]: int(r["cnt"]) for r in chars}
+    for r in seed:
+        model[r["piece"]] = int(r["cnt"])
+
+    for _ in range(_ULM_ROUNDS):
+        total = sum(model.values())
+        l_t = _ulm_l2(total)
+        cost = {p: l_t - _ulm_l2(c) for p, c in model.items()}
+
+        def _estep(batches, cost=cost):
+            for pdf in batches:
+                out_p, out_c = [], []
+                for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                    for piece in _ulm_viterbi(word, cost):
+                        out_p.append(piece)
+                        out_c.append(int(cnt))
+                yield pd.DataFrame({"piece": out_p, "cnt": out_c})
+
+        ec = (
+            words.mapInPandas(_estep, schema="piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in ec}
+        new_model = {}
+        for p in model:
+            if len(p) == 1:
+                new_model[p] = max(counts.get(p, 0), 1)
+            elif counts.get(p, 0) > 0:
+                new_model[p] = counts[p]
+        model = new_model
+    return model
+
+
+def _ulm_oracle_core() -> str:
+    """Unrolled-CTE replay of the full trainer (cf. _bpe_oracle): seed
+    candidates, then per round a cost table and a {_ULM_MAXLEN}-stage
+    Viterbi DP carrying each word's segmentation as a list. Every CTE
+    is MATERIALIZED — default inlining re-expands the DP chain
+    exponentially (dp_12 inlines dp_11..dp_8, each inlining four
+    more), which exhausts file handles re-scanning the parquet view."""
+    parts = [
+        f"""
+WITH toks AS MATERIALIZED (
+  SELECT lower(t) AS w FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE regexp_matches(t, '{_bpe_word_filter()}')
+    AND length(t) <= {_ULM_MAXLEN}
+), words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+), cand AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    {" UNION ALL ".join(
+        f"SELECT substr(word, i, {ln}) AS piece, cnt FROM words, "
+        f"unnest(range(1, length(word) - {ln - 1} + 1)) AS t(i)"
+        for ln in range(2, _ULM_PLEN + 1))}
+  ) GROUP BY piece
+), seed AS MATERIALIZED (
+  SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT {_ULM_SEED}
+), chars AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT substr(word, i, 1) AS piece, cnt FROM words,
+    unnest(range(1, length(word) + 1)) AS t(i)
+  ) GROUP BY piece
+), v1 AS MATERIALIZED (
+  SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM seed
+)"""
+    ]
+    for r in range(1, _ULM_ROUNDS + 1):
+        parts.append(
+            f""", vc{r} AS MATERIALIZED (
+  SELECT piece, ({_ulm_l2_sql("t.tt")} - {_ulm_l2_sql("cnt")}) AS cost
+  FROM v{r}, (SELECT sum(cnt) AS tt FROM v{r}) t
+), dp{r}_0 AS MATERIALIZED (
+  SELECT word, cnt, CAST(0 AS BIGINT) AS cost, 0 AS np,
+         CAST([] AS VARCHAR[]) AS seg
+  FROM words
+)"""
+        )
+        for j in range(1, _ULM_MAXLEN + 1):
+            cands = " UNION ALL ".join(
+                f"""SELECT d.word, d.cnt, d.cost + v.cost AS cost, d.np + 1 AS np,
+       list_append(d.seg, v.piece) AS seg, {ln} AS len
+FROM dp{r}_{j - ln} d JOIN vc{r} v
+  ON v.piece = substr(d.word, {j - ln + 1}, {ln})
+WHERE length(d.word) >= {j}"""
+                for ln in range(1, _ULM_PLEN + 1)
+                if ln <= j
+            )
+            parts.append(
+                f""", dp{r}_{j} AS MATERIALIZED (
+  SELECT word, cnt, cost, np, seg FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY word ORDER BY cost, np, len DESC) AS rn
+    FROM ({cands})
+  ) WHERE rn = 1
+)"""
+            )
+        fin = " UNION ALL ".join(
+            f"SELECT word, cnt, seg FROM dp{r}_{j} WHERE length(word) = {j}"
+            for j in range(1, _ULM_MAXLEN + 1)
+        )
+        parts.append(
+            f""", fin{r} AS MATERIALIZED ({fin})
+, ec{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest(seg) AS piece, cnt FROM fin{r}
+  ) GROUP BY piece
+), v{r + 1} AS MATERIALIZED (
+  SELECT v.piece,
+         CASE WHEN length(v.piece) = 1 THEN greatest(coalesce(e.cnt, 0), 1)
+              ELSE e.cnt END AS cnt
+  FROM v{r} v LEFT JOIN ec{r} e USING (piece)
+  WHERE length(v.piece) = 1 OR coalesce(e.cnt, 0) > 0
+)"""
+        )
+    return "".join(parts)
+
+
+def _ulm_train_oracle() -> str:
+    return (
+        _ulm_oracle_core()
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+       piece, cnt AS piece_count
+FROM v{_ULM_ROUNDS + 1} WHERE length(piece) > 1
+ORDER BY cnt DESC, piece LIMIT {_ULM_TOP}"""
+    )
+
+
+@register("q_text_unigram_train", oracle=_ulm_train_oracle())
+def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training — the EM
+    sibling of q_text_bpe_merges (Kudo, "Subword Regularization",
+    ACL'18): seed a candidate vocabulary with every ≤{_ULM_PLEN}-char
+    substring of the clean-word table (top {_ULM_SEED} by corpus count
+    + the full alphabet), then run {_ULM_ROUNDS} Viterbi hard-EM
+    rounds — E-step segments every distinct word by minimum total
+    -log2 p(piece) (exact int64 fixed-point, extras._l2hi_steps
+    semantics), M-step re-counts pieces from the chosen segmentations.
+    Published: the final top-{_ULM_TOP} multi-char pieces.
+
+    Determinism: costs are integers, the DP tie-break is total
+    ((cost, n_pieces), then longest piece), and seed selection ties
+    break on the piece string — so the oracle's unrolled-CTE replay
+    (seed → per-round cost table → {_ULM_MAXLEN}-stage list-carrying
+    DP → re-count) reproduces training EXACTLY, like the BPE oracle.
+
+    100 TB: every distributed pass is vocabulary-sized (distinct clean
+    words); driver state is ≤ seed+alphabet counts; the corpus stream
+    is read once. Viterbi is per-word sequential — the legitimate
+    Arrow-batched Python case — and never sees corpus rows."""
+    model = _ulm_train(spark, sf_dir)
+    rows = sorted(
+        ((p, c) for p, c in model.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_ULM_TOP]
+    return spark.createDataFrame(
+        [(i + 1, p, c) for i, (p, c) in enumerate(rows)],
+        schema="rank int, piece string, piece_count long",
+    )
+
+
+def _ulm_encode_oracle() -> str:
+    core = _ulm_oracle_core()
+    r = _ULM_ROUNDS
+    return (
+        core
+        + f""", vcf AS MATERIALIZED (
+  SELECT piece, ({_ulm_l2_sql("t.tt")} - {_ulm_l2_sql("cnt")}) AS cost
+  FROM v{r + 1}, (SELECT sum(cnt) AS tt FROM v{r + 1}) t
+), dpf_0 AS MATERIALIZED (
+  SELECT word, cnt, CAST(0 AS BIGINT) AS cost, 0 AS np,
+         CAST([] AS VARCHAR[]) AS seg
+  FROM words
+)"""
+        + "".join(
+            f""", dpf_{j} AS MATERIALIZED (
+  SELECT word, cnt, cost, np, seg FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY word ORDER BY cost, np, len DESC) AS rn
+    FROM ({" UNION ALL ".join(
+        f'''SELECT d.word, d.cnt, d.cost + v.cost AS cost, d.np + 1 AS np,
+       list_append(d.seg, v.piece) AS seg, {ln} AS len
+FROM dpf_{j - ln} d JOIN vcf v
+  ON v.piece = substr(d.word, {j - ln + 1}, {ln})
+WHERE length(d.word) >= {j}'''
+        for ln in range(1, _ULM_PLEN + 1) if ln <= j)})
+  ) WHERE rn = 1
+)"""
+            for j in range(1, _ULM_MAXLEN + 1)
+        )
+        + f""", finf AS MATERIALIZED ({" UNION ALL ".join(
+            f"SELECT word, np FROM dpf_{j} WHERE length(word) = {j}"
+            for j in range(1, _ULM_MAXLEN + 1))})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       floor(CAST(sum(n_sub) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         / 1000000 AS subwords_per_token
+FROM (
+  SELECT d.source,
+         CASE WHEN regexp_matches(d.t, '{_bpe_word_filter()}')
+                   AND length(d.t) <= {_ULM_MAXLEN}
+              THEN f.np ELSE 1 END AS n_sub
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ) d LEFT JOIN finf f ON lower(d.t) = f.word
+)
+GROUP BY source"""
+    )
+
+
+@register("q_text_unigram_encode", oracle=_ulm_encode_oracle())
+def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the just-trained unigram-LM model to the corpus and report
+    per-source token statistics — the exact twin of q_text_bpe_encode's
+    role for BPE, and a second independent cross-engine check that the
+    TRAINED MODEL (not just its top pieces) matches: every distinct
+    word's optimal piece count under the final model must agree.
+
+    Scale shape (same as BPE encode): segmentation runs once per
+    DISTINCT word (vocabulary-sized mapInPandas), the corpus-sized
+    token stream broadcast-joins to (word → n_pieces); untrained
+    tokens pass through as single pieces, decided by the same filter
+    in both engines before the join."""
+    import pandas as pd
+
+    model = _ulm_train(spark, sf_dir)
+    total = sum(model.values())
+    l_t = _ulm_l2(total)
+    cost = {p: l_t - _ulm_l2(c) for p, c in model.items()}
+
+    def _seg_count(batches, cost=cost):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "np": [
+                        len(_ulm_viterbi(w, cost)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    wc = _ulm_words(spark, sf_dir).mapInPandas(
+        _seg_count, schema="word string, np int"
+    )
+    stoks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    enc = stoks.join(
+        F.broadcast(wc), F.lower(F.col("t")) == F.col("word"), "left"
+    ).select(
+        "source",
+        F.coalesce(
+            F.when(
+                F.col("t").rlike(_bpe_word_filter())
+                & (F.length("t") <= _ULM_MAXLEN),
+                F.col("np"),
+            ),
+            F.lit(1),
+        ).alias("n_sub"),
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+        stable_round(
             F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
         ).alias("subwords_per_token"),
     )
@@ -1192,8 +1625,9 @@ WITH st AS (
 )
 SELECT src_a, src_b, n_common,
        sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b,
-       round(CAST(n_common AS DOUBLE)
-             / (sa.n_vocab + sb.n_vocab - n_common), 6) AS jaccard
+       floor(CAST(n_common AS DOUBLE)
+             / (sa.n_vocab + sb.n_vocab - n_common) * 1000000 + 0.5)
+         / 1000000 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.source = src_a
 JOIN sizes sb ON sb.source = src_b
@@ -1246,7 +1680,7 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "vocab_a",
             "vocab_b",
-            F.round(
+            stable_round(
                 F.col("n_common").cast("double")
                 / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
                 6,
@@ -1330,10 +1764,12 @@ WITH lex(lex_lang, word) AS (
   FROM pred GROUP BY labeled, predicted
 )
 SELECT labeled, predicted, n,
-       round(CAST(n AS DOUBLE) /
-             sum(n) OVER (PARTITION BY labeled), 6) AS recall_share,
-       round(CAST(n AS DOUBLE) /
-             sum(n) OVER (PARTITION BY predicted), 6) AS precision_share
+       floor(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY labeled) * 1000000 + 0.5) / 1000000
+         AS recall_share,
+       floor(CAST(n AS DOUBLE) /
+             sum(n) OVER (PARTITION BY predicted) * 1000000 + 0.5) / 1000000
+         AS precision_share
 FROM cm
 """
 
@@ -1385,12 +1821,12 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled",
         "predicted",
         "n",
-        F.round(
+        stable_round(
             F.col("n").cast("double")
             / F.sum("n").over(W.partitionBy("labeled")),
             6,
         ).alias("recall_share"),
-        F.round(
+        stable_round(
             F.col("n").cast("double")
             / F.sum("n").over(W.partitionBy("predicted")),
             6,
@@ -1430,13 +1866,14 @@ WITH tf AS (
   FROM pts
 )
 SELECT n AS n_points,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-         AS zipf_slope,
-       round((CAST(sy AS DOUBLE)
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1000000 + 0.5) / 1000000 AS zipf_slope,
+       floor((CAST(sy AS DOUBLE)
               - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sx) / (16.0 * n), 6) AS intercept_log2
+                * sx) / (16.0 * n) * 1000000 + 0.5) / 1000000
+         AS intercept_log2
 FROM m
 """
 
@@ -1499,8 +1936,8 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (sy - slope * sx) / (16.0 * n)
     return m.select(
         F.col("n").alias("n_points"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(intercept, 6).alias("intercept_log2"),
+        stable_round(slope, 6).alias("zipf_slope"),
+        stable_round(intercept, 6).alias("intercept_log2"),
     )
 
 
@@ -1546,7 +1983,8 @@ WITH ch AS (
 )
 SELECT doc_id, n_total, n_distinct,
        CAST({_ent_expr('//')} AS BIGINT) AS entropy_x16,
-       round(CAST({_ent_expr('//')} AS DOUBLE) / 16.0, 4) AS entropy_bits
+       floor(CAST({_ent_expr('//')} AS DOUBLE) / 16.0 * 10000 + 0.5)
+         / 10000 AS entropy_bits
 FROM doc
 """
 
@@ -1587,7 +2025,7 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "n_distinct",
         ent.cast("long").alias("entropy_x16"),
-        F.round(ent.cast("double") / 16.0, 4).alias("entropy_bits"),
+        stable_round(ent.cast("double") / 16.0, 4).alias("entropy_bits"),
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum, dsum_sql
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _Q6_ORACLE = f"""
@@ -121,11 +122,12 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = f"""
 SELECT
-  round(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%%'
+  floor(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%%'
                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
                   AS DECIMAL(18,4))) AS DOUBLE)
         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue_pct,
+                  AS DECIMAL(18,4))) AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS promo_revenue_pct,
   count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
@@ -147,7 +149,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     j = li.join(p, li.l_partkey == p.p_partkey)
     return j.agg(
-        F.round(
+        stable_round(
             100.0
             * F.sum(promo_rev.cast("decimal(18,4)")).cast("double")
             / F.sum(rev.cast("decimal(18,4)")).cast("double"),

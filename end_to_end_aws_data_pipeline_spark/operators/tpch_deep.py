@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum, dsum_sql
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -316,8 +317,8 @@ WITH part_avg AS (
   FROM lineitem
   GROUP BY l_partkey
 )
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / 7.0, 2) AS avg_yearly,
+SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
        count(*) AS n_small_orders
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -355,8 +356,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
     )
     return j.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0,
+        stable_round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / 7.0,
             2,
         ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_small_orders"),
@@ -495,9 +497,10 @@ WITH flat AS (
     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 )
 SELECT o_year,
-       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+       floor(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+             / CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS mkt_share,
        count(*) AS n_items
 FROM flat
 GROUP BY o_year
@@ -560,7 +563,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flat.groupBy("o_year")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
                     .otherwise(zero)
@@ -747,7 +750,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(val).alias("_exact"),
-        F.round(F.sum(val).cast("double"), 4).alias("part_value"),
+        stable_round(F.sum(val).cast("double"), 4).alias("part_value"),
     )
     total = li.agg(F.sum(val).alias("_total"))
     return (

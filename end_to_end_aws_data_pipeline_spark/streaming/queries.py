@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import _cached_schema, normalize_event_ts, table
-from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum_sql
+from end_to_end_aws_data_pipeline_spark.functions.aggs import (
+    dsum_sql,
+    stable_round,
+)
 from end_to_end_aws_data_pipeline_spark.registry import register
 from end_to_end_aws_data_pipeline_spark.streaming.windows import (
     session_counts,
@@ -243,8 +246,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATEFUL_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
-         AS total_value,
+       floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             + 0.5) / 100 AS total_value,
        min(ts) AS first_ts,
        max(ts) AS last_ts
 FROM events
@@ -293,8 +296,13 @@ def q_stream_stateful_user_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"),
-                "first_ts", "last_ts")
+        .select(
+            "user_id",
+            "n_events",
+            stable_round("total_value", 2).alias("total_value"),
+            "first_ts",
+            "last_ts",
+        )
     )
 
 
@@ -639,13 +647,13 @@ WITH e AS (
   FROM events
 )
 SELECT event_type, bar_ts,
-       round(max(CASE WHEN rn_a = 1 THEN vc END) / 100.0, 2) AS open,
-       round(max(vc) / 100.0, 2) AS high,
-       round(min(vc) / 100.0, 2) AS low,
-       round(max(CASE WHEN rn_d = 1 THEN vc END) / 100.0, 2) AS close,
+       floor(max(CASE WHEN rn_a = 1 THEN vc END) + 0.5) / 100 AS open,
+       floor(max(vc) + 0.5) / 100 AS high,
+       floor(min(vc) + 0.5) / 100 AS low,
+       floor(max(CASE WHEN rn_d = 1 THEN vc END) + 0.5) / 100 AS close,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
-             / (100.0 * count(*)), 6) AS mean_value
+       floor(CAST(sum(CAST(vc AS HUGEINT)) AS DOUBLE)
+             / (100.0 * count(*)) * 1000000 + 0.5) / 1000000 AS mean_value
 FROM e
 GROUP BY event_type, bar_ts
 """

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+
 from end_to_end_aws_data_pipeline_spark.functions.aggs import dsum
 
 
@@ -97,12 +99,12 @@ def ohlc_bars(events: DataFrame, width: str = "1 hour") -> DataFrame:
     return (
         e.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
-            F.round(F.min_by("vc", ord_key) / 100.0, 2).alias("open"),
-            F.round(F.max("vc") / 100.0, 2).alias("high"),
-            F.round(F.min("vc") / 100.0, 2).alias("low"),
-            F.round(F.max_by("vc", ord_key) / 100.0, 2).alias("close"),
+            (F.floor(F.min_by("vc", ord_key) + 0.5) / 100).alias("open"),
+            (F.floor(F.max("vc") + 0.5) / 100).alias("high"),
+            (F.floor(F.min("vc") + 0.5) / 100).alias("low"),
+            (F.floor(F.max_by("vc", ord_key) + 0.5) / 100).alias("close"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(
+            stable_round(
                 F.sum(F.col("vc").cast("decimal(38,0)")).cast("double")
                 / (100.0 * F.count(F.lit(1))),
                 6,

@@ -341,3 +341,155 @@ def test_bpe_merge_counts_non_increasing(spark):
     assert len(counts) == 6
     assert all(c > 0 for c in counts)
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_longest_run_planted_overlaps(spark, tmp_path):
+    """Planted-overlap exactness: documents built around exactly-known
+    shared token runs must reconstruct the run length EXACTLY (anchors
+    + gaps-and-islands == suffix-array answer), exclude runs under the
+    report floor, and count multiple disjoint runs separately."""
+    import os
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _RUN_ANCHOR,
+        _RUN_MIN,
+        q_dedup_longest_run,
+    )
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    shared_a = words("s", 25)          # one 25-token run (>= _RUN_MIN)
+    shared_b = words("t", _RUN_MIN)    # one exactly-at-floor run
+    short = words("u", _RUN_MIN - 1)   # 19 tokens: must NOT be reported
+    docs = [
+        # doc 1 and 2 share the 25-run and the 20-run, disjointly
+        (1, " ".join(words("a", 7) + shared_a + words("b", 9)
+                     + shared_b + words("c", 5))),
+        (2, " ".join(words("d", 11) + shared_a + words("e", 6)
+                     + shared_b + words("f", 3))),
+        # doc 3 shares only the under-floor run with doc 1
+        (3, " ".join(short + words("g", 30))),
+        (4, " ".join(words("h", 40))),  # shares nothing
+    ]
+    # splice the short run into doc 1's filler so 1-3 overlap < _RUN_MIN
+    docs[0] = (1, docs[0][1] + " " + " ".join(short))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in q_dedup_longest_run(spark, sf).collect()
+    }
+    assert set(out) == {(1, 2)}, "under-floor and no-overlap pairs excluded"
+    r = out[(1, 2)]
+    assert r.longest_run == 25
+    assert r.n_runs == 2
+    assert r.dup_tokens == 25 + _RUN_MIN
+    assert _RUN_MIN - 1 >= _RUN_ANCHOR, "floor must stay >= anchor width"
+
+
+def test_unigram_train_matches_python_replay(spark):
+    """Full independent replay of unigram-LM training in plain Python
+    (pandas + collections, no Spark, no DuckDB) — seed selection, both
+    hard-EM rounds, the integer fixed-point costs, and the DP
+    tie-break must all reproduce the engine's published pieces
+    EXACTLY, or some step is engine-dependent."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _ULM_MAXLEN,
+        _ULM_PLEN,
+        _ULM_ROUNDS,
+        _ULM_SEED,
+        _ULM_TOP,
+        _bpe_word_filter,
+        _ulm_l2,
+        _ulm_viterbi,
+        q_text_unigram_train,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+    rx = re.compile(_bpe_word_filter())
+    wc = Counter()
+    for t in df["text"]:
+        for w in t.split(" "):
+            if rx.match(w) and len(w) <= _ULM_MAXLEN:
+                wc[w.lower()] += 1
+
+    cand, chars = Counter(), Counter()
+    for w, c in wc.items():
+        for ln in range(2, _ULM_PLEN + 1):
+            for i in range(len(w) - ln + 1):
+                cand[w[i : i + ln]] += c
+        for ch in w:
+            chars[ch] += c
+    model = dict(
+        sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:_ULM_SEED]
+    )
+    model.update(chars)
+
+    for _ in range(_ULM_ROUNDS):
+        total = sum(model.values())
+        l_t = _ulm_l2(total)
+        cost = {p: l_t - _ulm_l2(c) for p, c in model.items()}
+        counts = Counter()
+        for w, c in wc.items():
+            for piece in _ulm_viterbi(w, cost):
+                counts[piece] += c
+        model = {
+            p: (max(counts.get(p, 0), 1) if len(p) == 1 else counts[p])
+            for p in model
+            if len(p) == 1 or counts.get(p, 0) > 0
+        }
+
+    expected = sorted(
+        ((p, c) for p, c in model.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_ULM_TOP]
+    got = [
+        (r.piece, r.piece_count)
+        for r in q_text_unigram_train(spark, SF_SMOKE).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_unigram_viterbi_segmentation_reconstructs(spark):
+    """Structural invariants of the DP: every segmentation concatenates
+    back to the word, uses only vocab pieces, and is optimal vs a
+    brute-force enumeration on short words."""
+    from itertools import product
+
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _ULM_PLEN,
+        _ulm_viterbi,
+    )
+
+    cost = {"a": 5, "b": 7, "ab": 9, "ba": 8, "aba": 20, "bb": 30}
+    for word in ["ab", "aba", "abab", "bbaa", "ababab"]:
+        if any(ch not in cost for ch in word):
+            continue
+        seg = _ulm_viterbi(word, cost)
+        assert "".join(seg) == word
+        assert all(p in cost for p in seg)
+        # brute force: all compositions into pieces of length <= _ULM_PLEN
+        def comps(w):
+            if not w:
+                yield ()
+                return
+            for ln in range(1, min(_ULM_PLEN, len(w)) + 1):
+                p = w[:ln]
+                if p in cost:
+                    for rest in comps(w[ln:]):
+                        yield (p,) + rest
+        best = min(
+            (sum(cost[p] for p in c), len(c)) for c in comps(word)
+        )
+        assert (sum(cost[p] for p in seg), len(seg)) == best
