@@ -1710,6 +1710,12 @@ def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUN_ANCHOR = 8  # anchor k-gram width (detection floor)
 _RUN_MIN = 20  # report runs of at least this many shared tokens
+# hot-anchor guard: an anchor shared by d documents emits d(d-1)/2
+# candidate pairs, so one boilerplate 8-gram in millions of documents
+# is a quadratic bomb. Anchors with df beyond the cap are boilerplate,
+# not passage duplication — dropped identically in both engines (the
+# fixtures' max df is 8, so the cap is semantics-neutral there).
+_RUN_DF_CAP = 1000
 
 
 def positional_shingles(text: Column, k: int) -> Column:
@@ -1736,10 +1742,15 @@ WITH w AS (
            {", ".join(f"toks[i+{j}]" for j in range(_RUN_ANCHOR))})) AS g
   FROM w, unnest(range(1, greatest(len(toks) - {_RUN_ANCHOR - 1}, 0) + 1))
        AS t(i)
+), grp AS (
+  SELECT g FROM anch GROUP BY g
+  HAVING count(*) >= 2 AND count(*) <= {_RUN_DF_CAP}
+), hit AS (
+  SELECT a.* FROM anch a JOIN grp USING (g)
 ), m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.pos AS pa, a.pos - b.pos AS off
-  FROM anch a JOIN anch b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM hit a JOIN hit b ON a.g = b.g AND a.doc_id < b.doc_id
 ), isl AS (
   SELECT doc_a, doc_b, off,
          pa - row_number() OVER (
@@ -1790,12 +1801,31 @@ def q_dedup_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             positional_shingles(F.col("text"), k=_RUN_ANCHOR)
         ).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("gram").alias("g"))
-    a = anch.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
-    b = anch.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
-    m = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("off"))
+    # Pair generation via ONE digest groupBy, not a self-join: the
+    # self-join form recomputes the corpus-sized explode+md5 for both
+    # sides (measured 45.6 s at sf10); grouping computes anchors once,
+    # shuffles once, and expands i<j pairs inside each (tiny, df-capped)
+    # group with pure expressions. collect_list state per group is
+    # bounded by _RUN_DF_CAP occurrences.
+    grp = (
+        anch.groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("xs"))
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= _RUN_DF_CAP))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(xs, (x, i) ->"
+            " filter(transform(slice(xs, i + 2, size(xs)), y ->"
+            " struct(if(x.doc_id < y.doc_id, x, y) AS lo,"
+            "        if(x.doc_id < y.doc_id, y, x) AS hi)),"
+            " p -> p.lo.doc_id != p.hi.doc_id)))"
+        )
+    ).alias("p")
+    m = grp.select(pair).select(
+        F.col("p.lo.doc_id").alias("doc_a"),
+        F.col("p.hi.doc_id").alias("doc_b"),
+        F.col("p.lo.pos").alias("pa"),
+        (F.col("p.lo.pos") - F.col("p.hi.pos")).alias("off"),
     )
     from pyspark.sql import Window as W
 

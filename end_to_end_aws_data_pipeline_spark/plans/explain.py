@@ -104,3 +104,64 @@ def uses_take_ordered(df: DataFrame) -> bool:
     """ORDER BY + LIMIT should plan TakeOrderedAndProject (per-partition
     top-N + merge), never a global sort."""
     return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def global_window_input_rows(df: DataFrame) -> list[tuple[str, int]]:
+    """EXECUTE df and return, for every UNPARTITIONED WindowExec /
+    WindowGroupLimitExec in the final adaptive plan, (window operator
+    one-line description, rows that flowed through it).
+
+    A window's output rows equal its input rows, so the node's own
+    numOutputRows metric IS the single-partition row count the
+    WindowExec warning is about. This turns every "bounded global
+    window" justification comment into an executable gate: the
+    documented bound is asserted against the measured row flow, not
+    trusted. Foldable partitionBy(lit) tricks don't fool it — the
+    optimizer folds those away and the node still reports empty
+    partitionSpec (see scale-lessons)."""
+    df.collect()
+    qe = df._jdf.queryExecution()  # noqa: SLF001
+    out: list[tuple[str, int]] = []
+
+    def rows_of(node) -> int:
+        m = node.metrics()
+        it = m.iterator()
+        best = -1
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                best = kv._2().value()
+        if best >= 0:
+            return best
+        # some nodes (e.g. SortExec) carry no row metric: descend
+        ch = node.children()
+        for i in range(ch.size()):
+            r = rows_of(ch.apply(i))
+            if r >= 0:
+                return r
+        return -1
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name in ("WindowExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().isEmpty():
+                child = node.children().apply(0)
+                n = rows_of(child)
+                if n < 0:
+                    n = rows_of(node)
+                out.append((node.verboseStringWithOperatorId()
+                            if hasattr(node, "verboseStringWithOperatorId")
+                            else name, int(n)))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        # reused exchanges / subqueries hide under innerChildren
+        inner = node.innerChildren()
+        for i in range(inner.size()):
+            walk(inner.apply(i))
+
+    walk(qe.executedPlan())
+    return out
