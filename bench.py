@@ -209,6 +209,9 @@ HEADLINE = (
     "q_dedup_longest_run",
     "q_text_unigram_train",
     "q_text_unigram_encode",
+    "q_dedup_run_removal",
+    "q_dedup_winnowing",
+    "q_graph_lpa_communities",
 )
 
 

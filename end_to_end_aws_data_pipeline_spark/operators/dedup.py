@@ -1770,9 +1770,13 @@ GROUP BY doc_a, doc_b
 """
 
 
-@register("q_dedup_longest_run", oracle=_RUN_ORACLE)
-def q_dedup_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-style exact substring dedup at ARBITRARY overlap length
+def _shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-run detection core: (doc_a, doc_b, off, run_len, pa_lo,
+    pa_hi) for every exactly-shared token run of >= _RUN_MIN tokens —
+    the engine behind q_dedup_longest_run (pair statistics) and
+    q_dedup_run_removal (per-document span coverage).
+
+    Suffix-style exact substring dedup at ARBITRARY overlap length
     (Lee et al., "Deduplicating Training Data Makes Language Models
     Better", ACL'22 — there via suffix arrays at 50-token granularity):
     for every document pair, the LONGEST exactly-shared token run, plus
@@ -1831,17 +1835,289 @@ def q_dedup_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = W.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
     isl = m.select(
-        "doc_a", "doc_b", "off", (F.col("pa") - F.row_number().over(w)).alias("isl_id")
+        "doc_a",
+        "doc_b",
+        "off",
+        "pa",
+        (F.col("pa") - F.row_number().over(w)).alias("isl_id"),
     )
-    runs = (
+    return (
         isl.groupBy("doc_a", "doc_b", "off", "isl_id")
-        .agg((F.count(F.lit(1)) + F.lit(_RUN_ANCHOR - 1)).alias("run_len"))
+        .agg(
+            (F.count(F.lit(1)) + F.lit(_RUN_ANCHOR - 1)).alias("run_len"),
+            F.min("pa").alias("pa_lo"),
+            F.max("pa").alias("pa_hi"),
+        )
         .filter(F.col("run_len") >= _RUN_MIN)
     )
+
+
+@register("q_dedup_longest_run", oracle=_RUN_ORACLE)
+def q_dedup_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = _shared_runs(spark, sf_dir)
     return runs.groupBy("doc_a", "doc_b").agg(
         F.max("run_len").cast("long").alias("longest_run"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
         F.sum("run_len").cast("long").alias("dup_tokens"),
+    )
+
+
+_REMOVAL_ORACLE = f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), anch AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         md5(concat_ws(' ',
+           {", ".join(f"toks[i+{j}]" for j in range(_RUN_ANCHOR))})) AS g
+  FROM w, unnest(range(1, greatest(len(toks) - {_RUN_ANCHOR - 1}, 0) + 1))
+       AS t(i)
+), grp AS MATERIALIZED (
+  SELECT g FROM anch GROUP BY g
+  HAVING count(*) >= 2 AND count(*) <= {_RUN_DF_CAP}
+), hit AS MATERIALIZED (
+  SELECT a.* FROM anch a JOIN grp USING (g)
+), m AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, a.pos - b.pos AS off
+  FROM hit a JOIN hit b ON a.g = b.g AND a.doc_id < b.doc_id
+), isl AS MATERIALIZED (
+  SELECT doc_a, doc_b, off, pa,
+         pa - row_number() OVER (
+           PARTITION BY doc_a, doc_b, off ORDER BY pa) AS isl_id
+  FROM m
+), runs AS MATERIALIZED (
+  SELECT doc_a, doc_b, off,
+         count(*) + {_RUN_ANCHOR - 1} AS run_len,
+         min(pa) AS pa_lo, max(pa) AS pa_hi
+  FROM isl GROUP BY doc_a, doc_b, off, isl_id
+  HAVING count(*) + {_RUN_ANCHOR - 1} >= {_RUN_MIN}
+), spans AS MATERIALIZED (
+  SELECT doc_a AS doc_id, pa_lo AS s,
+         pa_hi + {_RUN_ANCHOR - 1} AS e FROM runs
+  UNION ALL
+  SELECT doc_b, pa_lo - off, pa_hi - off + {_RUN_ANCHOR - 1} FROM runs
+), marked AS MATERIALIZED (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+           OR s > max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), numbered AS MATERIALIZED (
+  SELECT doc_id, s, e,
+         sum(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_id
+  FROM marked
+), cov AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(clen) AS BIGINT) AS dup_tokens FROM (
+    SELECT doc_id, max(e) - min(s) + 1 AS clen
+    FROM numbered GROUP BY doc_id, grp_id
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       floor((1.0 - coalesce(c.dup_tokens, 0)
+              / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS kept_frac
+FROM documents d LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("q_dedup_run_removal", oracle=_REMOVAL_ORACLE)
+def q_dedup_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of substring dedup (Lee et al. ACL'22 removes
+    every duplicated span, not just flags pairs): per document, how
+    many tokens are covered by at least one exactly-shared run of
+    >= {_RUN_MIN} tokens with ANY other document, and the kept
+    fraction after cutting them.
+
+    Each shared run covers a token interval on BOTH documents of its
+    pair (doc_a: [pa_lo, pa_hi + k - 1]; doc_b: the same shifted by
+    -off); overlapping intervals must not double-count, so coverage is
+    the classic interval-union: per document, order spans by (start,
+    end), a span opens a new union-group when its start exceeds the
+    running max end (gaps-and-islands again, this time on intervals),
+    and each group contributes max(end) - min(start) + 1 tokens.
+
+    Scale shape: the run detection is _shared_runs (one digest
+    groupBy, df-capped); span rows are 2x the run count; the
+    interval-union window partitions per DOCUMENT (bounded by that
+    document's span count, never corpus-sized). Documents with no
+    duplicated span report dup_tokens = 0 via the left join —
+    kept_frac 1.0 — so the output is a full per-document audit."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    runs = _shared_runs(spark, sf_dir)
+    k1 = F.lit(_RUN_ANCHOR - 1)
+    spans = runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("pa_lo").alias("s"),
+        (F.col("pa_hi") + k1).alias("e"),
+    ).unionByName(
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("pa_lo") - F.col("off")).alias("s"),
+            (F.col("pa_hi") - F.col("off") + k1).alias("e"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(wp.rowsBetween(W.unboundedPreceding, -1))
+    marked = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(
+            prev_max.isNull() | (F.col("s") > prev_max), 1
+        ).otherwise(0).alias("new_isl"),
+    )
+    numbered = marked.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("new_isl")
+        .over(wp.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("grp_id"),
+    )
+    cov = (
+        numbered.groupBy("doc_id", "grp_id")
+        .agg((F.max("e") - F.min("s") + 1).alias("clen"))
+        .groupBy("doc_id")
+        .agg(F.sum("clen").cast("long").alias("dup_tokens"))
+    )
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    out = d.join(cov, "doc_id", "left").select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        stable_round(
+            1.0 - F.coalesce("dup_tokens", F.lit(0)) / n_tok.cast("double"),
+            6,
+        ).alias("kept_frac"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the
+# sublinear production screen for substring duplication
+# ---------------------------------------------------------------------------
+
+_WIN_K = 8  # token k-gram width (same granularity as the run detector)
+_WIN_W = 4  # winnowing window: any shared run of >= k+w-1 tokens is caught
+_WIN_M = 2  # report pairs sharing at least this many fingerprints
+
+_WINNOW_ORACLE = f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), anch AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(concat_ws(' ',
+           {", ".join(f"toks[i+{j}]" for j in range(_WIN_K))})), 1, 15))::BIGINT
+           AS h
+  FROM w, unnest(range(1, greatest(len(toks) - {_WIN_K - 1}, 0) + 1))
+       AS t(i)
+), sel AS MATERIALIZED (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+           AS fp,
+         pos,
+         max(pos) OVER (PARTITION BY doc_id) AS n_pos
+  FROM anch
+), fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= n_pos - {_WIN_W - 1}
+), hot AS MATERIALIZED (
+  SELECT fp FROM fp GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= {_RUN_DF_CAP}
+), hit AS MATERIALIZED (
+  SELECT f.* FROM fp f JOIN hot USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_prints
+FROM hit a JOIN hit b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WIN_M}
+"""
+
+
+@register("q_dedup_winnowing", oracle=_WINNOW_ORACLE)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): per document, keep the MINIMUM
+    k-gram hash of every {_WIN_W}-hash window; two documents sharing
+    any token run of >= k + w - 1 = {_WIN_K + _WIN_W - 1} tokens are
+    GUARANTEED to share a fingerprint (the window guarantee), while
+    only ~2/(w+1) of all k-grams survive as fingerprints. This is the
+    sublinear production screen in front of q_dedup_longest_run's
+    exact run reconstruction: the fingerprint index is ~{_WIN_W + 1}x
+    smaller than the full anchor index, and candidate pairs then feed
+    the exact detector.
+
+    A window's selected fingerprint SET per document is exactly the
+    set of distinct window-minima, so selection is one windowed min
+    (bounded frame of {_WIN_W} rows, partitioned per document) + one
+    distinct — no argmin bookkeeping. Pair generation reuses the
+    grouped i<j expansion (one shuffle of int64 fingerprints,
+    df-capped) rather than a self-join. Full windows only (the tail
+    positions see < w hashes and are excluded identically in both
+    engines)."""
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    anch = d.select(
+        "doc_id",
+        F.posexplode(
+            positional_shingles(F.col("text"), k=_WIN_K)
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    wf = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _WIN_W - 1)
+    )
+    wd = W.partitionBy("doc_id")
+    sel = anch.select(
+        "doc_id",
+        F.min("h").over(wf).alias("fp"),
+        "pos",
+        F.max("pos").over(wd).alias("n_pos"),
+    )
+    fp = (
+        sel.filter(F.col("pos") <= F.col("n_pos") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    grp = (
+        fp.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("xs"))
+        .filter((F.size("xs") >= 2) & (F.size("xs") <= _RUN_DF_CAP))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(xs, (x, i) ->"
+            " transform(slice(xs, i + 2, size(xs)), y ->"
+            " struct(least(x, y) AS a, greatest(x, y) AS b))))"
+        )
+    ).alias("p")
+    return (
+        grp.select(pair)
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_prints"))
+        .filter(F.col("n_prints") >= _WIN_M)
     )
 
 

@@ -743,3 +743,139 @@ def q_graph_triangles_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_triangles_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (Raghavan/Albert/Kumara 2007),
+# synchronous rounds with a total deterministic tie-break
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_TOP = 20
+# argmax encoding: vote = cnt * B + (B-1-lbl), so MAX(vote) picks the
+# highest count and, among ties, the SMALLEST label — one pure-long
+# hash aggregate instead of a per-node sort window. Requires node ids
+# < B and degree < 2^62/B; both asserted where edges are built.
+_LPA_B = 1 << 32
+
+
+def _lpa_oracle() -> str:
+    """Unrolled {_LPA_ROUNDS}-round synchronous LPA as chained CTEs:
+    each round counts neighbor labels and takes, per node, the label
+    with (count DESC, label ASC) via row_number — the identical rule
+    the engine's window uses, so label vectors replay exactly."""
+    parts = [
+        f"""
+WITH e0 AS ({_PR_EDGES_SQL}
+), edges AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+)"""
+    ]
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""", v{i} AS MATERIALIZED (
+  SELECT e.src AS node, l.lbl, count(*) AS cnt
+  FROM edges e JOIN {prev} l ON l.node = e.dst
+  GROUP BY e.src, l.lbl
+), l{i} AS MATERIALIZED (
+  SELECT node,
+         {_LPA_B - 1} - (max(cnt * {_LPA_B} + ({_LPA_B - 1} - lbl))
+                         & {_LPA_B - 1}) AS lbl
+  FROM v{i} GROUP BY node
+)"""
+        )
+        prev = f"l{i}"
+    parts.append(
+        f"""
+SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, lbl) AS INT)
+         AS rank,
+       CAST(lbl AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM {prev}
+GROUP BY lbl
+ORDER BY count(*) DESC, lbl
+LIMIT {_LPA_TOP}"""
+    )
+    return "".join(parts)
+
+
+@register("q_graph_lpa_communities", oracle=_lpa_oracle())
+def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the customer-supplier purchase graph:
+    every node starts as its own community, and each round adopts the
+    most frequent label among its neighbors. Classic LPA breaks ties
+    randomly; here the tie-break is TOTAL — (count DESC, label ASC),
+    evaluated as a per-node row_number — so the full label trajectory
+    is deterministic and the unrolled-CTE oracle replays all
+    {_LPA_ROUNDS} rounds bit-for-bit (the integer-PageRank playbook).
+
+    Scale shape: each round is one edges-to-labels equi-join, one
+    (node, label) count, and one per-node rank over a partition
+    bounded by the node's distinct neighbor labels (≤ degree — never
+    global). Label state is one row per node; rounds persist so the
+    driver loop never recomputes (3 rounds needs no checkpoint; deeper
+    propagation inherits pagerank_ranks' checkpoint-every-3 policy).
+    Published: the {_LPA_TOP} largest communities after round
+    {_LPA_ROUNDS}."""
+    from pyspark.sql import Window as W
+
+    e0 = _purchase_fwd(spark, sf_dir)
+    # co-partition the (big, static) edge list by the join key ONCE:
+    # each round's labels join reuses the cached partitioning and only
+    # the (node-sized) label vector shuffles per round
+    edges = persisted(
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("dst")
+    )
+    labels = persisted(
+        edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+    )
+    assert labels.agg(F.max("node")).first()[0] < _LPA_B, (
+        "LPA argmax encoding needs node ids < 2^32; re-key or widen B"
+    )
+    b1 = F.lit(_LPA_B - 1)
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # vote argmax as ONE long hash-aggregate (see _LPA_B note): a
+        # per-node rank window sorts every vote row; max() keeps the
+        # whole round in HashAggregate. localCheckpoint truncates the
+        # round-over-round lineage (persist alone leaves the analyzer
+        # re-walking nested plans — the measured k-core lesson).
+        enc = F.max(
+            F.col("cnt") * F.lit(_LPA_B) + (b1 - F.col("lbl"))
+        ).alias("enc")
+        labels = (
+            votes.groupBy("node")
+            .agg(enc)
+            .select("node", (b1 - F.expr(f"enc & {_LPA_B - 1}")).alias("lbl"))
+            .localCheckpoint()
+        )
+    top = (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "lbl")
+        .limit(_LPA_TOP)
+    )
+    # rank over the k survivors only (TakeOrdered first, then the
+    # bounded global window — the vocabulary-rank pattern)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("n_members").desc(), "lbl"))
+        .cast("int")
+        .alias("rank"),
+        F.col("lbl").cast("long").alias("community"),
+        "n_members",
+    )

@@ -493,3 +493,133 @@ def test_unigram_viterbi_segmentation_reconstructs(spark):
             (sum(cost[p] for p in c), len(c)) for c in comps(word)
         )
         assert (sum(cost[p] for p in seg), len(seg)) == best
+
+
+def test_run_removal_unions_overlapping_spans(spark, tmp_path):
+    """Coverage must be the interval UNION: two shared runs overlapping
+    inside one document count their overlap once. doc1 shares S[0:25]
+    with doc2 and S[15:40] with doc3 — doc1's duplicated tokens are
+    |S[0:40]| = 40, not 25 + 25."""
+    import os
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_dedup_run_removal,
+    )
+
+    S = [f"s{i}" for i in range(40)]
+    docs = [
+        (1, " ".join([f"f{i}" for i in range(7)] + S
+                     + [f"g{i}" for i in range(5)])),
+        (2, " ".join([f"h{i}" for i in range(9)] + S[:25]
+                     + [f"k{i}" for i in range(4)])),
+        (3, " ".join([f"m{i}" for i in range(3)] + S[15:]
+                     + [f"n{i}" for i in range(6)])),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_dedup_run_removal(spark, sf).collect()}
+    assert out[1].dup_tokens == 40, "overlap counted once"
+    assert out[2].dup_tokens == 25
+    assert out[3].dup_tokens == 25
+    assert out[1].n_tokens == 52
+    assert abs(out[1].kept_frac - (1 - 40 / 52)) < 1e-6
+
+
+def test_winnowing_window_guarantee(spark, tmp_path):
+    """Schleimer et al.'s guarantee: any shared token run of
+    >= k + w - 1 tokens shares at least one winnowed fingerprint.
+    Plant exactly-threshold runs and check detection + density."""
+    import os
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        _WIN_K,
+        _WIN_M,
+        _WIN_W,
+        q_dedup_winnowing,
+    )
+
+    thr = _WIN_K + _WIN_W - 1  # 11 tokens
+    run1 = [f"s{i}" for i in range(thr)]
+    run2 = [f"t{i}" for i in range(thr)]
+    docs = [
+        # docs 1-2 share TWO disjoint threshold runs (>= _WIN_M prints
+        # guaranteed: each run contributes at least one)
+        (1, " ".join([f"a{i}" for i in range(20)] + run1
+                     + [f"b{i}" for i in range(20)] + run2)),
+        (2, " ".join([f"c{i}" for i in range(15)] + run1
+                     + [f"d{i}" for i in range(25)] + run2)),
+        (4, " ".join([f"h{i}" for i in range(60)])),  # shares nothing
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    out = {(r.doc_a, r.doc_b): r.n_prints
+           for r in q_dedup_winnowing(spark, sf).collect()}
+    assert (1, 2) in out, "threshold-length runs must be caught"
+    assert out[(1, 2)] >= _WIN_M
+    assert all(p == (1, 2) for p in out), "no-overlap docs stay silent"
+
+
+def test_lpa_two_planted_clusters(spark, tmp_path):
+    """Two disconnected purchase clusters must converge to exactly two
+    communities whose sizes are the cluster node counts, and the
+    deterministic tie-break (count DESC, label ASC) must reproduce a
+    plain-Python replay of the same rule."""
+    import os
+    from collections import Counter
+
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _LPA_ROUNDS,
+        q_graph_lpa_communities,
+    )
+
+    # cluster A: customers 1-3 x suppliers 1-2; cluster B: 4-6 x 3-4
+    orders, lineitem = [], []
+    ok = 0
+    for custs, supps in (((1, 2, 3), (1, 2)), ((4, 5, 6), (3, 4))):
+        for c in custs:
+            for s in supps:
+                ok += 1
+                orders.append((ok, c))
+                lineitem.append((ok, s))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").write.parquet(
+        os.path.join(sf, "orders.parquet"))
+    spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long").write.parquet(
+        os.path.join(sf, "lineitem.parquet"))
+
+    # python replay: same namespace (cust*2, supp*2+1), same rule
+    edges = set()
+    om = dict(orders)
+    for okey, s in lineitem:
+        edges.add((om[okey] * 2, s * 2 + 1))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {v: v for v in adj}
+    for _ in range(_LPA_ROUNDS):
+        lbl = {
+            v: min(
+                Counter(lbl[u] for u in adj[v]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v in adj
+        }
+    expected = sorted(
+        Counter(lbl.values()).items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    got = [
+        (r.community, r.n_members)
+        for r in q_graph_lpa_communities(spark, sf).orderBy("rank").collect()
+    ]
+    assert got == expected
+    # the two planted clusters stay separate
+    assert sum(n for _, n in got) == 10 and len(got) >= 2

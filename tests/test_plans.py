@@ -1118,6 +1118,7 @@ def test_global_windows_are_bounded(spark):
         "q_agg_auc_rank": 10_000,             # score DOMAIN (milli-lengths)
         "q_agg_decile_lift": 10_000,
         "q_search_hybrid_rrf": similarity._RRF_N,  # list depth per side
+        "q_graph_lpa_communities": 20,        # TakeOrdered survivors
     }
     del curation, extras  # imported for parity with the site table
     for name, bound in sites.items():
