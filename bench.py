@@ -212,6 +212,8 @@ HEADLINE = (
     "q_dedup_run_removal",
     "q_dedup_winnowing",
     "q_graph_lpa_communities",
+    "q_timeseries_acf",
+    "q_stream_stream_left_join",
 )
 
 

@@ -1660,3 +1660,115 @@ def q_etl_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n2")
         ).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function: exact integer ACF over per-type daily series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 5
+
+_ACF_ORACLE = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT))
+           // count(*) AS y
+  FROM events GROUP BY 1, 2
+), st AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+), dev AS MATERIALIZED (
+  SELECT d.event_type, d.day, st.n, d.y * st.n - st.s AS dv
+  FROM daily d JOIN st USING (event_type)
+), den AS MATERIALIZED (
+  SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS den
+  FROM dev GROUP BY event_type
+), lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag)
+SELECT a.event_type, CAST(l.lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(CAST(sum(a.dv * b.dv) AS DOUBLE) / den.den
+             * 1000000 + 0.5) / 1000000 AS acf
+FROM dev a
+CROSS JOIN lags l
+JOIN dev b ON b.event_type = a.event_type
+          AND b.day = a.day + CAST(l.lag AS INT)
+JOIN den ON den.event_type = a.event_type
+GROUP BY a.event_type, l.lag, den.den
+"""
+
+
+@register("q_timeseries_acf", oracle=_ACF_ORACLE)
+def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per event type at lags 1..{_ACF_MAX_LAG}
+    — the seasonality probe read before fitting any forecast (a weekly
+    cycle shows as an acf(7) spike, a trending series decays slowly).
+
+    Exactness at any scale: the series value is the daily MEAN in
+    integer cents (total_cents // count — an intensive quantity, so
+    deviations stay ~1e5 regardless of corpus size and every product
+    n·dev_a·dev_b fits int64 with ~9 digits of headroom at a 31-day
+    span); deviations are carried n-scaled (n·y − Σy, pure integers)
+    so no float mean ever enters, and the single division per
+    (type, lag) publishes through the floor stabilizer.
+
+    Scale shape: one corpus-sized combinable pass builds the daily
+    table; everything after — the lag self-join included — runs on the
+    calendar-bounded (type × day) table, constant-cost at any corpus
+    size. n_pairs = n − lag rows enter each lag's sum (complete pairs
+    only: the textbook biased-denominator ACF with Σ dev² over the
+    full series)."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(cast(round(value * 100) as bigint)) div count(*)"
+            ).alias("y")
+        )
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    dev = daily.join(st, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("y") * F.col("n") - F.col("s")).alias("dv"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = dev.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("dv").alias("dv_b"),
+    )
+    pairs = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("day_b") == F.expr("date_add(day, lag)")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dv") * F.col("dv_b")).cast("long").alias("num"),
+        )
+    )
+    from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+
+    return pairs.join(den, "event_type").select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        stable_round(F.col("num").cast("double") / F.col("den"), 6).alias(
+            "acf"
+        ),
+    )

@@ -243,6 +243,159 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_LOUTER_ORACLE = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+WHERE c.event_type = 'click'
+"""
+
+
+def _louter_staged_dir(spark: SparkSession, path: str) -> str:
+    """Stage the events file plus three SENTINEL parquet files (each one
+    future click + one future purchase, ids < 0) in a PRIVATE dir (not
+    stream_dir_for's shared one — other stream queries must never see
+    sentinels). Outer-join state only flushes when the watermark
+    passes; the real data alone leaves its own tail (and, in a single
+    availableNow batch, everything) un-evicted. Three sentinel files +
+    maxFilesPerTrigger=1 force three extra micro-batches whose advanced
+    watermark (min across BOTH sides, hence paired click+purchase
+    sentinels) evicts every real row's outer state deterministically."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.abspath(path)
+    d = os.path.join(
+        "/tmp",
+        f"stream_louter_{hashlib.sha1(path.encode()).hexdigest()[:12]}",
+    )
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+
+    t = pq.read_table(path)
+    max_ts = pa.compute.max(t.column("ts")).as_py()
+    one = t.slice(0, 1).to_pylist()[0]
+    import datetime as _dt
+
+    for i, hours in enumerate((3, 6, 9), start=1):
+        rows = []
+        for j, etype in enumerate(("click", "purchase")):
+            r = dict(one)
+            r["event_id"] = -(2 * i + j)
+            r["user_id"] = -1
+            r["ts"] = max_ts + _dt.timedelta(hours=hours)
+            r["event_type"] = etype
+            rows.append(r)
+        sent = pa.Table.from_pylist(rows, schema=t.schema)
+        pq.write_table(sent, os.path.join(d, f"zz_sentinel_{i}.parquet"))
+    return d
+
+
+@register("q_stream_stream_left_join", oracle=_LOUTER_ORACLE)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join executed for real: every
+    click pairs with the purchases it preceded by <= 30 minutes, and
+    clicks with NO such purchase still emit (purchase columns null) —
+    but only once the watermark proves no match can arrive. That
+    eviction is the semantics under test: unlike the inner join
+    (q_stream_stream_join), correct output REQUIRES the state store to
+    age out and flush unmatched rows, which the batch oracle's LEFT
+    JOIN states declaratively.
+
+    Determinism engineering: outer results only emit when a LATER
+    micro-batch runs with an advanced watermark, so the staged source
+    adds three sentinel files (future click+purchase pairs, ids < 0,
+    filtered from the output) and maxFilesPerTrigger=1 — the sentinel
+    batches advance the watermark past every real event and flush all
+    outer state; the streamed append output then equals the batch LEFT
+    JOIN exactly. multipleWatermarkPolicy=max for THIS query only:
+    both sides consume the SAME staged directory, so their true
+    event-time frontier is identical and the default min policy only
+    reflects the two file sources' one-file scheduling phase lag —
+    which otherwise leaves the final file's tail state un-evictable
+    forever (measured: the last two outer rows never flush under min).
+    State bound at scale: each side buffers only rows newer than
+    watermark - interval, exactly as the inner join."""
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = _cached_schema(spark, path)
+    name = f"__stream_louter_{next(_counter)}"
+    src_dir = _louter_staged_dir(spark, path)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        src = normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks, purchases = side("click", "click"), side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    )
+    pol_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    old_pol = spark.conf.get(pol_key, None)
+    spark.conf.set(pol_key, "max")
+    # state-store right-sizing (see scale-lessons): shuffle.partitions
+    # pinned at query start = state-store count; a 5-micro-batch
+    # conformance run over sf-scale data needs 8 stores, not 32 —
+    # measured 16.0 -> ~6 s at sf0.1. A production deployment sizes
+    # this to its real key cardinality instead.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.filter(F.col("click_id") >= 0)
+            .select(
+                "click_id",
+                "purchase_id",
+                F.col("click_user").alias("user_id"),
+                "click_ts",
+                "purchase_ts",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if old_pol is None:
+            spark.conf.unset(pol_key)
+        else:
+            spark.conf.set(pol_key, old_pol)
+    return spark.table(name)
+
+
 _STATEFUL_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
