@@ -214,6 +214,8 @@ HEADLINE = (
     "q_graph_lpa_communities",
     "q_timeseries_acf",
     "q_stream_stream_left_join",
+    "q_etl_k_anonymity",
+    "q_embed_cluster_quality",
 )
 
 

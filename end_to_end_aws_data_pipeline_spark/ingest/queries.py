@@ -871,3 +871,70 @@ def q_etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         res = res.unionAll(r)
     return res
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy governance): quasi-identifier group sizes
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # groups smaller than this re-identify their members
+
+_KANON_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         count(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE n < {_KANON_K}) AS BIGINT)
+         AS n_unsafe_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(n) FILTER (WHERE n < {_KANON_K}) AS BIGINT)
+         AS n_unsafe_rows,
+       CAST(min(n) AS BIGINT) AS k_anonymity,
+       floor(sum(n) FILTER (WHERE n < {_KANON_K})
+             / CAST(sum(n) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS suppression_rate
+FROM qi
+"""
+
+
+@register("q_etl_k_anonymity", oracle=_KANON_ORACLE)
+def q_etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple
+    (nation, market segment, $1000 balance band) — the privacy
+    measurement a governed release runs before publishing: the
+    table's k (smallest group size), how many groups and rows fall
+    below k = {_KANON_K} (re-identifiable), and the suppression rate a
+    k-threshold release would pay. Companion to the GDPR erasure
+    cascade (right-to-be-forgotten) — this is the aggregate-disclosure
+    side of the same governance surface (Sweeney, IJUFKS 2002).
+
+    One map-side-combinable groupBy to the QI-group table (bounded by
+    the QI DOMAIN — nations × segments × bands — not by rows), then a
+    one-row conditional aggregate; nothing shuffles twice, nothing is
+    corpus-sized after the first pass."""
+    c = table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    unsafe = F.col("n") < _KANON_K
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(unsafe.cast("long")).cast("long").alias("n_unsafe_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(unsafe, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_unsafe_rows"),
+        F.min("n").cast("long").alias("k_anonymity"),
+        stable_round(
+            F.sum(F.when(unsafe, F.col("n")).otherwise(0))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("suppression_rate"),
+    )

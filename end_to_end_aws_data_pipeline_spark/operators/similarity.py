@@ -1734,3 +1734,138 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_micro").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-quality audit over the IVF coarse quantizer (compactness +
+# separation per centroid, all exact int64)
+# ---------------------------------------------------------------------------
+
+_CQ_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v
+  WHERE vec_id < {_CENTROIDS_SQL}
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), mdot AS (
+  SELECT a.cent_id,
+         list_sum(list_transform(range(1, len(v.q)+1),
+                  i -> v.q[i] * c.cq[i])) AS dot_c
+  FROM assign a
+  JOIN v ON v.vec_id = a.vec_id
+  JOIN c ON c.cent_id = a.cent_id
+), comp AS (
+  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(dot_c) AS BIGINT) AS sum_dot,
+         CAST(min(dot_c) AS BIGINT) AS min_dot
+  FROM mdot GROUP BY cent_id
+), sep AS (
+  SELECT cent_id, nn_cent, nn_dot FROM (
+    SELECT a.cent_id, b.cent_id AS nn_cent,
+           list_sum(list_transform(range(1, len(a.cq)+1),
+                    i -> a.cq[i] * b.cq[i])) AS nn_dot,
+           row_number() OVER (
+             PARTITION BY a.cent_id
+             ORDER BY list_sum(list_transform(range(1, len(a.cq)+1),
+                      i -> a.cq[i] * b.cq[i])) DESC, b.cent_id) AS rn
+    FROM c a JOIN c b ON a.cent_id <> b.cent_id
+  ) WHERE rn = 1
+)
+SELECT comp.cent_id, n_members,
+       floor(CAST(sum_dot AS DOUBLE) / (n_members * {_SCALE_SQ}.0)
+             * 1000000 + 0.5) / 1000000 AS mean_cos,
+       floor(CAST(min_dot AS DOUBLE) / {_SCALE_SQ}.0
+             * 1000000 + 0.5) / 1000000 AS min_cos,
+       CAST(nn_cent AS BIGINT) AS nn_cent,
+       floor(CAST(nn_dot AS DOUBLE) / {_SCALE_SQ}.0
+             * 1000000 + 0.5) / 1000000 AS nn_cos
+FROM comp JOIN sep ON sep.cent_id = comp.cent_id
+"""
+
+
+@register("q_embed_cluster_quality", oracle=_CQ_ORACLE)
+def q_embed_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit of the IVF coarse quantizer — the health
+    check run before trusting any centroid-bucketed path (IVF probe,
+    SemDeDup, semantic decontamination): per centroid, member count,
+    COMPACTNESS (mean and worst member-to-centroid cosine) and
+    SEPARATION (its nearest other centroid and their cosine). A
+    cluster whose nn_cos approaches its mean_cos is merging with its
+    neighbor; an undersized n_members flags a dead centroid —
+    re-train (q_ann_ivf_trained) or re-seed before shipping.
+
+    Exactness: every dot is the same int64 quantized fold the IVF
+    oracle replays; per-centroid sums are int64 (member dot ≤
+    {_SCALE_SQ}, so 2^63/{_SCALE_SQ} ≈ 9e3 members per cluster of
+    headroom per 1e15 — at larger clusters widen to decimal);
+    publishes through the floor stabilizer.
+
+    Scale shape: member dots ride the SAME one-pass assignment matmul
+    (no second corpus pass — the assignment relation carries q);
+    centroid separation is the C×C = N self-join of a √N-row table,
+    i.e. corpus-linear work on a tiny relation."""
+    import numpy as np
+
+    _v, assign, cent_ids, cent_mat = _ivf_assigned(spark, sf_dir)
+    cent_rows = [
+        (int(cid), [int(x) for x in row])
+        for cid, row in zip(cent_ids, cent_mat)
+    ]
+    cdf = F.broadcast(
+        assign.sparkSession.createDataFrame(
+            cent_rows, "cent_id long, cq array<long>"
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    comp = (
+        assign.join(cdf, "cent_id")
+        .select("cent_id", dot.alias("dot_c"))
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dot_c").cast("long").alias("sum_dot"),
+            F.min("dot_c").cast("long").alias("min_dot"),
+        )
+    )
+    # separation on the driver: C×C int64 matmul over the already
+    # collected centroid matrix (bounded: C = ceil(√N) rows)
+    s = cent_mat.astype(np.int64) @ cent_mat.astype(np.int64).T
+    np.fill_diagonal(s, np.iinfo(np.int64).min)
+    best = s.argmax(axis=1)  # first max = lowest cent_id on ties
+    sep_rows = [
+        (int(cent_ids[i]), int(cent_ids[best[i]]), int(s[i, best[i]]))
+        for i in range(len(cent_ids))
+    ]
+    sep = F.broadcast(
+        assign.sparkSession.createDataFrame(
+            sep_rows, "cent_id long, nn_cent long, nn_dot long"
+        )
+    )
+    return comp.join(sep, "cent_id").select(
+        "cent_id",
+        "n_members",
+        stable_round(
+            F.col("sum_dot").cast("double")
+            / (F.col("n_members") * float(_SCALE_SQ)),
+            6,
+        ).alias("mean_cos"),
+        stable_round(F.col("min_dot").cast("double") / _SCALE_SQ, 6).alias(
+            "min_cos"
+        ),
+        "nn_cent",
+        stable_round(F.col("nn_dot").cast("double") / _SCALE_SQ, 6).alias(
+            "nn_cos"
+        ),
+    )
