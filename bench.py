@@ -216,6 +216,7 @@ HEADLINE = (
     "q_stream_stream_left_join",
     "q_etl_k_anonymity",
     "q_embed_cluster_quality",
+    "q_multimodal_audio_vad",
 )
 
 

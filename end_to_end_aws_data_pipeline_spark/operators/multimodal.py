@@ -1503,3 +1503,115 @@ def q_multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _batches,
         schema="doc_id long, n_frames long, n_scenes long, sum_diff long",
     )
+
+
+# ---------------------------------------------------------------------------
+# voice-activity detection: frame energies + gaps-and-islands segments
+# ---------------------------------------------------------------------------
+
+_VAD_FRAME = 160  # 10 ms at 16 kHz
+_VAD_THR = 50_000_000  # frame-energy gate (int64 Σx², no floats)
+
+_VAD_ORACLE = f"""
+WITH fr AS (
+  SELECT doc_id, f,
+         list_sum(list_transform(range(f * {_VAD_FRAME},
+                                       (f + 1) * {_VAD_FRAME}), i ->
+           CAST({_RS_X.format(i="i", step=_WAV_STEP)} AS BIGINT)
+           * {_RS_X.format(i="i", step=_WAV_STEP)})) AS energy
+  FROM documents,
+       unnest(range(0, {_WAV_N} // {_VAD_FRAME})) AS t(f)
+), act AS (
+  SELECT doc_id, f, energy > {_VAD_THR} AS active FROM fr
+), isl AS (
+  SELECT doc_id, f,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS isl_id
+  FROM act WHERE active
+), seg AS (
+  SELECT doc_id, count(*) AS seg_len
+  FROM isl GROUP BY doc_id, isl_id
+)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN a.active THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_active,
+       CAST(coalesce(any_value(s.n_segments), 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(any_value(s.longest), 0) AS BIGINT)
+         AS longest_segment
+FROM act a
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_segments, max(seg_len) AS longest
+  FROM seg GROUP BY doc_id
+) s ON s.doc_id = a.doc_id
+GROUP BY a.doc_id
+"""
+
+
+@register("q_multimodal_audio_vad", oracle=_VAD_ORACLE)
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated voice-activity detection through the real codec
+    path: decode the PCM16 WAV, frame into {_VAD_FRAME}-sample (10 ms)
+    windows, gate each frame on exact int64 energy (Σx² >
+    {_VAD_THR}), then contiguous active frames collapse to SEGMENTS
+    via gaps-and-islands — per clip: frame count, active frames,
+    segment count, longest segment. The speech-segmentation front-end
+    every ASR/audio-LM corpus runs before cutting training clips; a
+    production VAD swaps the energy gate for a model score, the
+    framing/segmentation plumbing is identical.
+
+    All arithmetic is integer (energy ≤ {_VAD_FRAME}·1024² ≈ 1.7e8
+    per frame), so the oracle replays decode-equivalent samples, frame
+    sums, and island segmentation exactly. Scale shape: Arrow-batched
+    mapInPandas per clip — bytes never leave executors, per-clip state
+    is one frame-energy array, and the segment logic is numpy on a
+    handful of frames (no window over anything corpus-sized)."""
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 800 + (doc_id % 5) * 160
+                step = 1 + doc_id % 7
+                i = np.arange(nf, dtype=np.int64)
+                pcm = ((i * step) % 2048 - 1024).astype(np.int16)
+                rate, ch, frames = decode_wav(encode_wav(pcm, _WAV_RATE))
+                x = frames[:, 0].astype(np.int64)
+                nfr = len(x) // _VAD_FRAME
+                en = (
+                    x[: nfr * _VAD_FRAME].reshape(nfr, _VAD_FRAME) ** 2
+                ).sum(axis=1)
+                act = en > _VAD_THR
+                # islands: segment boundaries where activity turns on
+                starts = int(act[0]) + int((act[1:] & ~act[:-1]).sum())
+                longest = 0
+                run = 0
+                for a in act:
+                    run = run + 1 if a else 0
+                    longest = max(longest, run)
+                rows.append(
+                    (doc_id, nfr, int(act.sum()), starts, longest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_active",
+                    "n_segments",
+                    "longest_segment",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema="doc_id long, n_frames long, n_active long, "
+        "n_segments long, longest_segment long",
+    )
