@@ -53,4 +53,9 @@ def test_unknown_manifest_entries_ignored(monkeypatch):
         reg, "_verified_fingerprints", lambda: {"no_such_query": "abc"}
     )
     names = list(reg._QUERIES)
-    assert list(reg.queries()) == names  # all stale -> insertion order
+    # all never-verified -> judge-flagged _PRIORITY entries jump to the
+    # front, the rest keep registry insertion order (stable sort)
+    expected = [n for n in names if n in reg._PRIORITY] + [
+        n for n in names if n not in reg._PRIORITY
+    ]
+    assert list(reg.queries()) == expected
