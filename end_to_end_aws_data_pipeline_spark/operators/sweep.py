@@ -1718,8 +1718,14 @@ def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. n_pairs = n − lag rows enter each lag's sum (complete pairs
     only: the textbook biased-denominator ACF with Σ dev² over the
     full series)."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
     e = table(spark, sf_dir, "events")
-    daily = (
+    # persisted: five downstream consumers (stats, deviations, the
+    # denominator, and both lag-join sides) would each re-run the
+    # corpus-sized pass — the consume-once lesson; the daily table
+    # itself is calendar-bounded (type x day), trivially cacheable
+    daily = persisted(
         e.groupBy(
             "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
         )

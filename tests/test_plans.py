@@ -1128,3 +1128,57 @@ def test_global_windows_are_bounded(spark):
                 f"{name}: global window saw {n} rows > documented bound "
                 f"{bound}\n{desc[:200]}"
             )
+
+
+def test_round7_new_ops_plan_posture(spark):
+    """Plan gates for the round-7 operators:
+
+    - longest-run / winnowing / run-removal: pair generation is the
+      grouped in-group expansion — NO join of two corpus-sized anchor
+      relations (the measured 45.6 s sf10 killer), no cartesian.
+    - ACF: exactly ONE corpus-sized scan (events); the lag join runs
+      on the calendar-bounded daily table.
+    - LPA: the per-round vote argmax stays on HashAggregate — no
+      SortAggregate, no rank window over vote rows.
+    - k-anonymity: one scan, aggregates only, codegen on.
+    """
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import (
+        q_etl_k_anonymity,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_dedup_longest_run,
+        q_dedup_winnowing,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        q_graph_lpa_communities,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_timeseries_acf,
+    )
+
+    for fn in (q_dedup_longest_run, q_dedup_winnowing):
+        plan = physical_plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        # ONE scan of documents: the self-join form had two
+        assert plan.count("Scan parquet") == 1, fn.__name__
+
+    # ACF: the calendar-bounded daily table is persisted and every
+    # downstream consumer (stats, deviations, denominator, both lag
+    # sides) reads the CACHE — a cached child's description still
+    # embeds the parquet-scan text, so gate on InMemoryTableScan
+    # coverage, not raw scan-string counts: the corpus materializes
+    # the daily pass exactly once.
+    acf = physical_plan(q_timeseries_acf(spark, SF_SMOKE))
+    assert acf.count("InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in acf.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # the 5-row lag spine may broadcast-nest; never a shuffled cartesian
+
+    lpa = physical_plan(q_graph_lpa_communities(spark, SF_SMOKE))
+    assert "SortAggregate" not in lpa
+
+    kan = q_etl_k_anonymity(spark, SF_SMOKE)
+    pk = physical_plan(kan)
+    assert pk.count("Scan parquet") == 1
+    assert "HashAggregate" in pk and "Python" not in pk
+    assert has_wholestage_codegen(kan)
