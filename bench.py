@@ -217,6 +217,9 @@ HEADLINE = (
     "q_etl_k_anonymity",
     "q_embed_cluster_quality",
     "q_multimodal_audio_vad",
+    "q_events_retention_cohorts",
+    "q_text_yule_k",
+    "q_multimodal_patches",
 )
 
 

@@ -1615,3 +1615,107 @@ def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, n_active long, "
         "n_segments long, longest_segment long",
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch extraction: resize to a fixed grid, split into
+# patches, positional checksum (patch ORDER is the thing under test)
+# ---------------------------------------------------------------------------
+
+_PATCH_GRID = 4  # patches per side
+_PATCH_PX = 4  # pixels per patch side (grid*px = 16x16 canonical input)
+_PATCH_EDGE = _PATCH_GRID * _PATCH_PX
+
+_PATCH_VAL = (
+    f"((((p % {_PATCH_GRID}) * {_PATCH_PX} + k % {_PATCH_PX})"
+    f" * {_DEC_W} // {_PATCH_EDGE}"
+    f" + (((p // {_PATCH_GRID}) * {_PATCH_PX} + k // {_PATCH_PX})"
+    f" * {_DEC_H} // {_PATCH_EDGE})"
+    f" + doc_id) % 256)"
+)
+
+_PATCHES_ORACLE = f"""
+WITH ps AS (
+  SELECT doc_id, p,
+         3 * list_sum(list_transform(
+               range(0, {_PATCH_PX * _PATCH_PX}),
+               k -> {_PATCH_VAL})) AS patch_sum
+  FROM documents, unnest(range(0, {_PATCH_GRID * _PATCH_GRID})) AS t(p)
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_patches,
+       CAST(sum((p + 1) * patch_sum) AS BIGINT) AS pos_checksum,
+       CAST(min(patch_sum) AS BIGINT) AS min_patch_sum,
+       CAST(max(patch_sum) AS BIGINT) AS max_patch_sum
+FROM ps GROUP BY doc_id
+"""
+
+
+@register("q_multimodal_patches", oracle=_PATCHES_ORACLE)
+def q_multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchification through the real codec path: decode
+    the BMP/PPM/PNG bytes, nearest-neighbor to the canonical
+    {_PATCH_EDGE}×{_PATCH_EDGE} input, split into a
+    {_PATCH_GRID}×{_PATCH_GRID} grid of {_PATCH_PX}×{_PATCH_PX}
+    patches in raster order — the exact front-end every vision
+    transformer runs before embedding. The published POSITIONAL
+    checksum Σ(p+1)·patch_sum is order-sensitive by construction:
+    a transposed or shuffled patch sequence (the classic patching
+    bug) changes the value even when pixel totals don't.
+
+    All integer; the oracle replays decode-equivalent pixels, the
+    resize indexing, and the raster patch order. Arrow-batched
+    mapInPandas; bytes never leave executors."""
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    G, P, E = _PATCH_GRID, _PATCH_PX, _PATCH_EDGE
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 29
+                h = 4 + (doc_id // 7) % 23
+                yy, xx = np.mgrid[0:h, 0:w]
+                val = ((xx + yy + doc_id) % 256).astype(np.uint8)
+                pix = np.repeat(val[:, :, None], 3, axis=2)
+                fmt = ("bmp", "ppm", "png")[doc_id % 3]
+                if fmt == "bmp":
+                    payload = encode_bmp(pix)
+                elif fmt == "ppm":
+                    payload = encode_ppm(pix)
+                else:
+                    payload = encode_png(pix, filter_type=doc_id % 5)
+                img = decode_image(payload)
+                canon = resize_nearest(img, E, E).astype(np.int64)
+                # raster patch order: (E,E,3)->(G,P,G,P,3)->(G,G,...)
+                patches = canon.reshape(G, P, G, P, 3).transpose(
+                    0, 2, 1, 3, 4
+                ).reshape(G * G, -1)
+                sums = patches.sum(axis=1)
+                pos = int(((np.arange(G * G) + 1) * sums).sum())
+                rows.append(
+                    (doc_id, G * G, pos, int(sums.min()), int(sums.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_patches",
+                    "pos_checksum",
+                    "min_patch_sum",
+                    "max_patch_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema="doc_id long, n_patches int, pos_checksum long, "
+        "min_patch_sum long, max_patch_sum long",
+    )

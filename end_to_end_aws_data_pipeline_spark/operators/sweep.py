@@ -1778,3 +1778,82 @@ def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_day AS MATERIALIZED (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first_day GROUP BY cohort
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE))
+           AS day_offset
+  FROM events e JOIN first_day f USING (user_id)
+), cell AS (
+  SELECT cohort, CAST(day_offset AS INT) AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act GROUP BY cohort, day_offset
+)
+SELECT CAST(c.cohort AS VARCHAR) AS cohort,
+       c.day_offset, s.cohort_users, c.n_active,
+       floor(CAST(c.n_active AS DOUBLE) / s.cohort_users
+             * 1000000 + 0.5) / 1000000 AS retention
+FROM cell c JOIN sizes s USING (cohort)
+"""
+
+
+@register("q_events_retention_cohorts", oracle=_RETENTION_ORACLE)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by FIRST-ACTIVE day, each later day's distinct actives
+    counted per (cohort, day offset), retention = actives /
+    cohort size. The funnel/attribution family's longitudinal
+    sibling: funnels measure within-session conversion, this measures
+    across-day survival.
+
+    Scale shape: two corpus passes, both combinable — min(day) per
+    user, then distinct (user, day) activity — and the per-user
+    cohort table joins back on user_id (at 100 TB AQE handles it; the
+    cohort SIZES table is calendar-bounded and broadcasts). The matrix
+    itself is (cohorts × offsets), calendar² at worst. The cohort
+    assignment is deterministic (min), so the whole matrix
+    hash-replays."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+    from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    first_day = persisted(
+        e.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    )
+    sizes = first_day.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    act = (
+        e.distinct()
+        .join(first_day, "user_id")
+        .select(
+            "cohort",
+            F.datediff("day", "cohort").cast("int").alias("day_offset"),
+        )
+    )
+    cell = act.groupBy("cohort", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return cell.join(F.broadcast(sizes), "cohort").select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "day_offset",
+        "cohort_users",
+        "n_active",
+        stable_round(
+            F.col("n_active").cast("double") / F.col("cohort_users"), 6
+        ).alias("retention"),
+    )

@@ -2545,3 +2545,68 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_q").desc(), "word")
         .limit(_TR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity: Yule's K from the frequency spectrum
+# ---------------------------------------------------------------------------
+
+_YULE_ORACLE = """
+WITH tf AS MATERIALIZED (
+  SELECT source, lower(t) AS w, CAST(count(*) AS BIGINT) AS m
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE regexp_matches(t, '^[A-Za-z]{2,}$')
+  GROUP BY source, lower(t)
+), spec AS (
+  SELECT source, m, CAST(count(*) AS BIGINT) AS v_m
+  FROM tf GROUP BY source, m
+)
+SELECT source,
+       CAST(sum(m * v_m) AS BIGINT) AS n_tokens,
+       CAST(sum(v_m) AS BIGINT) AS n_types,
+       CAST(sum(m * m * v_m) - sum(m * v_m) AS BIGINT) AS k_num,
+       floor(10000.0 * (sum(m * m * v_m) - sum(m * v_m))
+             / (CAST(sum(m * v_m) AS DOUBLE) * sum(m * v_m))
+             * 1000000 + 0.5) / 1000000 AS yule_k
+FROM spec GROUP BY source
+"""
+
+
+@register("q_text_yule_k", oracle=_YULE_ORACLE)
+def q_text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-diversity characteristic per source —
+    K = 10⁴·(Σ m²·V_m − N)/N² over the word frequency SPECTRUM (V_m =
+    types occurring m times, N = tokens). Unlike type/token ratio, K
+    is length-insensitive, which is why stylometry and corpus-quality
+    monitors use it: a source whose K jumps grew repetitive
+    (template/boilerplate injection), one whose K collapses went
+    random. Completes the diversity suite next to Zipf slope (head
+    shape) and char entropy (symbol level).
+
+    Shape: token pass → (source, word) counts → frequency-of-
+    frequencies (vocabulary-sized, then SPECTRUM-sized: |{m}| distinct
+    counts) → one exact-integer aggregate; the numerator is pure int64
+    and the single division publishes via the stabilizer."""
+    from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t").rlike(_bpe_word_filter()))
+        .groupBy("source", F.lower("t").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    spec = tf.groupBy("source", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("v_m")
+    )
+    n = F.sum(F.col("m") * F.col("v_m"))
+    num = F.sum(F.col("m") * F.col("m") * F.col("v_m")) - n
+    return spec.groupBy("source").agg(
+        n.cast("long").alias("n_tokens"),
+        F.sum("v_m").cast("long").alias("n_types"),
+        num.cast("long").alias("k_num"),
+        stable_round(
+            10000.0 * num / (n.cast("double") * n), 6
+        ).alias("yule_k"),
+    )
