@@ -220,6 +220,7 @@ HEADLINE = (
     "q_events_retention_cohorts",
     "q_text_yule_k",
     "q_multimodal_patches",
+    "q_events_markov_stationary",
 )
 
 

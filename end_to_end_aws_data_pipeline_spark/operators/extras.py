@@ -1712,3 +1712,115 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(means_sorted, _BOOT_LO_RN)["m"].alias("ci_lo_mc"),
         F.element_at(means_sorted, _BOOT_HI_RN)["m"].alias("ci_hi_mc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution: integer power iteration over the
+# transition-count matrix (the PageRank playbook on the event chain)
+# ---------------------------------------------------------------------------
+
+_MKV_ITERS = 8
+_MKV_R0 = 1_000_000_000  # fixed-point mass per unit
+
+
+def _mkv_oracle() -> str:
+    parts = [
+        f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), tm AS MATERIALIZED (
+  SELECT event_type AS src, next_type AS dst,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), deg AS MATERIALIZED (
+  SELECT src, CAST(sum(n) AS BIGINT) AS d FROM tm GROUP BY src
+), states AS MATERIALIZED (
+  SELECT src AS s FROM deg
+), p0 AS MATERIALIZED (
+  SELECT s, CAST({_MKV_R0} AS BIGINT)
+         // (SELECT count(*) FROM states) AS mass
+  FROM states
+)"""
+    ]
+    prev = "p0"
+    for i in range(1, _MKV_ITERS + 1):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+  SELECT tm.dst AS s, CAST(sum(p.mass * tm.n // deg.d) AS BIGINT) AS mass
+  FROM tm
+  JOIN {prev} p ON p.s = tm.src
+  JOIN deg ON deg.src = tm.src
+  GROUP BY tm.dst
+)"""
+        )
+        prev = f"p{i}"
+    parts.append(
+        f"""
+SELECT s AS event_type, mass AS mass_fp,
+       floor(CAST(mass AS DOUBLE) / {_MKV_R0} * 1000000 + 0.5)
+         / 1000000 AS stationary
+FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register("q_events_markov_stationary", oracle=_mkv_oracle())
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    {_MKV_ITERS} rounds of integer power iteration — where user
+    journeys settle in the long run, the chain-level summary on top of
+    q_events_transition_matrix (one step) and q_events_top_paths
+    (three steps). Mass is fixed-point int64 ({_MKV_R0} units), each
+    step moves mass · n_ij // n_i (floor division, deterministic), so
+    the oracle's unrolled CTE rounds replay the iteration exactly —
+    the integer-PageRank playbook on the behavioral chain.
+
+    Scale shape: the ONLY corpus-sized work is the transition count
+    (one lead() window per user, combinable counts); the iteration
+    state is |event types| rows and each round joins two tiny
+    relations — constant cost at any corpus size, so the unpersisted
+    {_MKV_ITERS}-round loop needs no checkpoint policy."""
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    tm = persisted(
+        seq.groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    deg = tm.groupBy("src").agg(F.sum("n").cast("long").alias("d"))
+    tmd = persisted(tm.join(deg, "src"))
+    n_states = tmd.select("src").distinct().count()  # bounded: event types
+    p = tmd.select("src").distinct().select(
+        F.col("src").alias("s"),
+        F.lit(_MKV_R0 // n_states).cast("long").alias("mass"),
+    )
+    for _ in range(_MKV_ITERS):
+        p = (
+            tmd.join(p.withColumnRenamed("s", "src"), "src")
+            .groupBy(F.col("dst").alias("s"))
+            .agg(
+                F.sum(
+                    F.expr("mass * n div d")
+                ).cast("long").alias("mass")
+            )
+        )
+    from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+
+    return p.select(
+        F.col("s").alias("event_type"),
+        F.col("mass").alias("mass_fp"),
+        stable_round(F.col("mass").cast("double") / _MKV_R0, 6).alias(
+            "stationary"
+        ),
+    )
