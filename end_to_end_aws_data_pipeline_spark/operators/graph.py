@@ -777,9 +777,12 @@ WITH e0 AS ({_PR_EDGES_SQL}
     for i in range(1, _LPA_ROUNDS + 1):
         parts.append(
             f""", v{i} AS MATERIALIZED (
-  SELECT e.src AS node, l.lbl, count(*) AS cnt
-  FROM edges e JOIN {prev} l ON l.node = e.dst
-  GROUP BY e.src, l.lbl
+  SELECT node, lbl, CAST(sum(c) AS BIGINT) AS cnt FROM (
+    SELECT e.src AS node, l.lbl, 1 AS c
+    FROM edges e JOIN {prev} l ON l.node = e.dst
+    UNION ALL
+    SELECT node, lbl, 1 AS c FROM {prev}
+  ) GROUP BY node, lbl
 ), l{i} AS MATERIALIZED (
   SELECT node,
          {_LPA_B - 1} - (max(cnt * {_LPA_B} + ({_LPA_B - 1} - lbl))
@@ -842,11 +845,18 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = F.lit(_LPA_B - 1)
     for _ in range(_LPA_ROUNDS):
+        # neighbor votes PLUS each node's own current label (weight 1)
+        # — the retention variant: pure synchronous LPA oscillates
+        # forever on bipartite graphs (measured: every node swaps
+        # labels every round on the purchase graph, a 2-cycle orbit),
+        # while the self-vote anchors ties and converges
         votes = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), "lbl"), "dst"
             )
-            .groupBy(F.col("src").alias("node"), "lbl")
+            .select(F.col("src").alias("node"), "lbl")
+            .unionByName(labels)
+            .groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         # vote argmax as ONE long hash-aggregate (see _LPA_B note): a
@@ -857,6 +867,13 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc = F.max(
             F.col("cnt") * F.lit(_LPA_B) + (b1 - F.col("lbl"))
         ).alias("enc")
+        # NO fixpoint short-circuit, deliberately: the measured depth
+        # study (tools/lpa_depth.py, SCALING.md) shows ~10% of this
+        # bipartite graph's nodes sit in a period-2 label orbit even
+        # with the self-vote, so changed==0 never fires — the check
+        # would cost one round-sized job per round and save nothing at
+        # fixed R. Deep-R deployments should stop on labels(t) ==
+        # labels(t-2) at matching parity instead.
         labels = (
             votes.groupBy("node")
             .agg(enc)

@@ -606,13 +606,11 @@ def test_lpa_two_planted_clusters(spark, tmp_path):
         adj.setdefault(b, []).append(a)
     lbl = {v: v for v in adj}
     for _ in range(_LPA_ROUNDS):
-        lbl = {
-            v: min(
-                Counter(lbl[u] for u in adj[v]).items(),
-                key=lambda kv: (-kv[1], kv[0]),
-            )[0]
-            for v in adj
-        }
+        def vote(v):
+            c = Counter(lbl[u] for u in adj[v])
+            c[lbl[v]] += 1  # self-vote (retention variant)
+            return min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = {v: vote(v) for v in adj}
     expected = sorted(
         Counter(lbl.values()).items(), key=lambda kv: (-kv[1], kv[0])
     )
