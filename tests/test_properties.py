@@ -1536,3 +1536,79 @@ def test_doulion_estimator_tracks_exact(spark):
     # estimator accuracy on this corpus (fixed, not probabilistic)
     rel = abs(est.n_triangles_est - exact.n_triangles) / exact.n_triangles
     assert rel < 0.25, (est.n_triangles_est, exact.n_triangles)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.sampled_from([2, 4, 6]),
+)
+def test_stable_round_bit_identical_across_engines(spark, xs, scale):
+    """The round-7 migration's core claim, fuzzed: stable_round's
+    floor(x·10^s + 0.5)/10^s produces BIT-identical doubles in Spark
+    and DuckDB for arbitrary inputs — including the decimal-expansion
+    ties where round(double, s) diverges between the engines (the
+    sf0.1 sweep's q_timeseries_gapfill/percent_rank finds)."""
+    import struct
+
+    import duckdb
+
+    from end_to_end_aws_data_pipeline_spark.functions.aggs import (
+        stable_round,
+        stable_round_sql,
+    )
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, x double")
+    got = {
+        r.i: r.y
+        for r in df.select("i", stable_round(F.col("x"), scale).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, x) for i, x in enumerate(xs)])
+    exp = dict(
+        con.execute(
+            f"SELECT i, {stable_round_sql('x', scale)} FROM t"
+        ).fetchall()
+    )
+    for i in got:
+        a, b = got[i], exp[i]
+        assert struct.pack("<d", a) == struct.pack("<d", b), (
+            f"x={xs[i]!r} scale={scale}: spark={a!r} duckdb={b!r}"
+        )
+
+
+def test_ulm_fixed_point_log2_accuracy_and_sql_parity(spark):
+    """_ulm_l2's integer L(x)=65536·log2(x): (a) within the documented
+    6.1e-5-bit worst case of true log2 across magnitudes, (b) equal to
+    the inlined DuckDB SQL spelling integer-for-integer."""
+    import math
+
+    import duckdb
+
+    from end_to_end_aws_data_pipeline_spark.operators.text import (
+        _ulm_l2,
+        _ulm_l2_sql,
+    )
+
+    xs = (
+        [1, 2, 3, 5, 7, 63, 64, 65, 1000, 12345, 10**6, 10**9, 2**40]
+        + [2**k - 1 for k in range(2, 40, 5)]
+        + [2**k + 1 for k in range(2, 40, 5)]
+    )
+    con = duckdb.connect()
+    for x in xs:
+        py = _ulm_l2(x)
+        (sql_v,) = con.execute(
+            f"SELECT {_ulm_l2_sql(f'CAST({x} AS BIGINT)')}"
+        ).fetchone()
+        assert py == sql_v, f"x={x}: python {py} != sql {sql_v}"
+        err_bits = abs(py / 65536.0 - math.log2(x))
+        assert err_bits <= 6.1e-5 * 1.05 + 1.0 / 65536.0, (x, err_bits)
