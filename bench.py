@@ -221,6 +221,7 @@ HEADLINE = (
     "q_text_yule_k",
     "q_multimodal_patches",
     "q_events_markov_stationary",
+    "q_agg_histogram",
 )
 
 

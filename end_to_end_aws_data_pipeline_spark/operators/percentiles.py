@@ -1482,3 +1482,74 @@ def q_window_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(est, 2).alias("hll_users_7d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram per group (adaptive bounds from a 1-row probe)
+# ---------------------------------------------------------------------------
+
+_HISTO_BINS = 16
+
+_HISTO_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+  FROM lineitem
+), b AS MATERIALIZED (
+  SELECT min(vc) AS lo, max(vc) AS hi,
+         (max(vc) - min(vc)) // {_HISTO_BINS} + 1 AS w
+  FROM v
+)
+SELECT v.g AS l_returnflag,
+       CAST(least((vc - b.lo) // b.w, {_HISTO_BINS - 1}) AS INT) AS bin,
+       CAST(b.lo + least((vc - b.lo) // b.w, {_HISTO_BINS - 1}) * b.w
+            AS BIGINT) AS bin_lo_c,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(vc) AS BIGINT) AS sum_c
+FROM v CROSS JOIN b
+GROUP BY v.g, bin, bin_lo_c
+"""
+
+
+@register("q_agg_histogram", oracle=_HISTO_ORACLE)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per group — the generic
+    distribution-shape readout behind every profiler bar chart, with
+    ADAPTIVE bounds: a one-row global min/max probe fixes
+    {_HISTO_BINS} integer-cent bins (width = span//bins + 1 — exact
+    integer, no float edges, so bin assignment replays in any engine),
+    then one combinable pass counts and sums per (group, bin). The
+    fixed-band lesson (scale-lessons: a $100 band collapsed a
+    deviation pass) is why bounds adapt instead of being constants.
+
+    Scale shape: probe (1 row) + one map-side-combinable groupBy whose
+    key space is groups x {_HISTO_BINS} — never data-sized; executor
+    state is a handful of int64 counters per task."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("vc"),
+    )
+    lo_v, hi_v = v.agg(F.min("vc"), F.max("vc")).first()
+    w = (hi_v - lo_v) // _HISTO_BINS + 1
+    # integer div, not floor(double /): double division loses exactness
+    # past 2^53 cents while `div` replays DuckDB's `//` at any magnitude
+    bin_ = F.least(
+        F.expr(f"(vc - {lo_v}L) div {w}L"), F.lit(_HISTO_BINS - 1)
+    ).cast("int")
+    return (
+        v.groupBy("g", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("vc").cast("long").alias("sum_c"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "bin",
+            (F.lit(lo_v) + F.col("bin").cast("long") * F.lit(w))
+            .cast("long")
+            .alias("bin_lo_c"),
+            "n_rows",
+            "sum_c",
+        )
+    )
