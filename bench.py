@@ -222,6 +222,7 @@ HEADLINE = (
     "q_multimodal_patches",
     "q_events_markov_stationary",
     "q_agg_histogram",
+    "q_window_streaks",
 )
 
 

@@ -1857,3 +1857,86 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double") / F.col("cohort_users"), 6
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# longest activity streak per user (gaps-and-islands on distinct days)
+# ---------------------------------------------------------------------------
+
+_STREAK_MIN = 7  # publish users with a streak at least this long
+
+_STREAK_ORACLE = f"""
+WITH d AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY day) AS INT) AS isl_id
+  FROM d
+), runs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+         min(day) AS streak_start
+  FROM isl GROUP BY user_id, isl_id
+), best AS (
+  SELECT user_id, len, streak_start,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn
+  FROM runs
+)
+SELECT user_id,
+       len AS longest_streak,
+       CAST(streak_start AS VARCHAR) AS streak_start,
+       (SELECT CAST(count(*) AS BIGINT) FROM runs r
+        WHERE r.user_id = best.user_id) AS n_streaks
+FROM best WHERE rn = 1 AND len >= {_STREAK_MIN}
+"""
+
+
+@register("q_window_streaks", oracle=_STREAK_ORACLE)
+def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (with its start
+    date and the user's total streak count) — the engagement metric
+    behind every retention dashboard, published for users whose best
+    streak reaches {_STREAK_MIN} days. Deterministic tie: the EARLIEST
+    equally-long streak wins.
+
+    Gaps-and-islands on DISTINCT user-days: island id = day −
+    row_number (per-user window, bounded by that user's active days —
+    never corpus-wide), islands collapse to (length, start), one more
+    per-user rank picks the best. One corpus pass to the distinct
+    user-day table; everything after is user-day-sized."""
+    from pyspark.sql import Window as W
+
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(wu)).alias("isl_id"),
+    )
+    runs = isl.groupBy("user_id", "isl_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = W.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    counted = runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks")
+    )
+    best = (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("len") >= _STREAK_MIN))
+        .drop("rn", "isl_id")
+    )
+    return best.join(counted, "user_id").select(
+        "user_id",
+        F.col("len").alias("longest_streak"),
+        F.col("streak_start").cast("string").alias("streak_start"),
+        "n_streaks",
+    )
