@@ -223,6 +223,7 @@ HEADLINE = (
     "q_events_markov_stationary",
     "q_agg_histogram",
     "q_window_streaks",
+    "q_agg_conversion_ztest",
 )
 
 

@@ -1824,3 +1824,104 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stationary"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test between user segments (conversion significance)
+# ---------------------------------------------------------------------------
+
+_ZPROP_ORACLE = """
+WITH u AS MATERIALIZED (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS segment,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS k
+  FROM u GROUP BY segment
+), w AS (
+  SELECT max(CASE WHEN segment = 0 THEN n END) AS n0,
+         max(CASE WHEN segment = 0 THEN k END) AS k0,
+         max(CASE WHEN segment = 1 THEN n END) AS n1,
+         max(CASE WHEN segment = 1 THEN k END) AS k1
+  FROM seg
+)
+SELECT n0, k0, n1, k1,
+       floor(CAST(k0 AS DOUBLE) / n0 * 1000000 + 0.5) / 1000000 AS p0,
+       floor(CAST(k1 AS DOUBLE) / n1 * 1000000 + 0.5) / 1000000 AS p1,
+       CASE WHEN k0 + k1 = 0 OR k0 + k1 = n0 + n1 THEN 0.0
+            ELSE floor((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+             / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1))
+             * 10000 + 0.5) / 10000 END AS z_stat
+FROM w
+"""
+
+
+@register("q_agg_conversion_ztest", oracle=_ZPROP_ORACLE)
+def q_agg_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion between two segments
+    (deterministic split: user_id parity) — the categorical-outcome
+    sibling of the Welch t-test (q_agg_ab_ttest): did segment A
+    convert to 'purchase' at a different rate than B, and is the gap
+    larger than pooled sampling noise explains?
+
+    Exact core: per-user conversion is one max() flag, segment counts
+    are int64, and every published float derives from those integers
+    through correctly-rounded IEEE ops + the stabilizer — bit-identical
+    cross-engine, no ordering sensitivity anywhere. One combinable
+    pass to per-user flags, one to segment counts, then a 1-row pivot."""
+    from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+
+    e = table(spark, sf_dir, "events")
+    # conversion = heavy purchaser (>= 14 purchase events): the raw
+    # any-purchase flag is degenerate in these fixtures (every user
+    # converts -> pooled variance 0)
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) >= 14,
+            1,
+        ).otherwise(0).alias("converted")
+    ).select((F.col("user_id") % 2).cast("int").alias("segment"), "converted")
+    seg = u.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("k"),
+    )
+    w = seg.agg(
+        F.max(F.when(F.col("segment") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("segment") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("segment") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("segment") == 1, F.col("k"))).alias("k1"),
+    )
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    degenerate = (
+        (F.col("k0") + F.col("k1") == 0)
+        | (F.col("k0") + F.col("k1") == F.col("n0") + F.col("n1"))
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise(
+        stable_round(
+            (p0 - p1)
+            / F.sqrt(
+                pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            ),
+            4,
+        )
+    )
+    return w.select(
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        stable_round(p0, 6).alias("p0"),
+        stable_round(p1, 6).alias("p1"),
+        z.alias("z_stat"),
+    )
