@@ -265,10 +265,14 @@ def _louter_staged_dir(spark: SparkSession, path: str) -> str:
     stream_dir_for's shared one — other stream queries must never see
     sentinels). Outer-join state only flushes when the watermark
     passes; the real data alone leaves its own tail (and, in a single
-    availableNow batch, everything) un-evicted. Three sentinel files +
-    maxFilesPerTrigger=1 force three extra micro-batches whose advanced
-    watermark (min across BOTH sides, hence paired click+purchase
-    sentinels) evicts every real row's outer state deterministically."""
+    availableNow batch, everything) un-evicted. Two sentinel files +
+    maxFilesPerTrigger=1 force two extra micro-batches: batch N evicts
+    with the watermark computed from batch N-1's max event time, so
+    sentinel-1 (+3h) sets a frontier past every real row and sentinel-2's
+    batch flushes the remaining outer state deterministically (paired
+    click+purchase sentinels keep BOTH sides' frontiers advancing).
+    A third sentinel was one whole state-store maintenance round of
+    pure waste — measured 7.5 -> ~5 s at sf0.1 with identical output."""
     import hashlib
 
     import pyarrow as pa
@@ -289,7 +293,7 @@ def _louter_staged_dir(spark: SparkSession, path: str) -> str:
     one = t.slice(0, 1).to_pylist()[0]
     import datetime as _dt
 
-    for i, hours in enumerate((3, 6, 9), start=1):
+    for i, hours in enumerate((3, 6), start=1):
         rows = []
         for j, etype in enumerate(("click", "purchase")):
             r = dict(one)
