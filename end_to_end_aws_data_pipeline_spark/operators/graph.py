@@ -795,6 +795,76 @@ LIMIT {_LPA_TOP}"""
     return "".join(parts)
 
 
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous retention-LPA round: neighbor votes PLUS each
+    node's own current label (weight 1) — pure synchronous LPA
+    oscillates forever on bipartite graphs (measured: every node swaps
+    labels every round on the purchase graph, a 2-cycle orbit), while
+    the self-vote anchors ties and stabilizes community count.
+
+    Vote argmax as ONE long hash-aggregate (see _LPA_B note): a
+    per-node rank window sorts every vote row; max() keeps the whole
+    round in HashAggregate. localCheckpoint truncates the
+    round-over-round lineage (persist alone leaves the analyzer
+    re-walking nested plans — the measured k-core lesson)."""
+    b1 = F.lit(_LPA_B - 1)
+    votes = (
+        edges.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst")
+        .select(F.col("src").alias("node"), "lbl")
+        .unionByName(labels)
+        .groupBy("node", "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = F.max(F.col("cnt") * F.lit(_LPA_B) + (b1 - F.col("lbl"))).alias(
+        "enc"
+    )
+    return (
+        votes.groupBy("node")
+        .agg(enc)
+        .select("node", (b1 - F.expr(f"enc & {_LPA_B - 1}")).alias("lbl"))
+        .localCheckpoint()
+    )
+
+
+def lpa_labels_deep(
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int = 20,
+) -> tuple[DataFrame, int, bool]:
+    """Deep-R label propagation with the EXECUTABLE stop criterion the
+    depth study prescribes: labels(t) == labels(t-2) at matching parity
+    (operators/iterate.run_until_periodic, period=2). changed==0 can
+    never fire on this bipartite graph — ~10% of nodes keep a period-2
+    orbit — so the orbit itself is the fixpoint being detected; the
+    returned vector is one member of the final orbit.
+
+    Returns (labels, rounds_run, converged). Measured at sf1 the stop
+    fires at round 8 (33 s wall, 11 communities — SCALING.md); the
+    probe is one node-sized co-partitioned join every 2 rounds,
+    amortized across the edge-sized propagation joins it gates."""
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        run_until_periodic,
+    )
+
+    e0 = _purchase_fwd(spark, sf_dir)
+    edges = persisted(
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("dst")
+    )
+    labels0 = persisted(
+        edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+    )
+    return run_until_periodic(
+        labels0,
+        lambda lbls: _lpa_round(edges, lbls),
+        max_rounds=max_rounds,
+        period=2,
+    )
+
+
 @register("q_graph_lpa_communities", oracle=_lpa_oracle())
 def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
@@ -833,43 +903,15 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert labels.agg(F.max("node")).first()[0] < _LPA_B, (
         "LPA argmax encoding needs node ids < 2^32; re-key or widen B"
     )
-    b1 = F.lit(_LPA_B - 1)
+    # NO fixpoint short-circuit at fixed R, deliberately: the measured
+    # depth study (tools/lpa_depth.py, SCALING.md) shows ~10% of this
+    # bipartite graph's nodes sit in a period-2 label orbit even with
+    # the self-vote, so changed==0 never fires — the check would cost
+    # one round-sized job per round and save nothing at fixed R. Deep-R
+    # deployments stop on labels(t) == labels(t-2) instead — executable
+    # as lpa_labels_deep() below (operators/iterate.run_until_periodic).
     for _ in range(_LPA_ROUNDS):
-        # neighbor votes PLUS each node's own current label (weight 1)
-        # — the retention variant: pure synchronous LPA oscillates
-        # forever on bipartite graphs (measured: every node swaps
-        # labels every round on the purchase graph, a 2-cycle orbit),
-        # while the self-vote anchors ties and converges
-        votes = (
-            edges.join(
-                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
-            )
-            .select(F.col("src").alias("node"), "lbl")
-            .unionByName(labels)
-            .groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        # vote argmax as ONE long hash-aggregate (see _LPA_B note): a
-        # per-node rank window sorts every vote row; max() keeps the
-        # whole round in HashAggregate. localCheckpoint truncates the
-        # round-over-round lineage (persist alone leaves the analyzer
-        # re-walking nested plans — the measured k-core lesson).
-        enc = F.max(
-            F.col("cnt") * F.lit(_LPA_B) + (b1 - F.col("lbl"))
-        ).alias("enc")
-        # NO fixpoint short-circuit, deliberately: the measured depth
-        # study (tools/lpa_depth.py, SCALING.md) shows ~10% of this
-        # bipartite graph's nodes sit in a period-2 label orbit even
-        # with the self-vote, so changed==0 never fires — the check
-        # would cost one round-sized job per round and save nothing at
-        # fixed R. Deep-R deployments should stop on labels(t) ==
-        # labels(t-2) at matching parity instead.
-        labels = (
-            votes.groupBy("node")
-            .agg(enc)
-            .select("node", (b1 - F.expr(f"enc & {_LPA_B - 1}")).alias("lbl"))
-            .localCheckpoint()
-        )
+        labels = _lpa_round(edges, labels)
     top = (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))

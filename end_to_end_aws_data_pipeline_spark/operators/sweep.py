@@ -1904,8 +1904,12 @@ def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaps-and-islands on DISTINCT user-days: island id = day −
     row_number (per-user window, bounded by that user's active days —
     never corpus-wide), islands collapse to (length, start), one more
-    per-user rank picks the best. One corpus pass to the distinct
-    user-day table; everything after is user-day-sized."""
+    per-user rank picks the best and a same-partition count window
+    carries n_streaks — NOT a groupBy+join back onto `runs`, which
+    re-executed the whole corpus pass for the second consumer (the
+    consume-each-lazy-pass-once lesson; plan-gated to ONE parquet
+    scan). One corpus pass to the distinct user-day table; everything
+    after is user-day-sized."""
     from pyspark.sql import Window as W
 
     d = (
@@ -1926,17 +1930,22 @@ def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = W.partitionBy("user_id").orderBy(
         F.col("len").desc(), "streak_start"
     )
-    counted = runs.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_streaks")
-    )
-    best = (
-        runs.withColumn("rn", F.row_number().over(wb))
+    return (
+        runs.select(
+            "user_id",
+            "len",
+            "streak_start",
+            F.row_number().over(wb).alias("rn"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("user_id"))
+            .cast("long")
+            .alias("n_streaks"),
+        )
         .filter((F.col("rn") == 1) & (F.col("len") >= _STREAK_MIN))
-        .drop("rn", "isl_id")
-    )
-    return best.join(counted, "user_id").select(
-        "user_id",
-        F.col("len").alias("longest_streak"),
-        F.col("streak_start").cast("string").alias("streak_start"),
-        "n_streaks",
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            F.col("streak_start").cast("string").alias("streak_start"),
+            "n_streaks",
+        )
     )

@@ -621,3 +621,84 @@ def test_lpa_two_planted_clusters(spark, tmp_path):
     assert got == expected
     # the two planted clusters stay separate
     assert sum(n for _, n in got) == 10 and len(got) >= 2
+
+
+def test_lpa_deep_stop_period2(spark):
+    """The deep-R stop criterion is EXECUTABLE and correct: on the real
+    bipartite purchase graph (a) the period-2 probe fires, (b) a plain
+    changed==0 fixpoint NEVER fires before it (the measured orbit the
+    depth study documents — tools/lpa_depth.py), and (c) the runner's
+    final vector equals a manual replay of the same rounds."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _lpa_round,
+        _purchase_fwd,
+        lpa_labels_deep,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        vectors_differ,
+    )
+    from tests.conftest import SF_SMOKE
+
+    final, r, conv = lpa_labels_deep(spark, SF_SMOKE, max_rounds=20)
+    assert conv, "period-2 stop must fire within 20 rounds"
+    assert r % 2 == 0 and r >= 2
+
+    # manual replay of the identical rounds, keeping full history
+    e0 = _purchase_fwd(spark, SF_SMOKE)
+    edges = persisted(
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("dst")
+    )
+    labels = persisted(
+        edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+    )
+    hist = [labels]
+    for _ in range(r):
+        labels = _lpa_round(edges, labels)
+        hist.append(labels)
+    # changed==0 never fires: every round changes SOME node's label
+    for t in range(1, r + 1):
+        assert vectors_differ(hist[t], hist[t - 1]), (
+            f"round {t}: plain fixpoint fired — orbit assumption broken"
+        )
+    # the criterion that does fire: labels(r) == labels(r-2)
+    assert not vectors_differ(hist[r], hist[r - 2])
+    # and not earlier (r is the FIRST even round with a period-2 match)
+    for t in range(2, r, 2):
+        assert vectors_differ(hist[t], hist[t - 2])
+    # runner's final state is the replay's final state
+    assert not vectors_differ(final, hist[r])
+
+
+def test_run_until_periodic_period1_monotone(spark):
+    """period=1 degrades to the classic changed==0 fixpoint — checked
+    on a monotone toy step (cap values at a floor) where oscillation is
+    impossible."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        run_until_periodic,
+        vectors_differ,
+    )
+
+    s0 = spark.createDataFrame(
+        [(i, 10 - i) for i in range(8)], "node long, lbl long"
+    )
+
+    def step(df):
+        return df.select(
+            "node", F.greatest(F.col("lbl") - 2, F.lit(3)).alias("lbl")
+        ).localCheckpoint()
+
+    final, r, conv = run_until_periodic(
+        s0, step, max_rounds=10, period=1, key="node", val="lbl"
+    )
+    assert conv and r <= 5
+    assert not vectors_differ(final, step(final))
+    assert {row.lbl for row in final.collect()} == {3}

