@@ -6,7 +6,12 @@ already-verified ones, deterministically (no dependence on which
 CORRECTNESS artifacts happen to exist on disk).
 """
 
+import pathlib
+import sys
+
 from end_to_end_aws_data_pipeline_spark import registry as reg
+
+_TOOLS = str(pathlib.Path(__file__).resolve().parent.parent / "tools")
 
 
 def test_fingerprint_stable_and_sensitive():
@@ -45,6 +50,18 @@ def test_ordering_is_deterministic():
     assert list(reg.oracle_sql()) == [
         n for n in reg.queries() if n in reg._ORACLE
     ]
+
+
+def test_registry_counts_match_docs():
+    """README.md / COVERAGE.md query counts must equal the live
+    registry (endgame habit guard — registering a query without
+    syncing the docs fails the suite immediately)."""
+    if _TOOLS not in sys.path:
+        sys.path.insert(0, _TOOLS)
+    import endgame_check
+
+    counts = endgame_check.check_counts()  # SystemExit on drift
+    assert counts["visible"] == len(reg._QUERIES)
 
 
 def test_unknown_manifest_entries_ignored(monkeypatch):
