@@ -118,6 +118,7 @@ HEADLINE = (
     "q_multimodal_decode_gif",
     "q_etl_expectations",
     "q_agg_hll_merge",
+    "q_agg_kll_quantiles",
     "q_scalar_variant",
     "q_sql_lateral_topk",
     "q_join_fuzzy_editdist",

@@ -367,6 +367,93 @@ def segmented_global_rank(
     )
 
 
+def segmented_group_rank(
+    df: DataFrame,
+    grp_col: str,
+    value_col: str,
+    tie_cols: list,
+    band: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact ``row_number() OVER (PARTITION BY grp ORDER BY value,
+    *ties)`` without group-sized window partitions — the per-group
+    sibling of :func:`segmented_global_rank` (a calendar-month group of
+    a 100 TB table is still ~1 TB; partitioning the window by the group
+    alone recreates the single-partition sort, one group at a time).
+    Rank locally within (group, value-band), prefix-sum each group's
+    band populations into starting offsets (the offsets window runs per
+    group over ≤ span/band rows — domain-bounded, never row-bounded),
+    and add.
+
+    Returns ``(ranked, sizes)``: the input plus ``rk`` (1-based rank
+    within its group) and ``n_g`` (group size), and a bounded
+    ``(grp, n_g)`` side table.
+
+    The default band targets ~4096 (group, band) CELLS IN TOTAL —
+    span·G/4096, not span/4096 — because the window partition count is
+    groups × bands: reusing the global sibling's band here measured
+    5.0 s vs 1.2 s at sf0.1 (83 groups × 4096 bands = 340k near-empty
+    window partitions, pure per-partition overhead). Cell population
+    stays ≈ N/max(G, 4096) either way, so the local sorts remain
+    bounded; explicit ``band`` callers should scale by their group
+    count likewise.
+
+    Unlike the global sibling (whose offsets window feeds the join
+    lazily), the cell populations here are COLLECTED and the offset
+    table rebuilt as literals: the offsets relation derives from the
+    same corpus-sized window as the probe side, and physical/AQE
+    exchange reuse does NOT bridge a BroadcastExchange subtree — the
+    in-plan form re-ran the full scan+shuffle+sort inside the
+    broadcast build (52 s vs ~20 s at sf10, 2.2 s vs 1.3 s at sf0.1).
+    One bounded collect (≤ 4096 + G rows by the band rule — the
+    binned-percentile driver-state precedent) buys a single corpus
+    window pass.
+    """
+    if band is None:
+        lo, hi, g_cnt = df.agg(
+            F.min(value_col), F.max(value_col), F.countDistinct(grp_col)
+        ).first()
+        span = int(hi - lo) if hi is not None else 0
+        band = span * max(int(g_cnt), 1) // 4096 + 1
+    o = df.withColumn("bucket", F.expr(f"{value_col} div {band}"))
+    cell_rows = (
+        o.groupBy(grp_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .collect()
+    )
+    by_g: dict = {}
+    for r in cell_rows:
+        by_g.setdefault(r[grp_col], []).append((r["bucket"], r["bn"]))
+    off_rows, size_rows = [], []
+    for g, cell_list in sorted(by_g.items()):
+        cell_list.sort()
+        n_g = sum(c for _, c in cell_list)
+        size_rows.append((g, n_g))
+        acc = 0
+        for b, c in cell_list:
+            off_rows.append((g, b, acc, n_g))
+            acc += c
+    g_type = df.schema[grp_col].dataType.simpleString()
+    offsets = df.sparkSession.createDataFrame(
+        off_rows,
+        f"{grp_col} {g_type}, bucket long, offset long, n_g long",
+    )
+    sizes = df.sparkSession.createDataFrame(
+        size_rows, f"{grp_col} {g_type}, n_g long"
+    )
+    local = o.withColumn(
+        "local_rn",
+        F.row_number().over(
+            W.partitionBy(grp_col, "bucket").orderBy(value_col, *tie_cols)
+        ),
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), [grp_col, "bucket"])
+        .withColumn("rk", F.col("offset") + F.col("local_rn"))
+        .drop("bucket", "local_rn", "offset")
+    )
+    return ranked, sizes
+
+
 # ---------------------------------------------------------------------------
 # global equi-depth deciles via bucketed two-pass global rank
 # ---------------------------------------------------------------------------

@@ -1612,3 +1612,81 @@ def test_ulm_fixed_point_log2_accuracy_and_sql_parity(spark):
         assert py == sql_v, f"x={x}: python {py} != sql {sql_v}"
         err_bits = abs(py / 65536.0 - math.log2(x))
         assert err_bits <= 6.1e-5 * 1.05 + 1.0 / 65536.0, (x, err_bits)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (q_agg_kll_quantiles): the error-bound and
+# weight-exactness CLAIMS, fuzzed on a pure-python mirror of the exact
+# integer algorithm — any multiset, any partitioning into groups
+# ---------------------------------------------------------------------------
+
+
+def _kll_mirror(rows, k):
+    """Pure-python replay of the canonical MRL compaction in
+    operators/percentiles.q_agg_kll_quantiles: per-group equi-spaced
+    rank subsample with exact tiled weights, then one identical
+    compaction over the weighted union. Returns (kept, b, n) where
+    kept = [(vc, uniq, w2, cw)] in (vc, uniq) order."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, vc, uniq in rows:
+        groups[g].append((vc, uniq))
+    l1, ssum = [], 0
+    for vals in groups.values():
+        vals.sort()
+        n_g = len(vals)
+        s = 1
+        while s * k < n_g:
+            s *= 2
+        ssum += s - 1
+        for i in range(0, n_g, s):
+            l1.append((*vals[i], min(s, n_g - i)))
+    l1.sort()
+    mm = len(l1)
+    s2 = 1
+    while s2 * k < mm:
+        s2 *= 2
+    kept, cw = [], 0
+    for i in range(0, mm, s2):
+        w2 = sum(w for *_, w in l1[i : i + s2])
+        cw += w2
+        kept.append((l1[i][0], l1[i][1], w2, cw))
+    b = ssum + max(w2 for *_, w2, _cw in kept)
+    return kept, b, len(rows)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 6),        # group (arbitrary partitioning)
+            st.integers(-50, 50),     # value (dense -> heavy ties)
+            st.integers(0, 7),        # tie refinement (non-unique, like
+        ),                            # the fixture's orderkey collisions)
+        min_size=1,
+        max_size=300,
+    ),
+    k=st.sampled_from([1, 2, 4, 8]),
+)
+def test_kll_sketch_bound_holds_for_any_partitioning(data, k):
+    """Rollup-safety, the property that makes per-day sketches safe to
+    merge at 100 TB: for ANY partitioning of a multiset into groups,
+    (a) the merged sketch's total weight is exactly N (strata tile),
+    (b) every quantile estimate's realized rank error is within the
+    published bound B = sum_g(s_g - 1) + max stratum weight, and
+    (c) the sketch depends only on the multiset, not on row order."""
+    import bisect
+
+    kept, b, n = _kll_mirror(data, k)
+    assert kept[-1][3] == n  # (a) weight-exact
+    # (c) canonical: any permutation yields the identical sketch
+    assert _kll_mirror(list(reversed(data)), k)[0] == kept
+    svals = sorted(vc for _, vc, _ in data)
+    for q_ppm in (250_000, 500_000, 750_000, 950_000):
+        t = (q_ppm * n + 999_999) // 1_000_000
+        est = next(vc for vc, _u, _w, cw in kept if cw >= t)
+        lo = bisect.bisect_left(svals, est) + 1
+        hi = bisect.bisect_right(svals, est)
+        err = (lo - t) if t < lo else (t - hi) if t > hi else 0
+        assert err <= b, (data, k, q_ppm, est, t, lo, hi, b)
