@@ -689,9 +689,9 @@ if _has_protobuf():  # pragma: no cover — env-bound (see _has_protobuf)
 # ---------------------------------------------------------------------------
 
 _PYDS_STREAM_N = 5000
-_PYDS_STREAM_BATCH = 1300  # 4 uneven micro-batches (3×1300 + 1100): the
+_PYDS_STREAM_BATCH = 1700  # 3 uneven micro-batches (2×1700 + 1600): the
 # conformance content — offset advancement, per-batch partition fan-out,
-# an uneven tail batch — is identical at 4 batches and 8; each extra
+# an uneven tail batch — is identical at 3 batches, 4 and 8; each extra
 # micro-batch is ~0.6 s of pure fixed cost in the suite
 
 _PYDS_STREAM_ORACLE = f"""
@@ -715,8 +715,9 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A pure-Python STREAMING connector executed for real inside the
     gate: the custom data source's partitioned `streamReader` face
     (operators/sources.py — same registration serves spark.read and
-    spark.readStream) advances a cursor offset 700 rows per
-    micro-batch over 5 000 deterministic events, and `partitions()`
+    spark.readStream) advances a cursor offset {_PYDS_STREAM_BATCH}
+    rows per micro-batch over {_PYDS_STREAM_N} deterministic events,
+    and `partitions()`
     fans each micro-batch's offset range across multiple
     InputPartitions, so rows materialize in parallel tasks on
     executors rather than through one driver-side Python cursor (the
