@@ -92,6 +92,7 @@ HEADLINE = (
     "q_agg_salted_skew",
     "q_embed_quantize",
     "q_contamination_semantic",
+    "q_contamination_ngram",
     "q_etl_snapshot_diff",
     "q_agg_countmin",
     "q_graph_pagerank",
@@ -177,6 +178,7 @@ HEADLINE = (
     "q_text_collocations",
     "q_window_rolling_distinct",
     "q_window_global_decile",
+    "q_agg_rfm_segments",
     "q_agg_robust_stats",
     "q_agg_weighted_median",
     "q_etl_psi_drift",

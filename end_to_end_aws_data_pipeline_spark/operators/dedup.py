@@ -78,16 +78,27 @@ def shingles(text: Column, k: int = 3) -> Column:
     Pure expression: split → slide a k-window via transform over an
     index sequence → concat — stays in codegen, no UDF.
     """
-    # k-1 shifted slices zipped element-wise: each zip_with pass does one
-    # cheap concat per element, vs the transform-over-index form whose
-    # per-window slice/get chain ran ~8-10x slower (HOF lambdas are
-    # interpreted, so expression size per element is what matters).
-    # zip_with pads the shorter side with NULL and concat_ws skips
-    # NULLs, so the short tail windows come out identical to a
-    # truncated slice; the final slice drops those tails, keeping
-    # max(W-k+1, 1) windows — same as the index-sequence bound.
+    # Two equivalent forms with a k-dependent crossover (HOF lambdas
+    # are interpreted, so total per-element expression work is what
+    # matters):
+    # - small k: k-1 shifted slices zipped element-wise — each zip_with
+    #   pass is one cheap concat per element; the transform form's
+    #   slice/join chain measured ~8-10x slower at k=3.
+    # - large k: ONE transform with a k-wide slice+join per window —
+    #   the zip_with form pays k-1 full-array passes and loses by k≈13
+    #   (measured 1.71 s vs 1.31 s for the corpus explode at sf0.1).
+    # Both truncate short docs identically (zip_with pads with NULL and
+    # concat_ws skips NULLs; slice stops at the array end), keeping
+    # max(W-k+1, 1) windows.
     words = F.split(text, " ")
     n = F.size(words)
+    if k > 6:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            )
+        )
     tri = words
     for j in range(1, k):
         shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
@@ -2531,4 +2542,120 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_new", "doc_corpus", stable_round(jac, 6).alias("jaccard")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination by exact n-gram overlap
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 13  # the GPT-3 appendix-C convention (Brown et al. 2020)
+_CONTAM_MOD = 11  # fixture stand-in eval split: doc_id % MOD == 0
+
+_CONTAM_TERMS = ", ".join(
+    f"string_split(text,' ')[i+{j}]" for j in range(_CONTAM_N)
+)
+
+_CONTAM_ORACLE = f"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split(text,' ')) - {_CONTAM_N - 1}, 1) + 1),
+    i -> ('0x' || substr(md5(concat_ws(' ', {_CONTAM_TERMS})), 1, 15))::BIGINT
+  ))) AS h
+  FROM documents
+), ev AS MATERIALIZED (
+  SELECT DISTINCT h FROM g WHERE doc_id % {_CONTAM_MOD} = 0
+), hits AS MATERIALIZED (
+  SELECT g.doc_id, count(*) AS k
+  FROM g JOIN ev USING (h)
+  WHERE g.doc_id % {_CONTAM_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN h.k >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(coalesce(h.k, 0)) AS BIGINT) AS hit_grams,
+       CAST(max(coalesce(h.k, 0)) AS BIGINT) AS max_doc_overlap
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_CONTAM_MOD} <> 0
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("q_contamination_ngram", oracle=_CONTAM_ORACLE)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by EXACT {_CONTAM_N}-gram overlap —
+    the lexical sibling of q_contamination_semantic (similarity.py)
+    and the GPT-3/C4 training-hygiene staple (Brown et al. 2020
+    appendix C; Dodge et al. 2021): a training document is flagged if
+    it shares any {_CONTAM_N}-token window with the held-out eval set,
+    because a contaminated benchmark silently inflates downstream
+    scores. The fixture stands in an eval split (doc_id % {_CONTAM_MOD}
+    == 0); production passes a real benchmark table on the eval side.
+
+    Scale shape: the EVAL side is benchmark-sized (bounded by the
+    benchmark suite, not the corpus), so its distinct 60-bit gram
+    digests broadcast. Corpus text never shuffles — each doc's
+    distinct windows reduce to integer digests in the scan stage (the
+    digest-shuffle rule), and only (doc_id, hit-count) survives to the
+    doc-sized aggregate. Wall cost is the gram hashing itself, linear
+    in corpus tokens (every token window hashed exactly once —
+    semantics-bound): the sf1→sf10 leg is the linear regime emerging
+    from under the fixed floor, and the join strategy A/B-measured
+    within noise at sf10."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(shingles(F.col("text"), _CONTAM_N)).alias("gram"),
+        ).select(
+            "doc_id",
+            # 60-bit integer digest (the winnowing/bootstrap pattern):
+            # 4x narrower join keys than md5 hex strings; a birthday
+            # collision (~2e-4 odds at 21M grams) produces the same
+            # false hit in BOTH engines, so results stay hash-stable
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+
+    ev = (
+        grams(docs.where(F.col("doc_id") % _CONTAM_MOD == 0))
+        .select("h")
+        .distinct()
+    )
+    corpus = docs.where(F.col("doc_id") % _CONTAM_MOD != 0)
+    hits = (
+        grams(corpus)
+        # eval side broadcast: benchmark suites are bounded, and the
+        # 60-bit digests keep even the fixture's corpus-growing eval
+        # split cheap to ship (A/B at sf10: broadcast vs AQE shuffle
+        # join within noise — the wall cost is gram hashing, not the
+        # join)
+        .join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("k") >= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0)))
+            .cast("long")
+            .alias("hit_grams"),
+            F.max(F.coalesce(F.col("k"), F.lit(0)))
+            .cast("long")
+            .alias("max_doc_overlap"),
+        )
+        .orderBy("source")
     )

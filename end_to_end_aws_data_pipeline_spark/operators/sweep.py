@@ -373,6 +373,7 @@ def segmented_group_rank(
     value_col: str,
     tie_cols: list,
     band: int | None = None,
+    bucket_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact ``row_number() OVER (PARTITION BY grp ORDER BY value,
     *ties)`` without group-sized window partitions — the per-group
@@ -407,14 +408,23 @@ def segmented_group_rank(
     One bounded collect (≤ 4096 + G rows by the band rule — the
     binned-percentile driver-state precedent) buys a single corpus
     window pass.
+
+    ``bucket_col`` overrides the banding entirely: the caller provides
+    its own bounded, value-monotonic-within-group bucket column (e.g.
+    per-metric normalized buckets when stacked groups have wildly
+    different value domains — a shared band would collapse the
+    narrow-domain group into one cell).
     """
-    if band is None:
-        lo, hi, g_cnt = df.agg(
-            F.min(value_col), F.max(value_col), F.countDistinct(grp_col)
-        ).first()
-        span = int(hi - lo) if hi is not None else 0
-        band = span * max(int(g_cnt), 1) // 4096 + 1
-    o = df.withColumn("bucket", F.expr(f"{value_col} div {band}"))
+    if bucket_col is not None:
+        o = df.withColumnRenamed(bucket_col, "bucket")
+    else:
+        if band is None:
+            lo, hi, g_cnt = df.agg(
+                F.min(value_col), F.max(value_col), F.countDistinct(grp_col)
+            ).first()
+            span = int(hi - lo) if hi is not None else 0
+            band = span * max(int(g_cnt), 1) // 4096 + 1
+        o = df.withColumn("bucket", F.expr(f"{value_col} div {band}"))
     cell_rows = (
         o.groupBy(grp_col, "bucket")
         .agg(F.count(F.lit(1)).alias("bn"))
@@ -2035,4 +2045,140 @@ def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("streak_start").cast("string").alias("streak_start"),
             "n_streaks",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation via three segmented global ranks
+# ---------------------------------------------------------------------------
+
+_RFM_EPOCH = "1992-01-01"
+
+_RFM_ORACLE = f"""
+WITH cust AS MATERIALIZED (
+  SELECT o_custkey AS c,
+         (SELECT max(date_diff('day', DATE '{_RFM_EPOCH}',
+                               CAST(o_orderdate AS DATE))) FROM orders)
+           - max(date_diff('day', DATE '{_RFM_EPOCH}',
+                           CAST(o_orderdate AS DATE))) AS rec_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS mon_c
+  FROM orders GROUP BY o_custkey
+), r AS MATERIALIZED (
+  SELECT c, mon_c,
+    ((row_number() OVER (ORDER BY rec_days, c) - 1) * 4)
+      // (count(*) OVER ()) + 1 AS r_q,
+    ((row_number() OVER (ORDER BY freq, c) - 1) * 4)
+      // (count(*) OVER ()) + 1 AS f_q,
+    ((row_number() OVER (ORDER BY mon_c, c) - 1) * 4)
+      // (count(*) OVER ()) + 1 AS m_q
+  FROM cust
+)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(c) AS BIGINT) AS key_checksum,
+       CAST(sum(mon_c) AS BIGINT) AS monetary_cents
+FROM r GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@register("q_agg_rfm_segments", oracle=_RFM_ORACLE)
+def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cube (recency of
+    last order, order frequency, monetary total), each scored into
+    exact population quartiles, reported as the 4x4x4 segment census
+    that CRM/churn dashboards read. Quartile assignment uses the
+    equi-depth rank formula of q_window_global_decile
+    ((rank-1)*4 div n), exact and tie-total-ordered by (metric,
+    custkey), NOT the engine's ntile() — ntile's front-loaded remainder
+    distribution is engine-idiosyncratic; the formula replays
+    identically anywhere.
+
+    Scale shape: one orders pass builds the per-customer table (three
+    combinable aggregates keyed by custkey); it persists — customer-
+    sized, consumed by the probe and the rank pass, the re-aggregation
+    would double the heaviest shuffle (the ACF daily-table precedent).
+    All THREE metrics rank in ONE stacked segmented_group_rank pass
+    (group = metric): each metric's values normalize to its own
+    0..4095 bucket from a one-row span probe — recency spans ~2500
+    days, frequency ~50, money ~10^9 cents, so one shared band would
+    collapse frequency into a single cell and recreate the global
+    sort. Quartiles pivot back with one custkey-keyed aggregate; the
+    output cube is 64 rows."""
+    epoch = F.lit(_RFM_EPOCH).cast("date")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = persisted(
+        o.groupBy("o_custkey").agg(
+            F.max("day").cast("long").alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("mon_c"),
+        )
+    )
+    probe = cust.agg(
+        F.max("last_day").alias("anchor"),
+        F.min("last_day").alias("d_lo"),
+        F.min("freq").alias("f_lo"),
+        F.max("freq").alias("f_hi"),
+        F.min("mon_c").alias("m_lo"),
+        F.max("mon_c").alias("m_hi"),
+    ).first()
+    anchor = int(probe["anchor"])
+    # per-metric normalized buckets (value-monotonic, 0..4095): the
+    # spans differ by orders of magnitude, so each metric gets its own
+    # normalization instead of a shared band
+    spans = {
+        0: (0, anchor - int(probe["d_lo"])),
+        1: (int(probe["f_lo"]), int(probe["f_hi"]) - int(probe["f_lo"])),
+        2: (int(probe["m_lo"]), int(probe["m_hi"]) - int(probe["m_lo"])),
+    }
+    metrics = [
+        (0, (F.lit(anchor) - F.col("last_day")).cast("long")),
+        (1, F.col("freq").cast("long")),
+        (2, F.col("mon_c").cast("long")),
+    ]
+    parts = []
+    for m, val in metrics:
+        lo, span = spans[m]
+        parts.append(
+            cust.select(
+                F.lit(m).cast("long").alias("m"),
+                "o_custkey",
+                val.alias("val"),
+            ).withColumn(
+                # integer div, not float /: money spans overflow the
+                # double mantissa long before they overflow int64
+                "nb",
+                F.expr(f"((val - {lo}L) * 4096) div {span + 1}L"),
+            )
+        )
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    ranked, _sizes = segmented_group_rank(
+        stacked, "m", "val", ["o_custkey"], bucket_col="nb"
+    )
+    scored = ranked.select(
+        "m",
+        "o_custkey",
+        (F.expr("((rk - 1) * 4) div n_g") + 1).cast("int").alias("qt"),
+    )
+    pivoted = scored.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("m") == 0, F.col("qt"))).alias("r_q"),
+        F.max(F.when(F.col("m") == 1, F.col("qt"))).alias("f_q"),
+        F.max(F.when(F.col("m") == 2, F.col("qt"))).alias("m_q"),
+    )
+    return (
+        pivoted.join(cust.select("o_custkey", "mon_c"), "o_custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("o_custkey").cast("long").alias("key_checksum"),
+            F.sum("mon_c").cast("long").alias("monetary_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
     )

@@ -1231,3 +1231,48 @@ def test_round8_new_ops_plan_posture(spark):
     assert "HashAggregate" in p and "SortAggregate" not in p
     assert "Python" not in p and "Window" not in p
     assert zt.count() == 1
+
+
+def test_round8_sketch_and_segment_ops_plan_posture(spark):
+    """Plan gates for the round-8 operators:
+
+    - KLL sketch: the two unpartitioned merge windows are
+      construction-bounded (covered in test_global_windows_are_bounded)
+      and the corpus never crosses a SortAggregate; the returned audit
+      plan is conditional counts on ONE parquet scan.
+    - n-gram decontamination: eval digests broadcast (BroadcastHashJoin,
+      never a shuffled cartesian), no Python in the hot path.
+    - RFM: the stacked rank pass partitions its windows by
+      (metric, bucket) — no unpartitioned WindowExec anywhere — and
+      quartile pivoting stays on HashAggregate.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_contamination_ngram,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.percentiles import (
+        q_agg_kll_quantiles,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_agg_rfm_segments,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import (
+        global_window_input_rows,
+    )
+
+    kll = q_agg_kll_quantiles(spark, SF_SMOKE)
+    p = physical_plan(kll)
+    assert "SortAggregate" not in p and "CartesianProduct" not in p
+    # audit = ONE corpus scan through conditional counts; the sketch
+    # lineage contributes the (cached) l1 side
+    assert p.count("Scan parquet") <= 2
+
+    con = q_contamination_ngram(spark, SF_SMOKE)
+    p = physical_plan(con)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "Python" not in p
+    assert global_window_input_rows(con) == []
+
+    rfm = q_agg_rfm_segments(spark, SF_SMOKE)
+    p = physical_plan(rfm)
+    assert "SortAggregate" not in p and "CartesianProduct" not in p
+    assert global_window_input_rows(rfm) == []
