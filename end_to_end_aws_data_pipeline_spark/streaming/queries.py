@@ -260,7 +260,7 @@ WHERE c.event_type = 'click'
 
 
 def _louter_staged_dir(spark: SparkSession, path: str) -> str:
-    """Stage the events file plus three SENTINEL parquet files (each one
+    """Stage the events file plus two SENTINEL parquet files (each one
     future click + one future purchase, ids < 0) in a PRIVATE dir (not
     stream_dir_for's shared one — other stream queries must never see
     sentinels). Outer-join state only flushes when the watermark
@@ -320,7 +320,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism engineering: outer results only emit when a LATER
     micro-batch runs with an advanced watermark, so the staged source
-    adds three sentinel files (future click+purchase pairs, ids < 0,
+    adds two sentinel files (future click+purchase pairs, ids < 0,
     filtered from the output) and maxFilesPerTrigger=1 — the sentinel
     batches advance the watermark past every real event and flush all
     outer state; the streamed append output then equals the batch LEFT
@@ -369,11 +369,11 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(pol_key, "max")
     # state-store right-sizing (see scale-lessons): shuffle.partitions
     # pinned at query start = state-store count; a 5-micro-batch
-    # conformance run over sf-scale data needs 8 stores, not 32 —
+    # conformance run over sf-scale data needs 4 stores, not 32 —
     # measured 16.0 -> ~6 s at sf0.1. A production deployment sizes
     # this to its real key cardinality instead.
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             joined.filter(F.col("click_id") >= 0)
@@ -881,7 +881,7 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production deployment sizes this to watermark-span x arrival rate
     # instead; the count is fixed into the checkpoint at query start.
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             deduped.select("event_id", "event_type")

@@ -177,3 +177,41 @@ def test_gopher_rules_each_rule_fires(spark, tmp_path):
     assert got[5]["ok_alpha_words"] is False
     assert got[6]["ok_required_words"] is False and got[6]["keep"] is False
     assert got[7]["ok_mean_word_len"] is False
+
+
+def test_shingle_forms_agree_across_k_crossover(spark):
+    """shingles() switches window-builder form at k>6 (zip_with below,
+    transform+slice above — a measured perf crossover, never a
+    semantics change): both forms must emit identical windows,
+    including the short-doc truncation."""
+    from pyspark.sql import Column
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import shingles
+
+    def zipwith_form(text: Column, k: int) -> Column:
+        words = F.split(text, " ")
+        n = F.size(words)
+        tri = words
+        for j in range(1, k):
+            shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+            tri = F.zip_with(
+                tri, shifted, lambda x, y: F.concat_ws(" ", x, y)
+            )
+        return F.array_distinct(
+            F.slice(tri, 1, F.greatest(n - k + 1, F.lit(1)))
+        )
+
+    texts = [
+        "one",
+        "a b c d e f g",          # exactly k-1 below k=8
+        "a b c d e f g h",        # exactly k
+        "a b c d e f g h i j k l m n o p",
+        "dup dup dup dup dup dup dup dup dup dup",  # duplicate windows
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text: string")
+    for k in (7, 8, 13):
+        got = sdf.select(shingles(F.col("text"), k).alias("s")).collect()
+        want = sdf.select(zipwith_form(F.col("text"), k).alias("s")).collect()
+        assert [sorted(r["s"]) for r in got] == [
+            sorted(r["s"]) for r in want
+        ], k
