@@ -120,6 +120,7 @@ HEADLINE = (
     "q_etl_expectations",
     "q_agg_hll_merge",
     "q_agg_kll_quantiles",
+    "q_agg_heavy_hitters_merge",
     "q_scalar_variant",
     "q_sql_lateral_topk",
     "q_join_fuzzy_editdist",
