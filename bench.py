@@ -150,6 +150,7 @@ HEADLINE = (
     "q_graph_degree_dist",
     "q_multimodal_img_histogram",
     "q_sample_exact_k",
+    "q_sample_group_split",
     "q_scalar_url_funcs",
     # round-6 additions
     "q_dedup_incremental_bloom_sharded",

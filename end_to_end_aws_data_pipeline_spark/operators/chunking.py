@@ -294,3 +294,140 @@ def q_sample_exact_k_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "rk", F.row_number().over(w).cast("long")
     ).filter(F.col("rk") <= _EXACTK_GRP)
+
+
+# ---------------------------------------------------------------------------
+# group-disjoint train/val/test split with leakage + parity audits
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN_PPM = 800_000
+_SPLIT_VAL_PPM = 900_000  # val = [train, val), test = [val, 1e6)
+
+_GSPLIT_ORACLE = f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS u_ppm
+  FROM events
+), tagged AS MATERIALIZED (
+  SELECT *,
+         CASE WHEN u_ppm < {_SPLIT_TRAIN_PPM} THEN 'train'
+              WHEN u_ppm < {_SPLIT_VAL_PPM} THEN 'val'
+              ELSE 'test' END AS split
+  FROM e
+), leak AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS leaked_users
+  FROM (SELECT user_id FROM tagged GROUP BY user_id
+        HAVING count(DISTINCT split) > 1)
+), shares AS MATERIALIZED (
+  SELECT split, event_type,
+         count(*) * 1000000
+           // sum(count(*)) OVER (PARTITION BY split) AS share_ppm
+  FROM tagged GROUP BY split, event_type
+), skew AS MATERIALIZED (
+  SELECT CAST(max(mx - mn) AS BIGINT) AS max_type_skew_ppm
+  FROM (SELECT event_type, max(share_ppm) AS mx, min(share_ppm) AS mn
+        FROM shares GROUP BY event_type)
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM tagged)
+SELECT t.split,
+       CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(t.vc) AS BIGINT) AS value_cents,
+       CAST(count(*) * 1000000 // nn.n AS BIGINT) AS share_ppm,
+       l.leaked_users,
+       s.max_type_skew_ppm
+FROM tagged t CROSS JOIN leak l CROSS JOIN skew s CROSS JOIN nn
+GROUP BY t.split, l.leaked_users, s.max_type_skew_ppm, nn.n
+ORDER BY t.split
+"""
+
+
+@register("q_sample_group_split", oracle=_GSPLIT_ORACLE)
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint train/val/test split (80/10/10) with the two
+    audits every training pipeline needs before trusting a split:
+    LEAKAGE (no user may contribute events to two splits — the
+    GroupShuffleSplit contract; interaction data from one user in both
+    train and test inflates eval) and DISTRIBUTION PARITY (max
+    per-event-type share spread across splits, in ppm — a skewed split
+    biases the metric even without leakage). Assignment hashes the
+    GROUP key (user), never the row: md5(user) -> ppm bucket, so the
+    split is reproducible across reruns, partitionings and engines,
+    and new events from a known user land in that user's split —
+    the property that keeps incremental eval sets honest.
+
+    The leakage audit is computed in-engine from the tagged data (in
+    production the split often comes from a mapping table that can
+    drift; auditing the OUTPUT catches that class), not assumed from
+    the hash construction.
+
+    Scale shape: one corpus pass tags rows (hash is per-row
+    expression); audits are combinable aggregates over (user) and
+    (split, type) key spaces; output is 3 rows."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    u_ppm = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    tagged = e.select(
+        "user_id",
+        "event_type",
+        "vc",
+        F.when(u_ppm < _SPLIT_TRAIN_PPM, "train")
+        .when(u_ppm < _SPLIT_VAL_PPM, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_users"))
+    )
+    type_counts = tagged.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    split_tot = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("stot")
+    )
+    shares = type_counts.join(split_tot, "split").select(
+        "event_type",
+        F.expr("tc * 1000000 div stot").alias("share_ppm"),
+    )
+    skew = (
+        shares.groupBy("event_type")
+        .agg((F.max("share_ppm") - F.min("share_ppm")).alias("sp"))
+        .agg(F.max("sp").cast("long").alias("max_type_skew_ppm"))
+    )
+    nn = tagged.agg(F.count(F.lit(1)).alias("n"))
+    per_split = tagged.groupBy("split").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("value_cents"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(skew))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            "value_cents",
+            F.expr("n_events * 1000000 div n").cast("long").alias(
+                "share_ppm"
+            ),
+            "leaked_users",
+            "max_type_skew_ppm",
+        )
+        .orderBy("split")
+    )
