@@ -2586,14 +2586,15 @@ ORDER BY d.source
 
 @register("q_contamination_ngram", oracle=_CONTAM_ORACLE)
 def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination by EXACT {_CONTAM_N}-gram overlap —
-    the lexical sibling of q_contamination_semantic (similarity.py)
+    """Benchmark decontamination by EXACT 13-gram (_CONTAM_N) overlap
+    — the lexical sibling of q_contamination_semantic (similarity.py)
     and the GPT-3/C4 training-hygiene staple (Brown et al. 2020
     appendix C; Dodge et al. 2021): a training document is flagged if
-    it shares any {_CONTAM_N}-token window with the held-out eval set,
+    it shares any 13-token window with the held-out eval set,
     because a contaminated benchmark silently inflates downstream
-    scores. The fixture stands in an eval split (doc_id % {_CONTAM_MOD}
-    == 0); production passes a real benchmark table on the eval side.
+    scores. The fixture stands in an eval split (doc_id % 11 == 0,
+    _CONTAM_MOD); production passes a real benchmark table on the
+    eval side.
 
     Scale shape: the EVAL side is benchmark-sized (bounded by the
     benchmark suite, not the corpus), so its distinct 60-bit gram
@@ -2610,18 +2611,26 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(df: DataFrame) -> DataFrame:
+        # 60-bit integer digest (the winnowing/bootstrap pattern): 4x
+        # narrower join keys than md5 hex strings; a birthday collision
+        # (~2e-4 odds at 21M grams) produces the same false hit in BOTH
+        # engines, so results stay hash-stable. Per-doc dedup happens on
+        # the DIGEST (array_distinct over the hash array, same stage as
+        # the oracle's list_distinct over hashes), still map-side — so
+        # even a within-doc digest collision between two distinct grams
+        # yields identical per-doc hash sets in both engines.
         return df.select(
             "doc_id",
-            F.explode(shingles(F.col("text"), _CONTAM_N)).alias("gram"),
-        ).select(
-            "doc_id",
-            # 60-bit integer digest (the winnowing/bootstrap pattern):
-            # 4x narrower join keys than md5 hex strings; a birthday
-            # collision (~2e-4 odds at 21M grams) produces the same
-            # false hit in BOTH engines, so results stay hash-stable
-            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col("text"), _CONTAM_N),
+                        lambda g: F.conv(
+                            F.substring(F.md5(g), 1, 15), 16, 10
+                        ).cast("long"),
+                    )
+                )
+            ).alias("h"),
         )
 
     ev = (

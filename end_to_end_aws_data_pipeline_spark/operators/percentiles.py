@@ -1647,7 +1647,7 @@ def q_agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rajagopalan & Lindsay SIGMOD'98; Agarwal et al. "Mergeable
     Summaries" PODS'12) with DETERMINISTIC compaction, completing the
     sketch suite beside HLL/KMV/CMS: per-calendar-month price sketches
-    of ≤{_KLL_K} weighted items are MERGED into one global sketch that
+    of ≤256 (_KLL_K) weighted items are MERGED into one global sketch that
     answers any quantile with a PROVEN rank-error bound — the artifact
     that lets a 100 TB percentile dashboard roll daily/monthly sketches
     up into arbitrary date-range quantiles without ever rescanning
@@ -1656,7 +1656,7 @@ def q_agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Construction is the canonical (order-free) form of the compactor:
     within each group, rows are ranked by the total order (value,
     uniq) and every s_g-th rank is kept — s_g = the power of two that
-    caps the group at {_KLL_K} items — carrying weight = its stratum's
+    caps the group at 256 items — carrying weight = its stratum's
     EXACT row count (strata tile [1..N_g], so per-group weights sum to
     N_g exactly and the merged sketch's total weight equals N — the
     `weight_exact` column proves it in-engine). The merge is one more
@@ -1681,9 +1681,9 @@ def q_agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-group ranks via segmented_group_rank (value-band
     local windows + per-group band prefix sums — a month of a 100 TB
     table never becomes one window partition); everything after the
-    rank-parity filter runs on <= months x {_KLL_K} rows, and the two
+    rank-parity filter runs on <= months x 256 rows, and the two
     unpartitioned windows are construction-bounded (gated by
-    numOutputRows in the boundedness test). k = {_KLL_K} gives rank
+    numOutputRows in the boundedness test). k = 256 gives rank
     error ~ (months + merge stratum)/N — one part in ~10^2 of N here,
     shrinking relatively as N grows at fixed group count.
     """
@@ -1890,14 +1890,14 @@ def q_agg_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HEAVY-HITTERS summaries with provable bounds — the
     frequent-items member of the mergeable-summary family beside the
     HLL register merge (distinct counts) and the KLL compaction merge
-    (ranks): each calendar month keeps only its exact top-{_HH_K}
+    (ranks): each calendar month keeps only its exact top-64 (_HH_K)
     part counts plus the K-th count t_g, and any rollup of months
     answers "global top parts" from the summaries alone with a
     DETERMINISTIC error interval — an item absent from a month's
     summary occurred at most t_g times there (Misra-Gries/SpaceSaving
     bound, computed offline so the summary of a multiset is canonical
     and order-free), so est in [sum of kept counts, + sum of absent
-    months' t_g]. The published top-{_HH_TOP} carry their exact global
+    months' t_g]. The published top-20 (_HH_TOP) carry their exact global
     counts next to the interval and `within_bound` is computed
     in-engine, not asserted offline.
 
@@ -1909,9 +1909,9 @@ def q_agg_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus-sized (month, part) count shuffle; the
     per-month top-K rank window partitions by month over PART-DICTIONARY
     sized input (distinct parts per month — catalog-bounded, not event-
-    volume-bounded); everything after the rk <= {_HH_K} filter runs on
-    <= months x {_HH_K} rows; the exact-count audit is one corpus pass
-    semi-joined to the {_HH_TOP} published keys. A histogram-threshold
+    volume-bounded); everything after the rk <= 64 filter runs on
+    <= months x 64 rows; the exact-count audit is one corpus pass
+    semi-joined to the 20 published keys. A histogram-threshold
     selection variant (find the K-th count from the bounded
     (month, count) tally, filter, rank only the threshold ties) was
     A/B-measured and LOST at every scale — 6.5 vs 2.3 s at sf0.1,

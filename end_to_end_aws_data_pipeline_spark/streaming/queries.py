@@ -753,9 +753,10 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_rows", _PYDS_STREAM_N)
         .option("batch_rows", _PYDS_STREAM_BATCH)
         # 4 InputPartitions per micro-batch still proves executor-side
-        # fan-out (4 parallel tasks × 4 batches); the default 8 doubled
-        # the Python-worker task count for 1300-row batches — pure
-        # per-task overhead at conformance size
+        # fan-out (4 parallel tasks × 3 micro-batches of
+        # _PYDS_STREAM_BATCH=1700 rows); the default 8 doubled the
+        # Python-worker task count — pure per-task overhead at
+        # conformance size
         .option("stream_parts", 4)
         .load()
     )
