@@ -169,6 +169,91 @@ def pagerank_ranks(
     return ranks
 
 
+def pagerank_ranks_deep(
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int = 150,
+    checkpoint_every: int = 3,
+    check_every: int = 2,
+    period: int = 2,
+    r0: int = _PR_R0,
+) -> tuple[DataFrame, int, bool]:
+    """Run-to-convergence PageRank with an EXECUTABLE residual stop
+    (operators/iterate.run_until_periodic). Integer arithmetic makes
+    the rank vector an element of a finite lattice, so exact
+    state-repeat detection replaces float PageRank's residual
+    threshold — but the MEASURED stop criterion on this graph is
+    ``period=2``, not 1: the purchase graph is bipartite
+    (customer/supplier), and once the damped residual shrinks to the
+    integer quantum — after ≈ ln(r0)/ln(1/0.85) rounds (≈127 at
+    r0=1e9; driver-exact replay measures the orbit entered at t=113
+    on sf0.001) — the truncation error alternates sides of the
+    bipartition forever, a period-2 rank orbit. This is the LPA
+    label-orbit phenomenon (tools/lpa_depth.py) re-appearing at the
+    rank level: ranks(t) == ranks(t-1) provably never fires, while
+    ranks(t) == ranks(t-2) detects the orbit as the fixpoint. The
+    returned vector is one member of the final orbit (amplitude: the
+    integer quantum, i.e. ±1 in the last digit of a 1e9-scaled rank).
+
+    The period-2 probe detects BOTH terminal behaviors: at coarse
+    precision the quantum is large enough that the map lands on an
+    EXACT fixpoint (measured r0=20: ranks(5)==ranks(4), a fixpoint is
+    trivially period-2-stable), while at r0=1e9 the terminal state is
+    the genuine 2-orbit (60 rounds of period-1 probing never fire;
+    the runner stops at round 116). ``r0`` scales precision AND
+    convergence depth together (teleport is derived as 0.15·r0), so
+    tests run r0=20 to converge in ~6 rounds instead of ~116.
+    Returns (ranks, rounds_run, converged).
+    The probe is one node-sized co-partitioned join every
+    ``check_every`` rounds; lineage truncates on the measured
+    checkpoint-every-3 policy (SCALING.md: uncheckpointed depth-20
+    OOMs the driver in explainString before any task runs). Measured
+    stop rounds per scale live in SCALING.md §round-9."""
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        run_until_periodic,
+    )
+
+    teleport = (15 * r0) // 100
+    fwd = _purchase_fwd(spark, sf_dir)
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    edges_d = persisted(edges.join(deg, "src").select("src", "dst", "d"))
+    ranks0 = deg.select(
+        F.col("src").alias("node"), F.lit(r0).cast("long").alias("rank")
+    )
+    rounds = {"i": 0}
+
+    def step(ranks: DataFrame) -> DataFrame:
+        rounds["i"] += 1
+        contrib = (
+            edges_d.join(ranks, edges_d["src"] == ranks["node"])
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        nxt = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(teleport) + F.expr("(85 * contrib) div 100"))
+            .cast("long")
+            .alias("rank"),
+        )
+        if rounds["i"] % checkpoint_every == 0:
+            return nxt.localCheckpoint(eager=True)
+        return persisted(nxt)
+
+    return run_until_periodic(
+        ranks0,
+        step,
+        max_rounds=max_rounds,
+        period=period,
+        key="node",
+        val="rank",
+        check_every=check_every,
+    )
+
+
 @register("q_graph_pagerank", oracle=_pr_oracle())
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank, {ITERS} rounds, over the undirected
@@ -658,6 +743,66 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, n_removed long, n_nodes long, n_edges long, "
         "node_checksum long",
     )
+
+
+def kcore_peel_deep(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KCORE_K,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """Full-convergence k-core peel through the generic iteration
+    runner: state = the NODE-sized degree vector, step = peel + induce
+    + re-degree. Peeling is monotone (degrees only fall, nodes only
+    leave), so oscillation is impossible and period=1 is the classic
+    changed==0 stop — with ``keys_shrink=True`` because peeled keys
+    leave the vector and an inner-join probe alone would miss a
+    disconnected sub-k clique peeling away whole. The step detects its
+    own fixpoint for free (the peel set it must compute anyway is
+    empty) and returns its input unchanged — the runner's identity
+    short-circuit stops without a probe job.
+
+    Returns (degree_vector_of_core, rounds_run, converged). Lineage:
+    localCheckpoint per round, exactly as the fixed-R q_graph_kcore
+    documents (lazy nesting escalated 1.2 s -> 12.5 s by round 4)."""
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        run_until_periodic,
+    )
+
+    half = _purchase_fwd(spark, sf_dir)
+    g0 = persisted(
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    graph = {"g": g0}
+
+    def step(deg: DataFrame) -> DataFrame:
+        rm = persisted(deg.filter(F.col("d") < k).select("src"))
+        if rm.isEmpty():
+            return deg  # fixpoint detected in-step: identity stop
+        g = (
+            graph["g"]
+            .join(rm, "src", "left_anti")
+            .join(rm.select(F.col("src").alias("dst")), "dst", "left_anti")
+            .localCheckpoint()
+        )
+        graph["g"] = g
+        return (
+            g.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        ).localCheckpoint()
+
+    deg0 = g0.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    return run_until_periodic(
+        deg0,
+        step,
+        max_rounds=max_rounds,
+        period=1,
+        key="src",
+        val="d",
+        keys_shrink=True,
+    )
+
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,11 @@
-"""Iteration-stop helpers for driver-loop algorithms (LPA, PageRank,
-k-core, star contraction).
+"""Iteration-stop helpers for driver-loop algorithms over KEYED state
+vectors — LPA (graph.lpa_labels_deep, period=2), PageRank
+(graph.pagerank_ranks_deep, period=1) and k-core peeling
+(graph.kcore_peel_deep, period=1 with ``keys_shrink``). Star
+contraction is the one iterative algorithm NOT served here: its state
+is an edge MULTISET, not a keyed vector, so
+``dedup.connected_components_star`` keeps its native edge-set fixpoint
+(count tie + ``subtract`` probe, most rounds cost one count job).
 
 The measured LPA depth study (tools/lpa_depth.py, SCALING.md) proved
 that a plain ``changed == 0`` fixpoint check NEVER fires on bipartite
@@ -8,14 +14,18 @@ nodes sit in a period-2 label orbit, swapping between two labels every
 round forever. The correct deep-R stop criterion is therefore
 ``state(t) == state(t-2)`` — compared at matching parity (t vs t-2 have
 equal parity by construction), it detects the orbit itself as the
-fixpoint. These helpers make that criterion executable instead of a
-comment.
+fixpoint. Monotone algorithms (k-core: degrees only fall, nodes only
+leave) cannot oscillate, so ``period=1`` degrades to the classic
+changed==0 stop. These helpers make both criteria executable instead of
+comments.
 
 Scale shape: one equality probe is a single co-partitioned equi-join of
 two key-sized (not edge-sized) vectors with an ``isEmpty`` short-circuit
 — the first differing partition aborts the scan. For a deep-R run the
-probe cost is amortized by ``check_every`` (default 2: the smallest
-interval at which period-2 detection is possible).
+probe cost is amortized by ``check_every`` (default = period). A step
+that detects its own fixpoint (k-core's empty peel set) can return its
+input DataFrame unchanged — the runner recognizes object identity and
+stops without any probe job.
 """
 
 from __future__ import annotations
@@ -27,14 +37,25 @@ from pyspark.sql import functions as F
 
 
 def vectors_differ(
-    a: DataFrame, b: DataFrame, key: str = "node", val: str = "lbl"
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "node",
+    val: str = "lbl",
+    keys_shrink: bool = False,
 ) -> bool:
     """True iff the two state vectors disagree on any key.
 
-    Both vectors must carry the same key set — which label/rank loops
-    preserve (a node never appears or disappears mid-iteration), so an
-    inner join suffices and a row-count comparison is not needed. The
-    probe short-circuits: ``isEmpty`` stops at the first mismatch."""
+    With ``keys_shrink=False`` both vectors must carry the same key set
+    — which label/rank loops preserve (a node never appears or
+    disappears mid-iteration), so an inner join suffices and a
+    row-count comparison is not needed. Peeling loops (k-core) REMOVE
+    keys, and a removed key is invisible to an inner join — e.g. an
+    isolated sub-k clique peels away without touching any survivor's
+    degree — so ``keys_shrink=True`` first compares row counts (keys
+    only ever leave, so equal counts ⇒ equal key sets). Both probes
+    short-circuit: ``isEmpty`` stops at the first mismatch."""
+    if keys_shrink and a.count() != b.count():
+        return True
     bb = b.select(F.col(key), F.col(val).alias("__b_val"))
     return not (
         a.join(bb, key, "inner")
@@ -51,6 +72,7 @@ def run_until_periodic(
     key: str = "node",
     val: str = "lbl",
     check_every: int | None = None,
+    keys_shrink: bool = False,
 ) -> tuple[DataFrame, int, bool]:
     """Iterate ``state = step(state)`` until the state repeats with the
     given period (``state(t) == state(t-period)``, parity matching by
@@ -64,20 +86,29 @@ def run_until_periodic(
 
     ``period=1`` degrades to the classic changed==0 fixpoint — useful
     for monotone algorithms (k-core peeling) where oscillation is
-    impossible; oscillating label algorithms need ``period=2``.
+    impossible; oscillating label algorithms need ``period=2``. Pass
+    ``keys_shrink=True`` for peeling state whose key set loses rows
+    (see ``vectors_differ``). A step that detects its own fixpoint may
+    return its input object unchanged — recognized by identity, no
+    probe job runs.
     """
     if check_every is None:
         check_every = period
     history: list[DataFrame] = [state]
     for r in range(1, max_rounds + 1):
+        prev = state
         state = step(state)
+        if state is prev:
+            return state, r, True
         history.append(state)
         if len(history) > period + 1:
             history.pop(0)
         if (
             r >= period
             and r % check_every == 0
-            and not vectors_differ(state, history[0], key, val)
+            and not vectors_differ(
+                state, history[0], key, val, keys_shrink=keys_shrink
+            )
         ):
             return state, r, True
     return state, max_rounds, False

@@ -702,3 +702,97 @@ def test_run_until_periodic_period1_monotone(spark):
     assert conv and r <= 5
     assert not vectors_differ(final, step(final))
     assert {row.lbl for row in final.collect()} == {3}
+
+
+def test_pagerank_deep_stop(spark):
+    """pagerank_ranks_deep's run_until_periodic wiring converges and the
+    final vector is an exact fixpoint at coarse precision (r0=20: the
+    integer quantum is large enough that the damped map lands, measured
+    driver-exact, on ranks(5)==ranks(4); the period-2 probe detects it
+    at the round-6 check). One manual replay round from the final
+    vector must reproduce it bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _purchase_fwd,
+        pagerank_ranks_deep,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        vectors_differ,
+    )
+    from tests.conftest import SF_SMOKE
+
+    final, r, conv = pagerank_ranks_deep(spark, SF_SMOKE, r0=20, max_rounds=30)
+    assert conv, "period-2 stop must fire within 30 rounds at r0=20"
+    assert r == 6  # first even-round probe after the measured t=5 fixpoint
+
+    # manual replay of one more round: exact fixpoint => identical vector
+    fwd = _purchase_fwd(spark, SF_SMOKE)
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    edges_d = persisted(edges.join(deg, "src").select("src", "dst", "d"))
+    nxt = (
+        edges_d.join(final, edges_d["src"] == final["node"])
+        .select("dst", F.expr("rank div d").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("contrib"))
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit((15 * 20) // 100) + F.expr("(85 * contrib) div 100"))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    assert not vectors_differ(final, nxt, key="node", val="rank")
+
+
+def test_kcore_deep_identity_stop(spark):
+    """kcore_peel_deep stops via the step's own fixpoint detection
+    (empty peel set -> input returned unchanged -> runner identity
+    short-circuit, zero probe jobs) and the surviving degree vector is
+    a true k-core: every survivor's induced degree >= k."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        kcore_peel_deep,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # k=2: the purchase graph's min degree is 3, nothing peels — the
+    # very first step detects the fixpoint
+    deg, r, conv = kcore_peel_deep(spark, SF_SMOKE, k=2)
+    assert conv and r == 1
+    rows = deg.collect()
+    assert len(rows) == 160 and min(x.d for x in rows) >= 2
+
+    # k=4: one peel round, identity stop at round 2; survivors >= 4
+    deg, r, conv = kcore_peel_deep(spark, SF_SMOKE, k=4)
+    assert conv and r == 2
+    rows = deg.collect()
+    assert rows and min(x.d for x in rows) >= 4
+
+    # k=30 at smoke scale: the whole graph peels away; the empty vector
+    # is the (degenerate) fixpoint and the runner still reports it
+    deg, r, conv = kcore_peel_deep(spark, SF_SMOKE, k=30)
+    assert conv and deg.count() == 0
+
+
+def test_vectors_differ_keys_shrink(spark):
+    """A removed key is invisible to the inner-join probe (an isolated
+    sub-k clique peels away without touching any survivor's degree);
+    keys_shrink=True catches it via the count pre-check."""
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        vectors_differ,
+    )
+
+    before = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 2)], "src long, d long"
+    )
+    after = spark.createDataFrame([(1, 5), (2, 5)], "src long, d long")
+    assert not vectors_differ(after, before, key="src", val="d")
+    assert vectors_differ(after, before, key="src", val="d", keys_shrink=True)
+    # equal vectors stay equal under the stricter probe
+    assert not vectors_differ(
+        after, after.select("src", "d"), key="src", val="d", keys_shrink=True
+    )
