@@ -229,6 +229,8 @@ HEADLINE = (
     "q_agg_histogram",
     "q_window_streaks",
     "q_agg_conversion_ztest",
+    # round-9 additions
+    "q_stream_sketch_merge",
 )
 
 

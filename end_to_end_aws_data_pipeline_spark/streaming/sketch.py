@@ -1,0 +1,430 @@
+"""Streaming maintenance of the mergeable quantile sketch — the
+rollup artifact q_agg_kll_quantiles builds in batch, maintained
+INCREMENTALLY in foreachBatch and proven equal to the batch
+construction by the oracle hash.
+
+This is the missing streaming tie for the round-8 mergeable-summary
+family: a 100 TB ingest never re-scans history to serve percentile
+dashboards — each arriving micro-batch contributes a bounded level-1
+sketch, the summary store is updated idempotently (partition-scoped
+overwrite keyed by the batch's bucket — the exactly-once foreachBatch
+upsert pattern, same contract as ingest/merge.py), and any rollup of
+stored summaries answers quantiles with the proven
+Σ(s_b−1) + max-merge-stratum rank bound. Because the round-8
+compaction is DETERMINISTIC (rank-parity strata instead of KLL coin
+flips, see operators/percentiles.py), the stream-maintained summary of
+a multiset is canonical: the same rows arriving in any micro-batch
+order, restarted or redelivered, produce the bit-identical sketch —
+which is exactly what makes "stream-merged == batch-constructed"
+testable by hash instead of by tolerance.
+
+Reference anchor: the reference's ingest is incremental by design
+(delta_load.py's watermark gate feeds only strictly-newer rows per
+run); this operator is that posture applied to an analytic summary
+instead of a table copy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_aws_data_pipeline_spark.catalog import _cached_schema
+from end_to_end_aws_data_pipeline_spark.registry import register
+
+_counter = itertools.count()
+
+_SK_K = 256       # per-sketch capacity (matches q_agg_kll_quantiles)
+_SK_BUCKETS = 4   # staged arrival files = micro-batches = sketch groups
+_SK_QS = (250_000, 500_000, 750_000, 950_000)  # quantiles in ppm
+_SK_QS_SQL = ", ".join(f"({q})" for q in _SK_QS)
+
+# The oracle replays the identical two-level construction in batch:
+# groups = the deterministic arrival buckets (event_id % B — the same
+# rows each micro-batch carries), construction and merge = the
+# canonical rank-parity compaction of q_agg_kll_quantiles, estimation
+# + realized-rank-error audit identical. floor(x*100 + 0.5) is the
+# cross-engine stable cents publish (every step a correctly-rounded
+# IEEE op — SCALING.md round-6 numerics).
+_SK_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT event_id % {_SK_BUCKETS} AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         event_id AS uniq
+  FROM events
+), powers AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) << CAST(p AS INT) AS sp FROM range(0, 41) t(p)
+), gr AS MATERIALIZED (
+  SELECT g, vc, uniq,
+         row_number() OVER (PARTITION BY g ORDER BY vc, uniq) AS rk
+  FROM v
+), gm AS MATERIALIZED (
+  SELECT g, n_g,
+         (SELECT min(sp) FROM powers
+          WHERE sp >= (n_g + {_SK_K - 1}) // {_SK_K}) AS s
+  FROM (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM v GROUP BY g)
+), l1 AS MATERIALIZED (
+  SELECT gr.g, gr.vc, gr.uniq,
+         CAST(least(gm.s, gm.n_g - gr.rk + 1) AS BIGINT) AS w
+  FROM gr JOIN gm USING (g)
+  WHERE (gr.rk - 1) % gm.s = 0
+), s2t AS MATERIALIZED (
+  SELECT m_items, wsum,
+         (SELECT min(sp) FROM powers
+          WHERE sp >= (m_items + {_SK_K - 1}) // {_SK_K}) AS s2
+  FROM (SELECT CAST(count(*) AS BIGINT) AS m_items,
+               CAST(sum(w) AS BIGINT) AS wsum FROM l1)
+), items AS MATERIALIZED (
+  SELECT vc, uniq, w,
+         row_number() OVER (ORDER BY vc, uniq) AS idx
+  FROM l1
+), strata AS MATERIALIZED (
+  SELECT (idx - 1) // s2t.s2 AS st, min(idx) AS first_idx,
+         CAST(sum(w) AS BIGINT) AS w2
+  FROM items CROSS JOIN s2t GROUP BY 1
+), kept AS MATERIALIZED (
+  SELECT i.vc, i.uniq, s.w2,
+         CAST(sum(s.w2) OVER (ORDER BY i.vc, i.uniq) AS BIGINT) AS cw
+  FROM strata s JOIN items i ON i.idx = s.first_idx
+), nn AS MATERIALIZED (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n FROM gm
+), bound AS MATERIALIZED (
+  SELECT (SELECT CAST(sum(s - 1) AS BIGINT) FROM gm)
+         + (SELECT CAST(max(w2) AS BIGINT) FROM strata) AS b
+), spec AS MATERIALIZED (
+  SELECT q.q_ppm, nn.n, (q.q_ppm * nn.n + 999999) // 1000000 AS t
+  FROM nn CROSS JOIN (VALUES {_SK_QS_SQL}) q(q_ppm)
+), est AS MATERIALIZED (
+  SELECT s.q_ppm, s.n, s.t,
+         (SELECT min(vc) FROM kept WHERE cw >= s.t) AS est_vc
+  FROM spec s
+), audit AS MATERIALIZED (
+  SELECT e.q_ppm, e.n, e.t, e.est_vc,
+         1 + sum(CASE WHEN x.vc < e.est_vc THEN 1 ELSE 0 END) AS lo,
+         sum(CASE WHEN x.vc <= e.est_vc THEN 1 ELSE 0 END) AS hi
+  FROM v x CROSS JOIN est e
+  GROUP BY e.q_ppm, e.n, e.t, e.est_vc
+)
+SELECT CAST(a.q_ppm AS BIGINT) AS q_ppm,
+       CAST(a.t AS BIGINT) AS target_rank,
+       CAST(a.est_vc AS BIGINT) AS est_vc,
+       CAST(CASE WHEN a.t < a.lo THEN a.lo - a.t
+                 WHEN a.t > a.hi THEN a.t - a.hi
+                 ELSE 0 END AS BIGINT) AS rank_err,
+       CAST(b.b AS BIGINT) AS err_bound,
+       (CASE WHEN a.t < a.lo THEN a.lo - a.t
+             WHEN a.t > a.hi THEN a.t - a.hi
+             ELSE 0 END) <= b.b AS within_bound,
+       CAST(a.n AS BIGINT) AS n_rows,
+       CAST(s2t.m_items AS BIGINT) AS merged_items,
+       (SELECT CAST(count(*) AS BIGINT) FROM strata) AS sketch_items,
+       (SELECT CAST(count(*) AS BIGINT) FROM gm) AS n_batches,
+       s2t.wsum = a.n AS weight_exact
+FROM audit a CROSS JOIN bound b CROSS JOIN s2t
+ORDER BY q_ppm
+"""
+
+
+def _pow2ceil(c: int) -> int:
+    """Smallest power of two s with s * _SK_K >= c (compaction step)."""
+    s = 1
+    while s * _SK_K < c:
+        s *= 2
+    return s
+
+
+def staged_bucket_dir(path: str) -> str:
+    """Stage the events table as _SK_BUCKETS parquet files, one
+    deterministic bucket (event_id % B) per file, in a private dir —
+    the stand-in for data ARRIVING in bounded batches (a day's files,
+    a Kafka partition's offsets). maxFilesPerTrigger=1 then makes each
+    micro-batch exactly one bucket, so the stream's unit of sketch
+    maintenance equals the oracle's replayable group. Idempotent and
+    keyed by (path, mtime): re-staging happens only when the source
+    changes."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = os.path.abspath(path)
+    mt = int(os.path.getmtime(path))
+    d = os.path.join(
+        "/tmp",
+        "stream_sketch_"
+        + hashlib.sha1(f"{path}:{mt}".encode()).hexdigest()[:12],
+    )
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    t = pq.read_table(path)
+    # no pc.mod in this pyarrow; B is a power of two, so id % B is a
+    # mask (event ids are non-negative)
+    assert _SK_BUCKETS & (_SK_BUCKETS - 1) == 0
+    bucket = pc.bit_wise_and(t.column("event_id"), _SK_BUCKETS - 1)
+    for g in range(_SK_BUCKETS):
+        pq.write_table(
+            t.filter(pc.equal(bucket, g)),
+            os.path.join(d, f"bucket_{g}.parquet"),
+        )
+    open(done, "w").close()
+    return d
+
+
+def run_sketch_stream(
+    spark: SparkSession,
+    staged: str,
+    acc: str,
+    ckpt: str,
+    stop_after_batches: int | None = None,
+) -> None:
+    """Run (or resume) the incremental sketch-maintenance stream: file
+    source, one bucket per micro-batch, foreachBatch builds the batch's
+    level-1 sketch and upserts it into the summary store ``acc`` by
+    partition-scoped overwrite (idempotent under redelivery — a
+    replayed micro-batch rewrites the identical directory).
+
+    ``stop_after_batches`` stops the query early (the restart test
+    kills mid-stream and resumes from the checkpoint; exactly-once file
+    tracking guarantees the union of both runs' batches is each bucket
+    once)."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        segmented_group_rank,
+    )
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    schema = _cached_schema(
+        spark, os.path.join(staged, "bucket_0.parquet")
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(
+            (F.col("event_id") % _SK_BUCKETS).cast("long").alias("g"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+            F.col("event_id").cast("long").alias("uniq"),
+        )
+    )
+    seen = {"n": 0}
+
+    def upd(bdf: DataFrame, _batch_id: int) -> None:
+        # bounded probe: the bucket id, its size and value span (one
+        # aggregate — feeds the compaction step AND the band width)
+        r = bdf.agg(
+            F.min("g"), F.count(F.lit(1)), F.min("vc"), F.max("vc")
+        ).first()
+        if not r[1]:
+            return
+        g, n_b, lo, hi = int(r[0]), int(r[1]), int(r[2]), int(r[3])
+        s = _pow2ceil(n_b)
+        # per-batch level-1 sketch: canonical rank-parity strata — rank
+        # by (vc, uniq) via the banded library helper (a micro-batch of
+        # a 100 TB stream is still arbitrarily large; never one window
+        # partition), keep each stratum's FIRST item with weight = the
+        # stratum's exact population, so weights tile [1..n_b]
+        ranked, _sizes = segmented_group_rank(
+            bdf, "g", "vc", ["uniq"], (hi - lo) // 4096 + 1
+        )
+        l1 = (
+            ranked.where(F.expr(f"(rk - 1) % {s} = 0"))
+            .select(
+                F.lit(g).cast("long").alias("g"),
+                "vc",
+                "uniq",
+                F.least(F.lit(s), F.col("n_g") - F.col("rk") + 1)
+                .cast("long")
+                .alias("w"),
+                F.lit(s).cast("long").alias("s"),
+            )
+        )
+        # idempotent upsert: the bucket's summary directory is
+        # overwritten whole — redelivery produces the same bytes
+        l1.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(acc, f"g{g}")
+        )
+        seen["n"] += 1
+        if stop_after_batches and seen["n"] >= stop_after_batches:
+            raise RuntimeError("__stop_requested__")
+
+    # right-size the per-batch shuffles: each micro-batch is
+    # bucket-sized, and foreachBatch jobs inherit the session's 32
+    # shuffle partitions of pure overhead otherwise (the state-store
+    # right-sizing lesson, applied to stateless batch jobs)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            src.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            if stop_after_batches is None:
+                raise
+            # deliberate mid-stream kill for the restart test: the
+            # failed batch's write either completed (overwrite makes
+            # the redelivery identical) or didn't (it re-runs)
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def merge_sketches(spark: SparkSession, acc: str, n_rows: int) -> DataFrame:
+    """Roll the stored per-batch summaries up into one global sketch
+    and publish quantile estimates with the realized rank error vs the
+    proven bound — identical arithmetic to q_agg_kll_quantiles' merge
+    (one more rank-parity compaction over the weighted union). Runs
+    ONLY on summary rows (≤ buckets × k items): every window below is
+    construction-bounded."""
+    from pyspark.sql import Window as W
+
+    sk = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(acc)
+        .select("g", "vc", "uniq", "w", "s")
+    )
+    per_b = sk.groupBy("g").agg(F.max("s").alias("s")).collect()
+    b1 = sum(int(r["s"]) - 1 for r in per_b)
+    n_batches = len(per_b)
+    m_items, wsum = sk.agg(
+        F.count(F.lit(1)), F.sum("w").cast("long")
+    ).first()
+    s2 = _pow2ceil(int(m_items))
+    sketch_items = -(-int(m_items) // s2)
+    items = sk.select(
+        "vc",
+        "uniq",
+        "w",
+        F.row_number().over(W.orderBy("vc", "uniq")).alias("idx"),
+    )
+    strata = items.groupBy(F.expr(f"(idx - 1) div {s2}").alias("st")).agg(
+        F.min("idx").alias("first_idx"),
+        F.sum("w").cast("long").alias("w2"),
+    )
+    kept_cw = strata.join(items, strata["first_idx"] == items["idx"]).select(
+        "vc",
+        "w2",
+        F.sum("w2")
+        .over(W.orderBy("vc", "uniq").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cw"),
+    )
+    spec = spark.createDataFrame(
+        [(q, (q * n_rows + 999_999) // 1_000_000) for q in _SK_QS],
+        "q_ppm long, t long",
+    )
+    est = (
+        F.broadcast(spec)
+        .crossJoin(kept_cw)
+        .where(F.col("cw") >= F.col("t"))
+        .groupBy("q_ppm", "t")
+        .agg(F.min("vc").alias("est_vc"))
+    )
+    bound = strata.agg((F.lit(b1) + F.max("w2")).cast("long").alias("b"))
+    return est.crossJoin(F.broadcast(bound)).select(
+        "q_ppm",
+        F.col("t").alias("target_rank"),
+        "est_vc",
+        F.col("b").alias("err_bound"),
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(int(m_items)).cast("long").alias("merged_items"),
+        F.lit(sketch_items).cast("long").alias("sketch_items"),
+        F.lit(n_batches).cast("long").alias("n_batches"),
+        F.lit(int(wsum) == n_rows).alias("weight_exact"),
+    )
+
+
+@register("q_stream_sketch_merge", oracle=_SK_ORACLE)
+def q_stream_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance, EXECUTED in the gate: the events
+    table arrives as {_SK_BUCKETS} deterministic micro-batches
+    (maxFilesPerTrigger=1 over staged bucket files), foreachBatch
+    builds each batch's canonical level-1 rank sketch and upserts it
+    into a summary store by partition-scoped overwrite, and the
+    published result is the MERGED rollup of the stored summaries —
+    quantile estimates with realized rank error audited against the
+    Σ(s_b−1) + max-merge-stratum bound. The DuckDB oracle replays the
+    whole thing in batch (groups = the arrival buckets): hash equality
+    IS the stream-merged == batch-constructed proof, possible only
+    because the round-8 compaction is deterministic (rank-parity
+    strata, no coin flips — the summary of a multiset is canonical
+    regardless of arrival order, restart, or redelivery).
+
+    Scale shape: the stream never holds state (foreachBatch is
+    stateless; the summary store is the state, exactly-once by
+    idempotent directory overwrite — ingest/merge.py's partition
+    contract); per-batch work is one bounded probe + a banded rank +
+    a ≤k-row write; the merge reads ONLY summaries (≤ B×k rows), so
+    serving "any date-range quantiles" at 100 TB costs summary-sized
+    work, never a history rescan. Restart/exactly-once is tested by
+    killing the stream mid-run and resuming from the checkpoint
+    (tests/test_streaming.py)."""
+    run_id = next(_counter)
+    staged = staged_bucket_dir(os.path.join(sf_dir, "events.parquet"))
+    acc = f"/tmp/sketch_acc_{os.getpid()}_{run_id}"
+    ckpt = f"/tmp/sketch_ckpt_{os.getpid()}_{run_id}"
+    for d in (acc, ckpt):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    run_sketch_stream(spark, staged, acc, ckpt)
+    n_rows = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .count()
+    )
+    merged = merge_sketches(spark, acc, n_rows)
+    # realized-rank-error audit: one corpus pass of conditional counts
+    # vs the (≤4-row) estimate table — no second rank shuffle
+    v = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc")
+    )
+    audit = (
+        v.crossJoin(F.broadcast(merged.select("q_ppm", "est_vc")))
+        .groupBy("q_ppm", "est_vc")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(F.col("vc") < F.col("est_vc"), 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("lo"),
+            F.sum(F.when(F.col("vc") <= F.col("est_vc"), 1).otherwise(0))
+            .cast("long")
+            .alias("hi"),
+        )
+    )
+    rank_err = (
+        F.when(F.col("target_rank") < F.col("lo"), F.col("lo") - F.col("target_rank"))
+        .when(F.col("target_rank") > F.col("hi"), F.col("target_rank") - F.col("hi"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        merged.join(audit, ["q_ppm", "est_vc"])
+        .select(
+            F.col("q_ppm").cast("long").alias("q_ppm"),
+            F.col("target_rank").cast("long").alias("target_rank"),
+            F.col("est_vc").cast("long").alias("est_vc"),
+            rank_err.alias("rank_err"),
+            F.col("err_bound").cast("long").alias("err_bound"),
+            (rank_err <= F.col("err_bound")).alias("within_bound"),
+            "n_rows",
+            "merged_items",
+            "sketch_items",
+            "n_batches",
+            "weight_exact",
+        )
+        .orderBy("q_ppm")
+    )
