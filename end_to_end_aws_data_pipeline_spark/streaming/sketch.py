@@ -41,6 +41,7 @@ _counter = itertools.count()
 
 _SK_K = 256       # per-sketch capacity (matches q_agg_kll_quantiles)
 _SK_BUCKETS = 4   # staged arrival files = micro-batches = sketch groups
+_SK_LOCAL_ROWS = 1 << 18  # single-sorted-partition rank cutoff per batch
 _SK_QS = (250_000, 500_000, 750_000, 950_000)  # quantiles in ppm
 _SK_QS_SQL = ", ".join(f"({q})" for q in _SK_QS)
 
@@ -227,14 +228,29 @@ def run_sketch_stream(
             return
         g, n_b, lo, hi = int(r[0]), int(r[1]), int(r[2]), int(r[3])
         s = _pow2ceil(n_b)
-        # per-batch level-1 sketch: canonical rank-parity strata — rank
-        # by (vc, uniq) via the banded library helper (a micro-batch of
-        # a 100 TB stream is still arbitrarily large; never one window
-        # partition), keep each stratum's FIRST item with weight = the
-        # stratum's exact population, so weights tile [1..n_b]
-        ranked, _sizes = segmented_group_rank(
-            bdf, "g", "vc", ["uniq"], (hi - lo) // 4096 + 1
-        )
+        # per-batch level-1 sketch: canonical rank-parity strata — keep
+        # each stratum's FIRST item (rank by (vc, uniq)) with weight =
+        # the stratum's exact population, so weights tile [1..n_b].
+        # Rank path routed by batch size: a micro-batch is bounded BY
+        # CONFIGURATION (maxFilesPerTrigger / maxBytesPerTrigger set
+        # its ceiling), so up to _SK_LOCAL_ROWS one sorted partition is
+        # the cheap exact path (2 jobs/batch total); a deployment whose
+        # trigger admits bigger batches flips to the banded library
+        # helper — same strata, never one corpus-sized window.
+        if n_b <= _SK_LOCAL_ROWS:
+            from pyspark.sql import Window as W
+
+            ranked = bdf.select(
+                "g",
+                "vc",
+                "uniq",
+                F.row_number().over(W.orderBy("vc", "uniq")).alias("rk"),
+                F.lit(n_b).alias("n_g"),
+            )
+        else:
+            ranked, _sizes = segmented_group_rank(
+                bdf, "g", "vc", ["uniq"], (hi - lo) // 4096 + 1
+            )
         l1 = (
             ranked.where(F.expr(f"(rk - 1) % {s} = 0"))
             .select(
@@ -284,66 +300,61 @@ def run_sketch_stream(
 
 def merge_sketches(spark: SparkSession, acc: str, n_rows: int) -> DataFrame:
     """Roll the stored per-batch summaries up into one global sketch
-    and publish quantile estimates with the realized rank error vs the
-    proven bound — identical arithmetic to q_agg_kll_quantiles' merge
-    (one more rank-parity compaction over the weighted union). Runs
-    ONLY on summary rows (≤ buckets × k items): every window below is
-    construction-bounded."""
-    from pyspark.sql import Window as W
-
-    sk = (
+    and publish quantile estimates against the proven bound — identical
+    arithmetic to q_agg_kll_quantiles' merge (one more rank-parity
+    compaction over the weighted union), computed ON THE DRIVER: the
+    summary store holds ≤ buckets × k rows BY CONSTRUCTION (that is
+    the whole point of a mergeable summary — the rollup is
+    dashboard-sized), and the round-8 lesson stands that tiny-relation
+    algebra as Spark jobs is pure scheduler overhead (a powers-table
+    join chain measured ~1.5 s of broadcast-job cost; driver literals
+    replaced ~6 jobs in the KLL/RFM builds). ONE bounded collect in,
+    literal rows out; integer arithmetic keeps it deterministic and
+    oracle-replayable."""
+    rows = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(acc)
         .select("g", "vc", "uniq", "w", "s")
+        .collect()
     )
-    per_b = sk.groupBy("g").agg(F.max("s").alias("s")).collect()
-    b1 = sum(int(r["s"]) - 1 for r in per_b)
-    n_batches = len(per_b)
-    m_items, wsum = sk.agg(
-        F.count(F.lit(1)), F.sum("w").cast("long")
-    ).first()
-    s2 = _pow2ceil(int(m_items))
-    sketch_items = -(-int(m_items) // s2)
-    items = sk.select(
-        "vc",
-        "uniq",
-        "w",
-        F.row_number().over(W.orderBy("vc", "uniq")).alias("idx"),
-    )
-    strata = items.groupBy(F.expr(f"(idx - 1) div {s2}").alias("st")).agg(
-        F.min("idx").alias("first_idx"),
-        F.sum("w").cast("long").alias("w2"),
-    )
-    kept_cw = strata.join(items, strata["first_idx"] == items["idx"]).select(
-        "vc",
-        "w2",
-        F.sum("w2")
-        .over(W.orderBy("vc", "uniq").rowsBetween(W.unboundedPreceding, 0))
-        .cast("long")
-        .alias("cw"),
-    )
-    spec = spark.createDataFrame(
-        [(q, (q * n_rows + 999_999) // 1_000_000) for q in _SK_QS],
-        "q_ppm long, t long",
-    )
-    est = (
-        F.broadcast(spec)
-        .crossJoin(kept_cw)
-        .where(F.col("cw") >= F.col("t"))
-        .groupBy("q_ppm", "t")
-        .agg(F.min("vc").alias("est_vc"))
-    )
-    bound = strata.agg((F.lit(b1) + F.max("w2")).cast("long").alias("b"))
-    return est.crossJoin(F.broadcast(bound)).select(
-        "q_ppm",
-        F.col("t").alias("target_rank"),
-        "est_vc",
-        F.col("b").alias("err_bound"),
-        F.lit(n_rows).cast("long").alias("n_rows"),
-        F.lit(int(m_items)).cast("long").alias("merged_items"),
-        F.lit(sketch_items).cast("long").alias("sketch_items"),
-        F.lit(n_batches).cast("long").alias("n_batches"),
-        F.lit(int(wsum) == n_rows).alias("weight_exact"),
+    steps = {}
+    for r in rows:
+        steps[int(r["g"])] = max(steps.get(int(r["g"]), 0), int(r["s"]))
+    b1 = sum(s - 1 for s in steps.values())
+    n_batches = len(steps)
+    items = sorted((int(r["vc"]), int(r["uniq"]), int(r["w"])) for r in rows)
+    m_items = len(items)
+    wsum = sum(w for _, _, w in items)
+    s2 = _pow2ceil(m_items)
+    kept = []  # (vc, cw): stratum firsts with cumulative weight
+    cw = 0
+    for j in range(0, m_items, s2):
+        w2 = sum(w for _, _, w in items[j : j + s2])
+        cw += w2
+        kept.append((items[j][0], cw, w2))
+    bound = b1 + max(w2 for _, _, w2 in kept)
+    out = []
+    for q in _SK_QS:
+        t = (q * n_rows + 999_999) // 1_000_000
+        est_vc = next(vc for vc, c, _ in kept if c >= t)
+        out.append(
+            (
+                q,
+                t,
+                est_vc,
+                bound,
+                n_rows,
+                m_items,
+                len(kept),
+                n_batches,
+                wsum == n_rows,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "q_ppm long, target_rank long, est_vc long, err_bound long, "
+        "n_rows long, merged_items long, sketch_items long, "
+        "n_batches long, weight_exact boolean",
     )
 
 
