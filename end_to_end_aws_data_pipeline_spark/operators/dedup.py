@@ -1262,13 +1262,11 @@ def _cluster_docs(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
     # one representative (min doc_id) per distinct text; group on the
     # 256-bit digest so the exact-dedup shuffle moves 32 bytes, not the
     # full text
-    grp = docs.groupBy("__h").agg(
-        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
-    )
-    member = (
-        docs.select("doc_id", "__h")
-        .join(grp.select("__h", "rep_id"), "__h")
-        .select("doc_id", "rep_id")
+    grp = persisted(
+        docs.groupBy("__h").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
     )
     reps = docs.join(
         grp.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
@@ -1289,9 +1287,18 @@ def _cluster_docs(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
         )
         .filter(F.col("has_edge") | (F.col("n_members") > 1))
     )
+    # membership expansion joins the corpus against CLUSTERED groups
+    # only (grp ⋈ rep_label first): algebraically identical to
+    # member ⋈ rep_label but the corpus-sized join output shrinks from
+    # all docs to clustered docs, and AQE broadcasts the clustered-group
+    # side whenever the near-dup census is small — with no broadcast
+    # hint, so a 100 TB corpus whose clustered share is large degrades
+    # to a plain shuffle join instead of an OOM.
+    clustered = grp.select("__h", "rep_id").join(rep_label, "rep_id")
     w = W.partitionBy("cluster_id")
     return (
-        member.join(rep_label, "rep_id")
+        docs.select("doc_id", "__h")
+        .join(clustered.select("__h", "cluster_id"), "__h")
         .select("doc_id", "cluster_id")
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
