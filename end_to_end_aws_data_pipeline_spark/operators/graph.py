@@ -712,17 +712,43 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round and optimizer/cache-lookup time escalated 1.2 s -> 12.5 s
     # for the IDENTICAL per-round degree aggregate by round 4 at sf0.1.
     deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    # round stats AND the next round's peel-set size from ONE bounded
+    # collect: n_removed of round i is the count of sub-k degrees in
+    # round i-1's degree table, so folding `n_below` into the stats
+    # aggregate replaces the per-round rm.count() job (4 jobs saved
+    # across the fixed-R loop; the round-8 tiny-relation rule applied
+    # to job COUNT instead of relation algebra)
+    def _stats(d: DataFrame):
+        return d.agg(
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2)
+            .cast("long")
+            .alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("src"), F.lit(0))
+            .cast("long")
+            .alias("node_checksum"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") < _KCORE_K, 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_below"),
+        ).collect()[0]
+
     rows = []
+    cur = _stats(deg)
     for i in range(1, _KCORE_ROUNDS + 1):
-        rm = persisted(deg.filter(F.col("d") < _KCORE_K).select("src"))
-        n_removed = rm.count()
-        if n_removed == 0 and rows:
+        n_removed = int(cur["n_below"])
+        if n_removed == 0:
             # fixpoint: an empty peel set leaves the graph (and every
             # published statistic) bit-identical — skip the edge-sized
             # induce/re-degree and republish the converged state. The
             # oracle's unrolled round produces exactly the same row.
-            rows.append((i, 0) + rows[-1][2:])
+            rows.append(
+                (i, 0, cur["n_nodes"], cur["n_edges"], cur["node_checksum"])
+            )
             continue
+        rm = persisted(deg.filter(F.col("d") < _KCORE_K).select("src"))
         g = (
             g.join(rm, "src", "left_anti")
             .join(rm.select(F.col("src").alias("dst")), "dst", "left_anti")
@@ -733,17 +759,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
             .localCheckpoint()
         )
-        r = deg.agg(
-            (F.coalesce(F.sum("d"), F.lit(0)) / 2)
-            .cast("long")
-            .alias("n_edges"),
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.coalesce(F.sum("src"), F.lit(0))
-            .cast("long")
-            .alias("node_checksum"),
-        ).collect()[0]
+        cur = _stats(deg)
         rows.append(
-            (i, n_removed, r["n_nodes"], r["n_edges"], r["node_checksum"])
+            (i, n_removed, cur["n_nodes"], cur["n_edges"], cur["node_checksum"])
         )
     return spark.createDataFrame(
         rows,
