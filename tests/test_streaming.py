@@ -433,3 +433,31 @@ def test_sketch_stream_restart_exactly_once(spark, tmp_path):
     m1 = sorted(tuple(r) for r in merge_sketches(spark, acc1, n).collect())
     m2 = sorted(tuple(r) for r in merge_sketches(spark, acc2, n).collect())
     assert m1 == m2 and len(m1) == 4
+
+
+def test_sketch_batch_rank_route_invariance(spark, tmp_path, monkeypatch):
+    """The per-batch rank path is routed by micro-batch size
+    (trigger-bounded single sorted partition vs banded
+    segmented_group_rank). Both routes must write the bit-identical
+    level-1 summary — forcing the banded path via _SK_LOCAL_ROWS=0
+    and diffing the summary stores proves route invariance."""
+    import os
+
+    from end_to_end_aws_data_pipeline_spark.streaming import sketch as sk
+
+    staged = sk.staged_bucket_dir(os.path.join(SF_SMOKE, "events.parquet"))
+
+    acc1, ck1 = str(tmp_path / "a1"), str(tmp_path / "c1")
+    sk.run_sketch_stream(spark, staged, acc1, ck1)  # local-window route
+
+    monkeypatch.setattr(sk, "_SK_LOCAL_ROWS", 0)  # force banded route
+    acc2, ck2 = str(tmp_path / "a2"), str(tmp_path / "c2")
+    sk.run_sketch_stream(spark, staged, acc2, ck2)
+
+    read = lambda p: sorted(
+        tuple(r)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(p)
+        .collect()
+    )
+    assert read(acc1) == read(acc2)
