@@ -102,13 +102,23 @@ def _purchase_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     own — so the plain join stays.)"""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    return (
+    # pair-encode the distinct (the copurchase-edges pattern): one
+    # encoded long halves the shuffle key bytes and hashes/compares as
+    # a primitive; ANSI multiply fails loud if a node id ever reaches
+    # 2^31 instead of silently aliasing edges
+    enc = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            (
+                (F.col("o_custkey") * 2) * F.lit(1 << 32).cast("long")
+                + (F.col("l_suppkey") * 2 + 1)
+            ).alias("e")
         )
         .distinct()
+    )
+    return enc.select(
+        F.shiftright("e", 32).alias("src"),
+        F.col("e").bitwiseAND((1 << 32) - 1).alias("dst"),
     )
 
 
