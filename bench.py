@@ -231,6 +231,9 @@ HEADLINE = (
     "q_agg_conversion_ztest",
     # round-9 additions
     "q_stream_sketch_merge",
+    "q_events_pattern_match",
+    "q_graph_link_prediction",
+    "q_stream_heavy_hitters",
 )
 
 

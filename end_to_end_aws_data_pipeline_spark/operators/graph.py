@@ -1108,3 +1108,107 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("long").alias("community"),
         "n_members",
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: bipartite resource-allocation scores (recommendation)
+# ---------------------------------------------------------------------------
+
+_RA_CAP = 64   # hub damping: parts bought by more customers carry no signal
+_RA_TOP = 100  # published predictions
+
+_RA_ORACLE = f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), deg AS (
+  SELECT p, count(*) AS d FROM cp GROUP BY p
+), ok AS (
+  SELECT cp.c, cp.p, deg.d FROM cp JOIN deg USING (p)
+  WHERE deg.d <= {_RA_CAP}
+), pairs AS (
+  SELECT a.c AS cust_a, b.c AS cust_b,
+         CAST(sum(1000000 // a.d) AS BIGINT) AS ra_ppm,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM ok a JOIN ok b ON a.p = b.p AND a.c < b.c
+  GROUP BY 1, 2
+)
+SELECT cust_a, cust_b, ra_ppm, n_common FROM pairs
+ORDER BY ra_ppm DESC, cust_a, cust_b LIMIT {_RA_TOP}
+"""
+
+
+@register("q_graph_link_prediction", oracle=_RA_ORACLE)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction / customer-similarity recommendation via the
+    resource-allocation index (Zhou, Lü & Zhang, EPJ B 2009) on the
+    customer–part purchase bipartite: two customers are similar in
+    proportion to Σ over shared parts of 1/deg(part) — each part
+    spreads one unit of "resource" equally among its buyers, so rare
+    parts bind their few buyers tightly while commodity parts say
+    nothing. Published as exact integer ppm (1000000 div deg — no
+    float drift across engines) with the common-part count beside it;
+    top-100 pairs under the total order (score desc, cust_a, cust_b).
+
+    Scale shape: the wedge expansion (customer pairs through a shared
+    part) is the known blow-up of every common-neighbour method —
+    C(deg, 2) per part. Two bounds keep it linear-ish: (1) the hub cap
+    deg ≤ 64 drops parts whose per-wedge contribution is < 15.6k ppm
+    AND whose fan-out is quadratic — at 100 TB this is the difference
+    between Σ C(d≤cap, 2) and Σ C(d_hub, 2) with d_hub in the millions
+    (the RA weight 1/d is WHY dropping hubs is principled: their
+    contribution vanishes exactly when their cost explodes); (2) pairs
+    are expanded MAP-SIDE from a per-part sorted buyer array (the
+    _copurchase_edges recipe — one groupBy shuffle, no self-join) and
+    encoded on one long (a·2^32 + b, ANSI multiply fails loud past
+    2^31) so the pair aggregate shuffles a single primitive key. The
+    top-k is TakeOrdered (per-partition heaps), never a global sort.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+    )
+    # no pre-distinct: collect_set dedups buyers per part inside the ONE
+    # groupBy shuffle (a separate distinct added a full exchange for the
+    # same result — measured 6.4 vs 5.9 s solo min-of-3 at sf0.1)
+    buyers = (
+        cp.groupBy("p")
+        .agg(F.sort_array(F.collect_set("c")).alias("cs"))
+        .filter(F.size("cs").between(2, _RA_CAP))
+        .select(
+            F.expr("CAST(1000000 DIV size(cs) AS BIGINT)").alias("w"),
+            F.col("cs"),
+        )
+    )
+    wedges = buyers.select(
+        "w",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "cs",
+                    lambda x, i: F.transform(
+                        F.slice("cs", i + 2, F.size("cs")),
+                        lambda y: x * F.lit(1 << 32).cast("long") + y,
+                    ),
+                )
+            )
+        ).alias("e"),
+    )
+    top = (
+        wedges.groupBy("e")
+        .agg(
+            F.sum("w").cast("long").alias("ra_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+        # encoded pair ascending == (cust_a, cust_b) ascending: a holds
+        # the high 32 bits, so the long order IS the lexicographic order
+        .orderBy(F.col("ra_ppm").desc(), "e")
+        .limit(_RA_TOP)
+    )
+    return top.select(
+        F.shiftright("e", 32).alias("cust_a"),
+        F.col("e").bitwiseAND((1 << 32) - 1).alias("cust_b"),
+        "ra_ppm",
+        "n_common",
+    )

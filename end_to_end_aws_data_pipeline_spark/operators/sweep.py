@@ -2182,3 +2182,116 @@ def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# event-sequence pattern matching (MATCH_RECOGNIZE-style row patterns)
+# ---------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM ev
+), numbered AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run_idx
+  FROM flagged
+), runs AS (
+  SELECT user_id, run_idx, min(event_type) AS etype,
+         CAST(count(*) AS BIGINT) AS run_len, min(ts) AS run_start
+  FROM numbered GROUP BY user_id, run_idx
+), ctx AS (
+  SELECT *, lag(etype)  OVER (PARTITION BY user_id ORDER BY run_idx) AS prev_t,
+            lead(etype) OVER (PARTITION BY user_id ORDER BY run_idx) AS next_t
+  FROM runs
+), m AS (
+  SELECT user_id, run_len, run_start
+  FROM ctx WHERE etype = 'view' AND prev_t = 'click' AND next_t = 'purchase'
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(sum(run_len) AS BIGINT) AS views_matched,
+       CAST(max(run_len) AS BIGINT) AS longest_view_run,
+       CAST(min(run_start) AS VARCHAR) AS first_match_start
+FROM m GROUP BY user_id
+"""
+
+
+@register("q_events_pattern_match", oracle=_PATTERN_ORACLE)
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern detection over the event log:
+    per user (rows ordered by ts, event_id), find every maximal match of
+    the pattern ``click view+ purchase`` — a click run, then one-or-more
+    consecutive views, then a purchase — and publish per-user match
+    stats (SQL:2016 row-pattern semantics with greedy quantifiers;
+    Spark has no MATCH_RECOGNIZE, so this is the composition that
+    replaces it).
+
+    The classic translation: (1) run-length encode each user's
+    event-type sequence — a change flag via ``lag`` and a conditional
+    running sum turn consecutive equal types into (user, run_idx)
+    groups, so ``view+`` collapses to ONE row no matter how long;
+    (2) the pattern becomes a plain predicate over each run and its
+    lag/lead neighbours (maximality of runs makes the greedy ``+``
+    exact — a run cannot extend, so adjacency IS the full pattern);
+    (3) aggregate matches per user. Any regex-over-symbols pattern
+    with runs and single symbols compiles the same way; alternation
+    adds OR-predicates, not new shuffles.
+
+    Scale shape: every window partitions by user_id — per-user event
+    counts are bounded in any real log (the sessionize/funnel family's
+    assumption), user cardinality spreads the shuffle, and nothing is
+    corpus-global. The run-length encoding is also WHY this survives
+    100 TB: state per user collapses from events to runs before the
+    pattern join, and the final aggregate is run-sized, not
+    event-sized. One shuffle on user_id serves all three window passes
+    (same partitioning reused by Catalyst), then one user-sized
+    aggregate.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.when(
+            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    wr = W.partitionBy("user_id").orderBy("rn")
+    numbered = flagged.withColumn("run_idx", F.sum("chg").over(wr))
+    runs = numbered.groupBy("user_id", "run_idx").agg(
+        F.min("event_type").alias("etype"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+    wk = W.partitionBy("user_id").orderBy("run_idx")
+    ctx = runs.select(
+        "user_id",
+        "etype",
+        "run_len",
+        "run_start",
+        F.lag("etype").over(wk).alias("prev_t"),
+        F.lead("etype").over(wk).alias("next_t"),
+    )
+    m = ctx.filter(
+        (F.col("etype") == "view")
+        & (F.col("prev_t") == "click")
+        & (F.col("next_t") == "purchase")
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.sum("run_len").cast("long").alias("views_matched"),
+        F.max("run_len").cast("long").alias("longest_view_run"),
+        F.min("run_start").cast("string").alias("first_match_start"),
+    )

@@ -439,3 +439,228 @@ def q_stream_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy-hitters maintenance (the Misra-Gries summary of
+# q_agg_heavy_hitters_merge, maintained incrementally in foreachBatch)
+# ---------------------------------------------------------------------------
+
+_HH_K = 64    # per-batch summary capacity (matches the batch operator)
+_HH_TOP = 20  # published global heavy hitters
+
+# The oracle replays the identical construction in batch: groups = the
+# deterministic arrival buckets (event_id % B), per-group summary = the
+# exact top-K user counts + the K-th count t_g, merge = candidate
+# rollup with the absent-group t_g interval, audit = one exact count
+# pass over the published keys (the q_agg_heavy_hitters_merge
+# arithmetic with calendar months replaced by arrival buckets).
+_HH_STREAM_ORACLE = f"""
+WITH v AS MATERIALIZED (
+  SELECT event_id % {_SK_BUCKETS} AS g, user_id AS k FROM events
+), c AS MATERIALIZED (
+  SELECT g, k, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY g, k
+), r AS MATERIALIZED (
+  SELECT g, k, cnt,
+         row_number() OVER (PARTITION BY g ORDER BY cnt DESC, k) AS rk
+  FROM c
+), tg AS MATERIALIZED (
+  SELECT g,
+         CAST(coalesce(max(CASE WHEN rk = {_HH_K} THEN cnt END), 0)
+              AS BIGINT) AS t
+  FROM r GROUP BY g
+), tt AS MATERIALIZED (
+  SELECT CAST(sum(t) AS BIGINT) AS total_t FROM tg
+), kept AS MATERIALIZED (
+  SELECT r.k, r.cnt, tg.t
+  FROM r JOIN tg USING (g) WHERE r.rk <= {_HH_K}
+), cand AS MATERIALIZED (
+  SELECT k, CAST(sum(cnt) AS BIGINT) AS lo, CAST(sum(t) AS BIGINT) AS tcov,
+         CAST(count(*) AS BIGINT) AS groups_present
+  FROM kept GROUP BY k
+), top AS MATERIALIZED (
+  SELECT k, lo, CAST(lo + tt.total_t - tcov AS BIGINT) AS hi,
+         groups_present
+  FROM cand CROSS JOIN tt
+  ORDER BY lo DESC, k LIMIT {_HH_TOP}
+), ex AS MATERIALIZED (
+  SELECT v.k, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM v JOIN top ON top.k = v.k GROUP BY v.k
+)
+SELECT top.k AS user_id, top.lo AS est_lo, top.hi AS est_hi,
+       ex.exact_cnt, top.groups_present,
+       (top.lo <= ex.exact_cnt AND ex.exact_cnt <= top.hi)
+         AS within_bound
+FROM top JOIN ex ON ex.k = top.k
+ORDER BY est_lo DESC, user_id
+"""
+
+
+def run_hh_stream(
+    spark: SparkSession,
+    staged: str,
+    acc: str,
+    ckpt: str,
+    stop_after_batches: int | None = None,
+) -> None:
+    """Run (or resume) the incremental heavy-hitters stream: one staged
+    bucket per micro-batch, foreachBatch reduces the batch to its exact
+    top-K key counts plus the K-th-count threshold t_g and upserts that
+    summary by partition-scoped directory overwrite (idempotent under
+    redelivery — the summary of a batch's multiset is canonical, so a
+    replayed batch rewrites identical bytes)."""
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    schema = _cached_schema(spark, os.path.join(staged, "bucket_0.parquet"))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select(
+            (F.col("event_id") % _SK_BUCKETS).cast("long").alias("g"),
+            F.col("user_id").cast("long").alias("k"),
+        )
+    )
+    seen = {"n": 0}
+
+    def upd(bdf: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        # bounded probe: the bucket id + emptiness (one tiny aggregate,
+        # the sketch stream's probe contract)
+        r = bdf.agg(F.min("g"), F.count(F.lit(1))).first()
+        if not r[1]:
+            return
+        g = int(r[0])
+        c = bdf.groupBy("g", "k").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        # exact top-K of the batch: TakeOrdered over the batch's key
+        # dictionary (bucket-bounded), deterministic total order; the
+        # t_g threshold (K-th count, 0 if the batch has < K keys) rides
+        # a window over the ≤K survivors. The whole summary stays ONE
+        # bdf-derived lazy plan: a driver-side collect + createDataFrame
+        # + write of the same 64 rows measured 5.3 s/batch vs 0.6 s for
+        # this shape — a local-relation write inside an active
+        # micro-batch pays the full SQL-execution setup, the derived
+        # plan reuses the batch's.
+        kept = c.orderBy(F.col("cnt").desc(), "k").limit(_HH_K)
+        w = W.partitionBy()
+        out = kept.select(
+            "g",
+            "k",
+            "cnt",
+            F.when(
+                F.count(F.lit(1)).over(w) == _HH_K, F.min("cnt").over(w)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("t"),
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(acc, f"g{g}")
+        )
+        seen["n"] += 1
+        if stop_after_batches and seen["n"] >= stop_after_batches:
+            raise RuntimeError("__stop_requested__")
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            src.writeStream.foreachBatch(upd)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            if stop_after_batches is None:
+                raise
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+@register("q_stream_heavy_hitters", oracle=_HH_STREAM_ORACLE)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters maintenance, EXECUTED in the gate — the
+    frequent-items sibling of q_stream_sketch_merge, closing the
+    mergeable-summary family's streaming tie in both directions (ranks
+    AND counts): the events table arrives as deterministic micro-batches
+    (the same staged buckets), foreachBatch reduces each batch to its
+    exact top-64 user counts + the K-th-count threshold t_g
+    (Misra-Gries/SpaceSaving bound, computed offline so the summary is
+    canonical and order-free), and the published result is the merged
+    rollup — global top-20 users with the DETERMINISTIC error interval
+    [Σ kept counts, + Σ absent batches' t_g] and the exact-count audit
+    computed in-engine. The DuckDB oracle replays construction AND merge
+    in batch; hash equality IS the stream-merged == batch-constructed
+    proof (canonical summaries make it testable by hash, not tolerance).
+
+    Scale shape: the stream holds no state (the summary store is the
+    state — exactly-once by idempotent directory overwrite, the
+    ingest/merge.py partition contract); per-batch work is one
+    batch-sized count + a dictionary-bounded TakeOrdered; the merge
+    reads ONLY summaries (≤ B×K rows, driver-sized BY CONSTRUCTION —
+    the round-8 lesson that tiny-relation algebra as Spark jobs is pure
+    scheduler overhead); the only corpus pass is the audit semi-join on
+    the 20 published keys. Restart/exactly-once is tested by killing
+    the stream mid-run and resuming from the checkpoint."""
+    run_id = next(_counter)
+    staged = staged_bucket_dir(os.path.join(sf_dir, "events.parquet"))
+    acc = f"/tmp/hh_acc_{os.getpid()}_{run_id}"
+    ckpt = f"/tmp/hh_ckpt_{os.getpid()}_{run_id}"
+    for d in (acc, ckpt):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    run_hh_stream(spark, staged, acc, ckpt)
+    rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(acc)
+        .collect()
+    )
+    # driver-side merge over ≤ B×K summary rows
+    t_by_g: dict[int, int] = {}
+    for r in rows:
+        t_by_g[int(r["g"])] = int(r["t"])
+    total_t = sum(t_by_g.values())
+    cand: dict[int, list[int]] = {}
+    for r in rows:
+        e = cand.setdefault(int(r["k"]), [0, 0, 0])  # lo, tcov, groups
+        e[0] += int(r["cnt"])
+        e[1] += t_by_g[int(r["g"])]
+        e[2] += 1
+    top = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_HH_TOP]
+    top_df = spark.createDataFrame(
+        [
+            (k, lo, lo + total_t - tcov, groups)
+            for k, (lo, tcov, groups) in top
+        ],
+        "k long, est_lo long, est_hi long, groups_present long",
+    )
+    v = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        F.col("user_id").cast("long").alias("k")
+    )
+    ex = (
+        v.join(F.broadcast(top_df.select("k")), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        top_df.join(ex, "k")
+        .select(
+            F.col("k").alias("user_id"),
+            "est_lo",
+            "est_hi",
+            "exact_cnt",
+            "groups_present",
+            (
+                (F.col("est_lo") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") <= F.col("est_hi"))
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("est_lo").desc(), "user_id")
+    )

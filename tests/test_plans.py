@@ -1276,3 +1276,40 @@ def test_round8_sketch_and_segment_ops_plan_posture(spark):
     p = physical_plan(rfm)
     assert "SortAggregate" not in p and "CartesianProduct" not in p
     assert global_window_input_rows(rfm) == []
+
+
+def test_round9_new_ops_plan_posture(spark):
+    """Plan gates for the round-9 batch operators:
+
+    - pattern match (MATCH_RECOGNIZE composition): every window
+      partitions by user_id — no unpartitioned WindowExec — and the
+      whole pipeline reads the events table ONCE (the three window
+      passes and the run aggregate reuse one user_id exchange).
+    - link prediction (bipartite resource allocation): wedge expansion
+      is map-side array algebra (no self-join — no CartesianProduct,
+      exactly the lineitem + orders scans), the pair aggregate is a
+      HashAggregate on the encoded long, and the top-k is TakeOrdered,
+      never a global sort.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        q_graph_link_prediction,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_events_pattern_match,
+    )
+    from end_to_end_aws_data_pipeline_spark.plans.explain import (
+        global_window_input_rows,
+    )
+
+    pm = q_events_pattern_match(spark, SF_SMOKE)
+    p = physical_plan(pm)
+    assert p.count("Scan parquet") == 1
+    assert "Python" not in p
+    assert global_window_input_rows(pm) == []
+
+    lp = q_graph_link_prediction(spark, SF_SMOKE)
+    p = physical_plan(lp)
+    assert p.count("Scan parquet") == 2  # lineitem + orders, once each
+    assert "CartesianProduct" not in p and "Python" not in p
+    assert uses_take_ordered(lp)
+    assert "Window" not in p

@@ -461,3 +461,45 @@ def test_sketch_batch_rank_route_invariance(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert read(acc1) == read(acc2)
+
+
+def test_hh_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the heavy-hitters stream after 2 of 4 micro-batches, resume
+    from the checkpoint, and require the summary store to be
+    BIT-IDENTICAL to an uninterrupted run's — same canonical-summary +
+    idempotent-overwrite contract the sketch stream proves, now for the
+    counts member of the mergeable family."""
+    import os
+
+    from end_to_end_aws_data_pipeline_spark.streaming.sketch import (
+        run_hh_stream,
+        staged_bucket_dir,
+    )
+
+    staged = staged_bucket_dir(os.path.join(SF_SMOKE, "events.parquet"))
+
+    acc1, ck1 = str(tmp_path / "acc1"), str(tmp_path / "ck1")
+    run_hh_stream(spark, staged, acc1, ck1)  # clean run
+    clean = sorted(
+        tuple(r)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(acc1)
+        .collect()
+    )
+    assert {r[0] for r in clean} == {0, 1, 2, 3}
+
+    acc2, ck2 = str(tmp_path / "acc2"), str(tmp_path / "ck2")
+    run_hh_stream(spark, staged, acc2, ck2, stop_after_batches=2)
+    done_mid = {int(d[1:]) for d in os.listdir(acc2) if d.startswith("g")}
+    assert 0 < len(done_mid) <= 3  # genuinely interrupted mid-stream
+    run_hh_stream(spark, staged, acc2, ck2)  # resume, same checkpoint
+    resumed = sorted(
+        tuple(r)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(acc2)
+        .collect()
+    )
+    assert resumed == clean
+    # per-batch summary invariant: every stored count >= its batch's t
+    for _g, _k, cnt, t in clean:
+        assert cnt >= t
