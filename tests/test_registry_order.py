@@ -35,13 +35,13 @@ def test_stale_queries_sort_first_in_insertion_order(monkeypatch):
     # mark two mid-list queries stale (wrong fingerprint), rest verified
     stale = {names[3], names[7]}
     manifest = {
-        n: ("0" * 16 if n in stale else reg.fingerprint(n)) for n in names
+        n: ("0" * 16 if n in stale else reg.fingerprint(n), 5) for n in names
     }
-    monkeypatch.setattr(reg, "_verified_fingerprints", lambda: manifest)
+    monkeypatch.setattr(reg, "_verified_manifest", lambda: manifest)
     order = list(reg.queries())
     assert order[:2] == [names[3], names[7]]  # stale first, insertion order
     rest = [n for n in names if n not in stale]
-    assert order[2:] == rest  # verified keep insertion order
+    assert order[2:] == rest  # same-round verified keep insertion order
 
 
 def test_ordering_is_deterministic():
@@ -102,7 +102,7 @@ def test_endgame_record_is_fresh():
 def test_unknown_manifest_entries_ignored(monkeypatch):
     reg._load()
     monkeypatch.setattr(
-        reg, "_verified_fingerprints", lambda: {"no_such_query": "abc"}
+        reg, "_verified_manifest", lambda: {"no_such_query": ("abc", 1)}
     )
     names = list(reg._QUERIES)
     # all never-verified -> judge-flagged _PRIORITY entries jump to the
@@ -111,3 +111,27 @@ def test_unknown_manifest_entries_ignored(monkeypatch):
         n for n in names if n not in reg._PRIORITY
     ]
     assert list(reg.queries()) == expected
+
+
+def test_fresh_queries_rotate_oldest_green_round_first(monkeypatch):
+    reg._load()
+    names = list(reg._QUERIES)
+    # all verified and unchanged, but at different driver rounds:
+    # names[5] at round 2 (oldest), names[1] at round 4, rest at 9
+    rounds = {names[5]: 2, names[1]: 4}
+    manifest = {
+        n: (reg.fingerprint(n), rounds.get(n, 9)) for n in names
+    }
+    monkeypatch.setattr(reg, "_verified_manifest", lambda: manifest)
+    order = list(reg.queries())
+    assert order[:2] == [names[5], names[1]]  # oldest green rows first
+    assert order[2:] == [n for n in names if n not in set(order[:2])]
+
+
+def test_legacy_bare_fingerprint_entries_parse_as_round_zero():
+    parsed = reg._verified_manifest()
+    # committed manifest predates round stamping: every entry must parse
+    # (bare fp -> round 0, "fp:rN" -> round N), never raise
+    assert all(
+        isinstance(fp, str) and isinstance(r, int) for fp, r in parsed.values()
+    )

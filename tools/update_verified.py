@@ -78,9 +78,16 @@ def main() -> int:
     for art in ns.artifacts:
         with open(art, encoding="utf-8") as f:
             rows = json.load(f)
+        # stamp the driver round onto each green entry ("fp:rN") so the
+        # registry can rotate re-verification oldest-green-first once
+        # the whole registry is verified (legacy bare-fp entries parse
+        # as round 0 and therefore rotate to the front — exactly right,
+        # they ARE the oldest)
+        m = __import__("re").search(r"_r(\d+)", Path(art).name)
+        rnd = int(m.group(1)) if m else 0
         for name, row in rows.items():
             if name in reg._QUERIES and _green(row):
-                manifest[name] = fp(name)
+                manifest[name] = f"{fp(name)}:r{rnd}"
                 n_add += 1
     # drop entries for queries that no longer exist
     manifest = {n: h for n, h in manifest.items() if n in reg._QUERIES}
