@@ -1163,6 +1163,20 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded on one long (a·2^32 + b, ANSI multiply fails loud past
     2^31) so the pair aggregate shuffles a single primitive key. The
     top-k is TakeOrdered (per-partition heaps), never a global sort.
+
+    The pair aggregate's partition count is sized from the EXACT wedge
+    total (one bounded probe over the persisted part-dictionary-sized
+    buyers table: Σ C(|cs|, 2)) so each partition's hash-agg state
+    fits memory: pairs are mostly unique, so aggregate state ≈ input
+    rows, and the session's 32 shuffle partitions that are right for
+    corpus-sized aggs put ~28M keys (~1.3 GB of hash map) in each task
+    at sf10 — past the hash-agg budget, every task falls back to
+    sort-based aggregation and the decade leg went from minutes to a
+    timeout. Sizing at ~48 B/key against a 256 MB target (sf0.1 stays
+    at the 32 floor; sf10 gets ~170 partitions) restored the linear
+    regime — the segmented_group_rank groups×bands lesson applied to a
+    pair aggregate. At 100 TB this number is the one knob a deployment
+    must scale with corpus (wedges/partition, not partitions=cores).
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1172,7 +1186,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no pre-distinct: collect_set dedups buyers per part inside the ONE
     # groupBy shuffle (a separate distinct added a full exchange for the
     # same result — measured 6.4 vs 5.9 s solo min-of-3 at sf0.1)
-    buyers = (
+    buyers = persisted(
         cp.groupBy("p")
         .agg(F.sort_array(F.collect_set("c")).alias("cs"))
         .filter(F.size("cs").between(2, _RA_CAP))
@@ -1181,6 +1195,13 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs"),
         )
     )
+    n_wedges = int(
+        buyers.agg(
+            F.sum(F.expr("size(cs) * (size(cs) - 1) DIV 2")).cast("long")
+        ).first()[0]
+        or 0
+    )
+    n_parts = max(32, min(4096, n_wedges * 48 // (256 << 20) + 1))
     wedges = buyers.select(
         "w",
         F.explode(
@@ -1196,7 +1217,11 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     )
     top = (
-        wedges.groupBy("e")
+        # explicit hash repartition on the pair key: satisfies the
+        # groupBy's clustering (no second exchange) and pins the sized
+        # partition count (AQE leaves explicit repartitions alone)
+        wedges.repartition(n_parts, "e")
+        .groupBy("e")
         .agg(
             F.sum("w").cast("long").alias("ra_ppm"),
             F.count(F.lit(1)).cast("long").alias("n_common"),
