@@ -234,6 +234,7 @@ HEADLINE = (
     "q_events_pattern_match",
     "q_graph_link_prediction",
     "q_stream_heavy_hitters",
+    "q_etl_mv_join_delta",
 )
 
 

@@ -938,3 +938,93 @@ def q_etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("suppression_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental JOIN-view maintenance (the join member of the MV family)
+# ---------------------------------------------------------------------------
+
+_MVJ_ORACLE = f"""
+SELECT CASE WHEN o.o_orderdate <  TIMESTAMP '{_MV_SPLIT}'
+             AND l.l_shipdate  <  TIMESTAMP '{_MV_SPLIT}' THEN 'base'
+            WHEN o.o_orderdate <  TIMESTAMP '{_MV_SPLIT}' THEN 'delta_fact'
+            WHEN l.l_shipdate  <  TIMESTAMP '{_MV_SPLIT}' THEN 'delta_dim'
+            ELSE 'delta_both' END AS term,
+       year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_c
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register("q_etl_mv_join_delta", oracle=_MVJ_ORACLE)
+def q_etl_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the join member of the MV
+    family beside q_etl_mv_incremental's algebraic aggregates: a stored
+    join view J = A ⋈ B is refreshed under arrivals ΔA, ΔB by the delta
+    decomposition  ΔJ = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB  (the
+    classic count-algebra identity of incremental view maintenance),
+    never by re-joining the bases. Here the split is the same
+    1997-01-01 watermark as the aggregate MV (orders by o_orderdate,
+    lineitem by l_shipdate), Spark computes the FOUR terms as four
+    separate joins and publishes per-(term, order-month) row counts and
+    exact cent revenue; the oracle computes the plain full join and
+    tags each result row by which side of the watermark its inputs
+    fell. Hash equality is therefore a proof that
+    base ∪ delta-terms ≡ full recompute — the identity a 100 TB
+    deployment banks on when it refreshes hourly.
+
+    Scale shape: at refresh time only the three Δ-terms run —
+    each joins an ARRIVAL-BOUNDED delta against a base (or the other
+    delta), so refresh cost is O(|Δ|·fanout + |Δ|²-term), independent
+    of the accumulated fact size; a day's delta fits a broadcast, so
+    the Δ-side joins need no base shuffle at all (AQE picks this up
+    from the delta's size — no hint, so a backfill-sized "delta"
+    degrades to a shuffle join instead of an OOM). The base ⋈ base
+    term is the STORED view (recomputed here only to make the identity
+    checkable in one artifact); predicate pushdown splits each table
+    at the scan, so no row is read twice within a term.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    split = F.lit(_MV_SPLIT).cast("timestamp")
+    oo, on = o.filter(F.col("o_orderdate") < split), o.filter(
+        ~(F.col("o_orderdate") < split)
+    )
+    lo, ln = li.filter(F.col("l_shipdate") < split), li.filter(
+        ~(F.col("l_shipdate") < split)
+    )
+
+    def term(tag: str, a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a["o_orderkey"] == b["l_orderkey"])
+            .groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("long")
+                .alias("ym")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("rev_c"),
+            )
+            .select(F.lit(tag).alias("term"), "ym", "n_rows", "rev_c")
+        )
+
+    return (
+        term("base", oo, lo)
+        .unionAll(term("delta_fact", oo, ln))
+        .unionAll(term("delta_dim", on, lo))
+        .unionAll(term("delta_both", on, ln))
+    )

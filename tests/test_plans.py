@@ -1313,3 +1313,18 @@ def test_round9_new_ops_plan_posture(spark):
     assert "CartesianProduct" not in p and "Python" not in p
     assert uses_take_ordered(lp)
     assert "Window" not in p
+
+
+def test_mv_join_delta_plan_posture(spark):
+    """The four delta-decomposition terms each push their watermark
+    predicate to the scan (no term reads a row outside its side of the
+    split) and no term degenerates to a cartesian product."""
+    from end_to_end_aws_data_pipeline_spark.ingest.queries import (
+        q_etl_mv_join_delta,
+    )
+
+    mv = q_etl_mv_join_delta(spark, SF_SMOKE)
+    p = physical_plan(mv)
+    assert "CartesianProduct" not in p and "Python" not in p
+    assert has_pushed_filters(mv, "o_orderdate")
+    assert has_pushed_filters(mv, "l_shipdate")
