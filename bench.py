@@ -235,6 +235,7 @@ HEADLINE = (
     "q_graph_link_prediction",
     "q_stream_heavy_hitters",
     "q_etl_mv_join_delta",
+    "q_timeseries_holt",
 )
 
 

@@ -2295,3 +2295,112 @@ def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_view_run"),
         F.min("run_start").cast("string").alias("first_match_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential) over daily revenue
+# ---------------------------------------------------------------------------
+
+# alpha = 3/10, beta = 1/10 as exact integer fractions; division is
+# TRUNCATING on both engines (DuckDB's integer // truncates toward
+# zero; the driver recursion mirrors it explicitly — Python's // floors
+# and WOULD drift on negative trend values)
+_HOLT_ORACLE = """
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), s AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: inlined, the day aggregate re-runs
+  -- inside EVERY recursive iteration (~2.5k corpus scans — the sf1
+  -- check went from >400 s to 3.9 s with the hint)
+  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM d
+), h AS (
+  SELECT CAST(1 AS BIGINT) AS t,
+         (SELECT y FROM s WHERE t = 1) AS l,
+         (SELECT y FROM s WHERE t = 2) - (SELECT y FROM s WHERE t = 1) AS b
+  UNION ALL
+  SELECT s.t,
+         (3 * s.y + 7 * (h.l + h.b)) // 10,
+         ((3 * s.y + 7 * (h.l + h.b)) // 10 - h.l + 9 * h.b) // 10
+  FROM h JOIN s ON s.t = h.t + 1
+)
+SELECT s.t, CAST(s.day AS VARCHAR) AS day, s.y AS y_c,
+       hp.l + hp.b AS fitted_c, s.y - hp.l - hp.b AS resid_c,
+       h.l AS level_c, h.b AS trend_c
+FROM s JOIN h ON h.t = s.t JOIN h hp ON hp.t = s.t - 1
+"""
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB's // for
+    BIGINT; Python's // floors, which differs on negatives."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+@register("q_timeseries_holt", oracle=_HOLT_ORACLE)
+def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (double exponential, Holt 1957) over
+    the daily-revenue series — the trend-aware sibling of the EWMA
+    (single smoothing) window: coupled recursions
+    l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1} with α=3/10, β=1/10 held as
+    exact integer-cent arithmetic, publishing every day's one-step
+    forecast l_{t−1}+b_{t−1}, residual, level and trend. The DuckDB
+    oracle replays the recursion as a RECURSIVE CTE, so hash equality
+    pins every step of the 2,498-day recursion, not a summary of it.
+
+    Why the recursion runs on the DRIVER: coupled recurrences are not
+    window-expressible (each output feeds the next input through TWO
+    interacting states), and the series is CALENDAR-BOUNDED — one
+    corpus pass reduces 100 TB of facts to one row per day (the
+    combinable groupBy), and ~2.5k rows is the KLL-merge precedent's
+    regime where tiny-relation algebra as Spark jobs is pure scheduler
+    overhead. Corpus work stays distributed (one aggregate scan);
+    state stays O(days); the published literal rows round-trip through
+    a DataFrame for the gate. Division is truncating on BOTH engines
+    (DuckDB // truncates toward zero; the driver mirrors it) — the
+    trend state goes negative on downtrends, where Python's flooring
+    // would silently drift one cent and break the hash.
+
+    Scale shape: the only corpus-sized work is the day groupBy (fully
+    combinable, date-dictionary output); everything after is O(days)
+    on the driver. A deployment with per-key series (thousands of
+    SKUs) lifts the same recursion into applyInPandas keyed by series
+    — the per-key state is identical; this operator pins the
+    arithmetic contract that implementation must reproduce.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    daily.sort(key=lambda r: r["day"])
+    ys = [int(r["y"]) for r in daily]
+    days = [str(r["day"]) for r in daily]
+    lvl, tr = ys[0], ys[1] - ys[0]
+    out = []
+    for t in range(2, len(ys) + 1):
+        y = ys[t - 1]
+        fitted = lvl + tr
+        nl = _tdiv(3 * y + 7 * (lvl + tr), 10)
+        nb = _tdiv(nl - lvl + 9 * tr, 10)
+        out.append((t, days[t - 1], y, fitted, y - fitted, nl, nb))
+        lvl, tr = nl, nb
+    return spark.createDataFrame(
+        out,
+        "t long, day string, y_c long, fitted_c long, resid_c long, "
+        "level_c long, trend_c long",
+    )
