@@ -1690,3 +1690,34 @@ def test_kll_sketch_bound_holds_for_any_partitioning(data, k):
         hi = bisect.bisect_right(svals, est)
         err = (lo - t) if t < lo else (t - hi) if t > hi else 0
         assert err <= b, (data, k, q_ppm, est, t, lo, hi, b)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_holt_tdiv_matches_duckdb_integer_division(vals):
+    """The Holt recursion's driver-side division must reproduce
+    DuckDB's BIGINT `//` exactly — truncation toward zero, NOT
+    Python's flooring `//` (they differ on every negative non-exact
+    quotient, and the trend state goes negative on downtrends)."""
+    import duckdb
+
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import _tdiv
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({v})" for v in vals)
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT CAST(v AS BIGINT) // 10 FROM (VALUES {rows}) t(v) "
+        ).fetchall()
+    ]
+    assert [_tdiv(v, 10) for v in vals] == duck
+    # and at least one witness that flooring would have drifted
+    if any(v < 0 and v % 10 != 0 for v in vals):
+        assert any(_tdiv(v, 10) != v // 10 for v in vals if v < 0)
