@@ -246,6 +246,23 @@ def _execute(df) -> None:
         df.count()
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, for stamping into the artifact.
+
+    This VM shows minutes-long hot windows where identical code reads
+    8-16% slow with zero engine processes running (SCALING.md, round-9
+    variance convention); recording load before/after each run makes a
+    hot run adjudicable from the artifact itself instead of from
+    archaeology.  A 1-minute load well above SPARK_GRAFT_CPUS at start,
+    or a large start→end rise, flags the run as suspect.
+    """
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -293,6 +310,7 @@ def main() -> None:
     # so published deltas mean something; sub-second "regressions" under
     # reps=1 were indistinguishable from cold-run noise.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    load_start = _loadavg()
     # SPARK_GRAFT_BENCH_ONLY=q_a,q_b: time a subset with the identical
     # methodology (warmup, reps, cache release) — for pairing newly
     # added queries into SCALING.md without a full-suite rerun
@@ -326,12 +344,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    load_end = _loadavg()
     record = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host load context (1/5/15-min averages at run start/end): a
+        # 1-min load far above the 32-thread budget, or a big rise,
+        # marks a hot-window run — compare totals only across runs with
+        # comparable load stamps (variance convention, SCALING.md)
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "reps": reps,
     }
     # like-for-like subtotals over FIXED query baskets (tools/
     # r*_subset.json, one frozen at each round's close): the suite

@@ -2390,6 +2390,14 @@ def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily.sort(key=lambda r: r["day"])
     ys = [int(r["y"]) for r in daily]
     days = [str(r["day"]) for r in daily]
+    schema = (
+        "t long, day string, y_c long, fitted_c long, resid_c long, "
+        "level_c long, trend_c long"
+    )
+    if len(ys) < 2:
+        # degenerate series (<2 distinct days): no trend is definable;
+        # mirror the oracle's graceful empty result instead of crashing
+        return spark.createDataFrame([], schema)
     lvl, tr = ys[0], ys[1] - ys[0]
     out = []
     for t in range(2, len(ys) + 1):
@@ -2399,8 +2407,4 @@ def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = _tdiv(nl - lvl + 9 * tr, 10)
         out.append((t, days[t - 1], y, fitted, y - fitted, nl, nb))
         lvl, tr = nl, nb
-    return spark.createDataFrame(
-        out,
-        "t long, day string, y_c long, fitted_c long, resid_c long, "
-        "level_c long, trend_c long",
-    )
+    return spark.createDataFrame(out, schema)

@@ -287,8 +287,10 @@ def run_sketch_stream(
         )
         try:
             q.awaitTermination()
-        except Exception:
-            if stop_after_batches is None:
+        except Exception as exc:
+            # only the deliberate mid-stream kill is swallowed; a real
+            # stream failure during a capped run must still surface
+            if stop_after_batches is None or "__stop_requested__" not in str(exc):
                 raise
             # deliberate mid-stream kill for the restart test: the
             # failed batch's write either completed (overwrite makes
@@ -576,8 +578,8 @@ def run_hh_stream(
         )
         try:
             q.awaitTermination()
-        except Exception:
-            if stop_after_batches is None:
+        except Exception as exc:
+            if stop_after_batches is None or "__stop_requested__" not in str(exc):
                 raise
             q.stop()
     finally:

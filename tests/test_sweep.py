@@ -174,3 +174,34 @@ def test_ks_drift_matches_brute_force(spark):
         assert (r.n1, r.n2, r.d_num) == (n1, n2, d_num), et
         d = d_num / (n1 * n2)
         assert r.drifted == (d > 1.358 * math.sqrt((n1 + n2) / (n1 * n2))), et
+
+
+def test_holt_degenerate_series_returns_empty(spark, tmp_path):
+    """A series with <2 distinct days has no definable trend: the
+    operator must mirror the oracle's graceful empty result (the
+    recursive CTE's anchor needs rows t=1 AND t=2) instead of crashing
+    with IndexError on ys[1] (round-9 ADVICE item)."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_timeseries_holt,
+    )
+
+    sf_dir = str(tmp_path / "sf_degenerate")
+    spark.createDataFrame(
+        [("1995-01-01", 10.0), ("1995-01-01", 20.0)],
+        "l_shipdate string, l_extendedprice double",
+    ).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    out = q_timeseries_holt(spark, sf_dir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "t", "day", "y_c", "fitted_c", "resid_c", "level_c", "trend_c",
+    ]
+
+    # exactly 2 distinct days → exactly one published step, no crash
+    sf_dir2 = str(tmp_path / "sf_two_days")
+    spark.createDataFrame(
+        [("1995-01-01", 10.0), ("1995-01-02", 30.0)],
+        "l_shipdate string, l_extendedprice double",
+    ).write.parquet(f"{sf_dir2}/lineitem.parquet")
+    rows = q_timeseries_holt(spark, sf_dir2).collect()
+    assert len(rows) == 1 and rows[0]["t"] == 2

@@ -25,6 +25,7 @@ import argparse
 import hashlib
 import inspect
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -46,6 +47,13 @@ def main() -> int:
     ap.add_argument("artifacts", nargs="+", help="CORRECTNESS_r*.json paths, oldest first")
     ap.add_argument("--code-root", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="driver round to stamp (overrides the _rN inferred from the "
+        "artifact filename; required when the filename carries no _rN)",
+    )
     ns = ap.parse_args()
 
     repo = Path(__file__).resolve().parent.parent
@@ -83,8 +91,19 @@ def main() -> int:
         # the whole registry is verified (legacy bare-fp entries parse
         # as round 0 and therefore rotate to the front — exactly right,
         # they ARE the oldest)
-        m = __import__("re").search(r"_r(\d+)", Path(art).name)
-        rnd = int(m.group(1)) if m else 0
+        if ns.round is not None:
+            rnd = ns.round
+        else:
+            m = re.search(r"_r(\d+)", Path(art).name)
+            if m is None:
+                print(
+                    f"WARNING: {Path(art).name} carries no _rN round marker; "
+                    "stamping :r0 pushes these entries to the FRONT of the "
+                    "re-verification rotation. Pass --round N if that is "
+                    "not intended.",
+                    file=sys.stderr,
+                )
+            rnd = int(m.group(1)) if m else 0
         for name, row in rows.items():
             if name in reg._QUERIES and _green(row):
                 manifest[name] = f"{fp(name)}:r{rnd}"
