@@ -236,6 +236,8 @@ HEADLINE = (
     "q_stream_heavy_hitters",
     "q_etl_mv_join_delta",
     "q_timeseries_holt",
+    # round-10 additions
+    "q_timeseries_holt_bykey",
 )
 
 

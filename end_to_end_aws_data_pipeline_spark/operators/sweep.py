@@ -2341,6 +2341,29 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
+def _holt_steps(ys: list[int]) -> list[tuple[int, int, int, int, int, int]]:
+    """The Holt recursion itself, shared VERBATIM by the global driver
+    query (q_timeseries_holt) and the per-key applyInPandas form
+    (q_timeseries_holt_bykey): α=3/10, β=1/10 exact integer-cent
+    arithmetic, truncating division. Returns one row per step t≥2:
+    (t, y, fitted, resid, level, trend). Empty for series shorter than
+    2 points (no trend definable). Keeping ONE implementation is the
+    equivalence argument — the per-key form cannot drift from the
+    hash-pinned global contract."""
+    if len(ys) < 2:
+        return []
+    lvl, tr = ys[0], ys[1] - ys[0]
+    out = []
+    for t in range(2, len(ys) + 1):
+        y = ys[t - 1]
+        fitted = lvl + tr
+        nl = _tdiv(3 * y + 7 * (lvl + tr), 10)
+        nb = _tdiv(nl - lvl + 9 * tr, 10)
+        out.append((t, y, fitted, y - fitted, nl, nb))
+        lvl, tr = nl, nb
+    return out
+
+
 @register("q_timeseries_holt", oracle=_HOLT_ORACLE)
 def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend smoothing (double exponential, Holt 1957) over
@@ -2394,17 +2417,123 @@ def q_timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t long, day string, y_c long, fitted_c long, resid_c long, "
         "level_c long, trend_c long"
     )
-    if len(ys) < 2:
+    steps = _holt_steps(ys)
+    if not steps:
         # degenerate series (<2 distinct days): no trend is definable;
         # mirror the oracle's graceful empty result instead of crashing
         return spark.createDataFrame([], schema)
-    lvl, tr = ys[0], ys[1] - ys[0]
-    out = []
-    for t in range(2, len(ys) + 1):
-        y = ys[t - 1]
-        fitted = lvl + tr
-        nl = _tdiv(3 * y + 7 * (lvl + tr), 10)
-        nb = _tdiv(nl - lvl + 9 * tr, 10)
-        out.append((t, days[t - 1], y, fitted, y - fitted, nl, nb))
-        lvl, tr = nl, nb
+    out = [
+        (t, days[t - 1], y, fitted, resid, nl, nb)
+        for (t, y, fitted, resid, nl, nb) in steps
+    ]
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Per-key Holt smoothing: thousands of series in parallel via applyInPandas
+# ---------------------------------------------------------------------------
+
+_HOLT_BYKEY_ORACLE = """
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT n.n_name AS nation, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem l
+  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+  JOIN nation n ON su.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), s AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing (round-9 lesson): inlined, the
+  -- 3-table day aggregate re-runs inside EVERY recursive iteration
+  SELECT nation, day, y,
+         CAST(row_number() OVER (PARTITION BY nation ORDER BY day)
+              AS BIGINT) AS t
+  FROM d
+), h AS (
+  -- anchor per key: (l_1, b_1) = (y_1, y_2 - y_1); keys with a single
+  -- day never anchor (no s2 row at t=2) and publish nothing
+  SELECT s1.nation, CAST(1 AS BIGINT) AS t, s1.y AS l, s2.y - s1.y AS b
+  FROM s s1 JOIN s s2 ON s2.nation = s1.nation AND s2.t = 2
+  WHERE s1.t = 1
+  UNION ALL
+  SELECT s.nation, s.t,
+         (3 * s.y + 7 * (h.l + h.b)) // 10,
+         ((3 * s.y + 7 * (h.l + h.b)) // 10 - h.l + 9 * h.b) // 10
+  FROM h JOIN s ON s.nation = h.nation AND s.t = h.t + 1
+)
+SELECT s.nation, s.t, CAST(s.day AS VARCHAR) AS day, s.y AS y_c,
+       hp.l + hp.b AS fitted_c, s.y - hp.l - hp.b AS resid_c,
+       h.l AS level_c, h.b AS trend_c
+FROM s JOIN h ON h.nation = s.nation AND h.t = s.t
+JOIN h hp ON hp.nation = s.nation AND hp.t = s.t - 1
+"""
+
+
+@register("q_timeseries_holt_bykey", oracle=_HOLT_BYKEY_ORACLE)
+def q_timeseries_holt_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing PER SERIES — the production shape
+    q_timeseries_holt's docstring promises: one daily-revenue series per
+    supplier nation, every series smoothed in parallel inside
+    ``applyInPandas``, ZERO driver-side data. The recursion body is
+    literally ``_holt_steps`` — the same function the hash-pinned global
+    query runs on the driver — so the per-key form cannot drift from the
+    verified arithmetic contract (truncating division, integer cents;
+    hypothesis-pinned at tests/test_properties.py).
+
+    Scale shape: corpus work is one broadcast-dimension join (supplier +
+    nation never shuffle the fact table) and one combinable
+    groupBy(nation, day) — at 100 TB that is a map-side-partial
+    aggregate down to |keys| x |days| rows. The shuffle that feeds
+    applyInPandas moves only those aggregated rows, grouped by key, and
+    per-key state is O(days): a deployment with thousands of SKU-level
+    series runs the identical plan, one pandas group per series, each a
+    few-thousand-row DataFrame. No window function spans more than one
+    key, so there is no single-partition global sort anywhere.
+
+    Ref: delta_load.py has no time-series analogue; this extends the
+    mandated §2.B statistics family (VERDICT r9 item 1).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        li.select("l_suppkey", "l_shipdate", "l_extendedprice")
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    out_schema = (
+        "nation string, t long, day string, y_c long, fitted_c long, "
+        "resid_c long, level_c long, trend_c long"
+    )
+
+    def smooth(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"]]
+        days = [str(v) for v in pdf["day"]]
+        nation = str(pdf["nation"].iloc[0])
+        cols = [
+            "nation", "t", "day", "y_c", "fitted_c", "resid_c",
+            "level_c", "trend_c",
+        ]
+        rows = [
+            (nation, t, days[t - 1], y, fitted, resid, nl, nb)
+            for (t, y, fitted, resid, nl, nb) in _holt_steps(ys)
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return daily.groupBy("nation").applyInPandas(smooth, out_schema)

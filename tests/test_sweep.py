@@ -205,3 +205,42 @@ def test_holt_degenerate_series_returns_empty(spark, tmp_path):
     ).write.parquet(f"{sf_dir2}/lineitem.parquet")
     rows = q_timeseries_holt(spark, sf_dir2).collect()
     assert len(rows) == 1 and rows[0]["t"] == 2
+
+
+def test_holt_bykey_single_key_equals_global(spark, tmp_path):
+    """On a corpus whose suppliers all live in ONE nation, the per-key
+    applyInPandas form must reproduce the driver recursion exactly
+    (both paths call _holt_steps — this pins the plumbing around it:
+    grouping, day ordering, column mapping)."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_timeseries_holt,
+        q_timeseries_holt_bykey,
+    )
+
+    sf_dir = str(tmp_path / "sf_onekey")
+    rows = [
+        (f"1995-01-{d:02d}", float(100 + 13 * d % 47), 1 + d % 3)
+        for d in range(1, 29)
+        for _ in range(2)
+    ]
+    spark.createDataFrame(
+        rows, "l_shipdate string, l_extendedprice double, l_suppkey int"
+    ).write.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "s_suppkey int, s_nationkey int"
+    ).write.parquet(f"{sf_dir}/supplier.parquet")
+    spark.createDataFrame(
+        [(7, "FRANCE")], "n_nationkey int, n_name string"
+    ).write.parquet(f"{sf_dir}/nation.parquet")
+
+    got = {
+        r["t"]: r
+        for r in q_timeseries_holt_bykey(spark, sf_dir).collect()
+    }
+    want = q_timeseries_holt(spark, sf_dir).collect()
+    assert len(want) == 27 and len(got) == 27
+    for w in want:
+        g = got[w["t"]]
+        assert g["nation"] == "FRANCE"
+        for c in ("day", "y_c", "fitted_c", "resid_c", "level_c", "trend_c"):
+            assert g[c] == w[c], (w["t"], c)
