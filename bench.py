@@ -238,6 +238,7 @@ HEADLINE = (
     "q_timeseries_holt",
     # round-10 additions
     "q_timeseries_holt_bykey",
+    "q_stream_pattern_match",
 )
 
 

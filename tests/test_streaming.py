@@ -503,3 +503,61 @@ def test_hh_stream_restart_exactly_once(spark, tmp_path):
     # per-batch summary invariant: every stored count >= its batch's t
     for _g, _k, cnt, t in clean:
         assert cnt >= t
+
+
+def test_pattern_stream_resume_matches_batch(spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE survives a drain/resume split: the
+    first drain sees only the first half of the time-ordered chunks,
+    the second drain (same checkpoint) the rest — per-user run state
+    must carry across the restart, and the union of the two drains'
+    final rows must equal the batch composition exactly (including
+    matches whose click/view/purchase runs STRADDLE the restart)."""
+    import shutil as _sh
+
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_events_pattern_match,
+    )
+    from end_to_end_aws_data_pipeline_spark.streaming.pattern import (
+        final_matches,
+        run_pattern_stream,
+        staged_time_dir,
+    )
+    from tests.conftest import SF_SMOKE
+
+    full = staged_time_dir(os.path.join(SF_SMOKE, "events.parquet"))
+    chunks = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+    assert len(chunks) == 4
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _arrive(names, t0):
+        for i, f in enumerate(names):
+            dst = os.path.join(staged, f)
+            _sh.copyfile(os.path.join(full, f), dst)
+            os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    _arrive(chunks[:2], 1_000_000)
+    s1 = str(tmp_path / "out_a")
+    run_pattern_stream(spark, staged, s1, ckpt)
+
+    _arrive(chunks[2:], 2_000_000)
+    s2 = str(tmp_path / "out_b")
+    run_pattern_stream(spark, staged, s2, ckpt)
+
+    got = sorted(
+        tuple(r) for r in final_matches(spark, [s1, s2]).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in q_events_pattern_match(spark, SF_SMOKE)
+        .select(
+            "user_id",
+            "n_matches",
+            "views_matched",
+            "longest_view_run",
+            F.col("first_match_start"),
+        )
+        .collect()
+    )
+    assert got == want and len(want) > 0
