@@ -239,6 +239,7 @@ HEADLINE = (
     # round-10 additions
     "q_timeseries_holt_bykey",
     "q_stream_pattern_match",
+    "q_attribution_markov",
 )
 
 

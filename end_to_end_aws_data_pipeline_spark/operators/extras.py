@@ -1925,3 +1925,231 @@ def q_agg_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(p1, 6).alias("p1"),
         z.alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain conversion model)
+# ---------------------------------------------------------------------------
+
+_RMV_K = 12            # absorption-probability iterations (unrolled in oracle)
+_RMV_P0 = 1_000_000    # fixed-point units for transition probabilities
+_RMV_R0 = 1_000_000_000  # fixed-point units for absorption mass
+
+
+def _rmv_oracle() -> str:
+    """Unrolled-CTE replay of the removal-effect computation: journey
+    edges -> fixed-point transition probabilities -> K absorption
+    iterations over EVERY chain variant at once -> removal effects and
+    largest-share credits. Same playbook as _mkv_oracle."""
+    parts = [
+        f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type AS cur,
+         lag(event_type)  OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prv,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), edges0 AS (
+  SELECT '__START__' AS s,
+         CASE WHEN cur = 'purchase' THEN '__CONV__' ELSE cur END AS t
+  FROM seq WHERE prv IS NULL OR prv = 'purchase'
+  UNION ALL
+  SELECT cur AS s,
+         CASE WHEN nxt IS NULL THEN '__NULL__'
+              WHEN nxt = 'purchase' THEN '__CONV__'
+              ELSE nxt END AS t
+  FROM seq WHERE cur <> 'purchase'
+), tm AS MATERIALIZED (
+  SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM edges0 GROUP BY s, t
+), deg AS MATERIALIZED (
+  SELECT s, CAST(sum(n) AS BIGINT) AS d FROM tm GROUP BY s
+), ptm AS MATERIALIZED (
+  SELECT tm.s, tm.t, tm.n * {_RMV_P0} // deg.d AS p
+  FROM tm JOIN deg ON deg.s = tm.s
+), chans AS MATERIALIZED (
+  SELECT s AS c FROM deg WHERE s <> '__START__'
+), ve AS MATERIALIZED (
+  SELECT v, s, t, CAST(sum(p) AS BIGINT) AS p FROM (
+    SELECT '__FULL__' AS v, s, t, p FROM ptm
+    UNION ALL
+    SELECT c.c AS v, ptm.s,
+           CASE WHEN ptm.t = c.c THEN '__NULL__' ELSE ptm.t END AS t,
+           ptm.p
+    FROM ptm CROSS JOIN chans c WHERE ptm.s <> c.c
+  ) GROUP BY v, s, t
+), a0 AS MATERIALIZED (
+  SELECT v, s, CAST(0 AS BIGINT) AS mass FROM ve GROUP BY v, s
+)"""
+    ]
+    prev = "a0"
+    for i in range(1, _RMV_K + 1):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+  SELECT ve.v, ve.s,
+         CAST(sum(ve.p * CASE WHEN ve.t = '__CONV__' THEN {_RMV_R0}
+                              ELSE COALESCE(pa.mass, 0) END)
+              // {_RMV_P0} AS BIGINT) AS mass
+  FROM ve LEFT JOIN {prev} pa ON pa.v = ve.v AND pa.s = ve.t
+  GROUP BY ve.v, ve.s
+)"""
+        )
+        prev = f"a{i}"
+    parts.append(
+        f""", conv AS MATERIALIZED (
+  SELECT v, mass FROM {prev} WHERE s = '__START__'
+), re AS MATERIALIZED (
+  SELECT c.c AS channel,
+         (SELECT mass FROM conv WHERE v = '__FULL__') AS conv_full_fp,
+         COALESCE(r.mass, 0) AS conv_removed_fp,
+         {_RMV_R0} - COALESCE(r.mass, 0) * {_RMV_R0}
+           // (SELECT mass FROM conv WHERE v = '__FULL__') AS removal_fp
+  FROM chans c LEFT JOIN conv r ON r.v = c.c
+)
+SELECT channel, conv_full_fp, conv_removed_fp, removal_fp,
+       CAST(removal_fp * {_RMV_R0}
+            // (SELECT CAST(sum(removal_fp) AS BIGINT) FROM re)
+            AS BIGINT) AS credit_fp
+FROM re"""
+    )
+    return "".join(parts)
+
+
+@register("q_attribution_markov", oracle=_rmv_oracle())
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014's
+    absorbing-chain model, re-derived): user journeys — per-user event
+    sequences split at each purchase — define a first-order chain over
+    __START__ -> channel states -> {{__CONV__, __NULL__}}; a channel's
+    removal effect is how much conversion probability dies when every
+    transition INTO it is redirected to the null absorber, and credit
+    is each channel's share of total removal effect. The model-based
+    complement to q_attribution_linear's positional split.
+
+    Determinism: transition probabilities and absorption masses are
+    fixed-point int64 (P0=1e6, R0=1e9, truncating division), so the
+    K=12 absorption iterations a_{k+1}(s) = sum_t p(s,t)·a_k(t) // P0
+    replay EXACTLY in the oracle's unrolled CTE — the integer-PageRank
+    playbook applied to absorption probabilities instead of stationary
+    mass.
+
+    Scale shape: the ONLY corpus-sized work is the per-user lag/lead
+    window and the edge count (combinable). Everything after — the
+    (channels+1) chain VARIANTS, built in ONE plan via a tiny
+    cross-join, and the K joint iterations over (variant, state) rows
+    — is constant-size algebra regardless of corpus: removing a
+    channel never re-touches the event log, it is a redirect on the
+    counted matrix. All variants iterate together in one DataFrame, so
+    the scheduler cost is K tiny rounds, not K x channels.
+    """
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prv"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    start_edges = seq.filter(
+        F.col("prv").isNull() | (F.col("prv") == "purchase")
+    ).select(
+        F.lit("__START__").alias("s"),
+        F.when(F.col("cur") == "purchase", F.lit("__CONV__"))
+        .otherwise(F.col("cur"))
+        .alias("t"),
+    )
+    chan_edges = seq.filter(F.col("cur") != "purchase").select(
+        F.col("cur").alias("s"),
+        F.when(F.col("nxt").isNull(), F.lit("__NULL__"))
+        .when(F.col("nxt") == "purchase", F.lit("__CONV__"))
+        .otherwise(F.col("nxt"))
+        .alias("t"),
+    )
+    tm = (
+        start_edges.unionByName(chan_edges)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    deg = tm.groupBy("s").agg(F.sum("n").cast("long").alias("d"))
+    ptm = persisted(
+        tm.join(deg, "s").select(
+            "s", "t", F.expr(f"n * {_RMV_P0} div d").alias("p")
+        )
+    )
+    chans = ptm.select(F.col("s").alias("c")).distinct().filter(
+        F.col("c") != "__START__"
+    )
+    full_v = ptm.select(F.lit("__FULL__").alias("v"), "s", "t", "p")
+    removed_v = (
+        ptm.crossJoin(F.broadcast(chans))
+        .filter(F.col("s") != F.col("c"))
+        .select(
+            F.col("c").alias("v"),
+            "s",
+            F.when(F.col("t") == F.col("c"), F.lit("__NULL__"))
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "p",
+        )
+    )
+    ve = persisted(
+        full_v.unionByName(removed_v)
+        .groupBy("v", "s", "t")
+        .agg(F.sum("p").cast("long").alias("p"))
+    )
+    a = ve.groupBy("v", "s").agg(F.lit(0).cast("long").alias("mass"))
+    for _ in range(_RMV_K):
+        pa = a.select(
+            F.col("v").alias("pv"), F.col("s").alias("ps"), "mass"
+        )
+        a = (
+            ve.join(
+                pa,
+                (F.col("v") == F.col("pv")) & (F.col("t") == F.col("ps")),
+                "left",
+            )
+            .groupBy("v", "s")
+            .agg(
+                F.expr(
+                    f"sum(p * CASE WHEN t = '__CONV__' THEN {_RMV_R0}L "
+                    f"ELSE COALESCE(mass, 0L) END) div {_RMV_P0}"
+                )
+                .cast("long")
+                .alias("mass")
+            )
+        )
+    conv = a.filter(F.col("s") == "__START__").select("v", "mass")
+    full_mass = conv.filter(F.col("v") == "__FULL__").select(
+        F.col("mass").alias("conv_full_fp")
+    )
+    re = persisted(
+        chans.join(conv, chans.c == conv.v, "left")
+        .crossJoin(F.broadcast(full_mass))
+        .select(
+            F.col("c").alias("channel"),
+            "conv_full_fp",
+            F.coalesce(F.col("mass"), F.lit(0)).cast("long").alias(
+                "conv_removed_fp"
+            ),
+            (
+                F.lit(_RMV_R0)
+                - F.expr(
+                    f"COALESCE(mass, 0L) * {_RMV_R0}L div conv_full_fp"
+                )
+            )
+            .cast("long")
+            .alias("removal_fp"),
+        )
+    )
+    tot = re.agg(F.sum("removal_fp").cast("long").alias("tot"))
+    return re.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "conv_full_fp",
+        "conv_removed_fp",
+        "removal_fp",
+        F.expr(f"removal_fp * {_RMV_R0}L div tot").cast("long").alias(
+            "credit_fp"
+        ),
+    )

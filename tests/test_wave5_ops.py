@@ -496,3 +496,40 @@ def test_stream_dedup_equals_batch_distinct(spark):
     )
     want = {r["event_type"]: (r["n"], r["ck"]) for r in want_rows}
     assert got == want
+
+
+def test_attribution_markov_semantics(spark, tmp_path):
+    """Hand-built corpus where the model's answer is knowable: every
+    conversion goes through 'click'; 'view' only appears on a
+    non-converting journey. Removing click must kill ALL conversion
+    (removal effect = R0, full credit); removing view must change
+    nothing (removal effect 0, credit 0)."""
+    from end_to_end_aws_data_pipeline_spark.operators.extras import (
+        _RMV_R0,
+        q_attribution_markov,
+    )
+
+    sf_dir = str(tmp_path / "sf_attr")
+    rows = [
+        # user 1: click -> purchase  (converts via click)
+        (1, "2020-01-01 10:00:00", 1, "click"),
+        (1, "2020-01-01 10:01:00", 2, "purchase"),
+        # user 2: view -> end        (never converts)
+        (2, "2020-01-01 11:00:00", 3, "view"),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, event_type string"
+    ).selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id", "event_type"
+    ).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {r["channel"]: r for r in q_attribution_markov(spark, sf_dir).collect()}
+    assert set(got) == {"click", "view"}
+    assert got["click"]["conv_removed_fp"] == 0
+    assert got["click"]["removal_fp"] == _RMV_R0
+    assert got["click"]["credit_fp"] == _RMV_R0
+    assert got["view"]["removal_fp"] == 0
+    assert got["view"]["credit_fp"] == 0
+    # two journeys -> two START edges (click, view), 1/2 each; click
+    # converts with prob 1 -> full-chain conversion = 1/2 exactly
+    assert got["click"]["conv_full_fp"] == _RMV_R0 // 2
