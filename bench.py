@@ -240,6 +240,7 @@ HEADLINE = (
     "q_timeseries_holt_bykey",
     "q_stream_pattern_match",
     "q_attribution_markov",
+    "q_dedup_line_weighting",
 )
 
 

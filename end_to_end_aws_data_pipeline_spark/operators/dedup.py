@@ -2675,3 +2675,117 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate doc-weighting (CCNet-ish SOFT dedup)
+# ---------------------------------------------------------------------------
+
+# planted boilerplate lines (the synthetic corpus has zero exact-dup
+# texts, so without a fixture every line would be unique and every
+# weight 1.0 — vacuous; the plant models the crawl reality CCNet
+# handles: shared footers/banners as whole lines). Deterministic
+# subsets by doc_id, different token masses so mass-weighting shows.
+_BP_FOOT_A = "subscribe to our newsletter for weekly product updates"  # 8 tok
+_BP_FOOT_B = "terms of service and privacy policy"                     # 6 tok
+_BP_MD5_A = "e52fda1587a2ab02d424c5cefac0e4a3"
+_BP_MD5_B = "08cf7e6733016a00a18c35c9e787d45f"
+
+_LINE_WEIGHT_ORACLE = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), body AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(CAST(ceil(len(toks) / {_LINE_W}.0) AS INT), 1)),
+           i -> list_slice(toks, i * {_LINE_W} + 1, i * {_LINE_W} + {_LINE_W})
+         )) AS lt
+  FROM t
+), lines AS MATERIALIZED (
+  SELECT doc_id, md5(array_to_string(lt, ' ')) AS g,
+         CAST(len(lt) AS BIGINT) AS mass
+  FROM body
+  UNION ALL
+  SELECT doc_id, '{_BP_MD5_A}', CAST(8 AS BIGINT) FROM t WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, '{_BP_MD5_B}', CAST(6 AS BIGINT) FROM t WHERE doc_id % 4 = 0
+), df AS MATERIALIZED (
+  SELECT g, count(DISTINCT doc_id) AS df FROM lines GROUP BY g
+)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_lines,
+       CAST(sum(l.mass) AS BIGINT) AS total_toks,
+       CAST(sum(CASE WHEN df.df < 2 THEN l.mass ELSE 0 END) AS BIGINT)
+         AS kept_toks,
+       CAST(sum(CASE WHEN df.df < 2 THEN l.mass ELSE 0 END) * 1000000
+            // CAST(sum(l.mass) AS BIGINT) AS BIGINT) AS weight_fp
+FROM lines l JOIN df USING (g)
+GROUP BY l.doc_id
+"""
+
+
+@register("q_dedup_line_weighting", oracle=_LINE_WEIGHT_ORACLE)
+def q_dedup_line_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-ish SOFT dedup: instead of dropping documents whose lines
+    repeat corpus-wide (q_dedup_lines' hard filter), weight each
+    document by its kept-line TOKEN MASS — the fraction of its tokens
+    living in lines no other document shares. Downstream training
+    pipelines use the weight as a sampling probability, so boilerplate
+    demotes a page without deleting its unique content (Wenzek et al.
+    LREC'20 §4.2's paragraph-dedup, soft-scored).
+
+    The corpus fixture plants two boilerplate lines on deterministic
+    doc subsets (doc_id%3 -> 8-token footer, doc_id%4 -> 6-token
+    footer; %12 gets both) because the synthetic corpus has no exact
+    duplicates at all — the weights are provably non-trivial: planted
+    docs score < 1.0 by exactly their footer mass unless a natural
+    chunk collision also fires, and the two masses differ so the
+    fixed-point weight separates the subsets.
+
+    Scale: identical to q_dedup_lines — 16-byte digests shuffle, text
+    never does; df is one combinable groupBy; the planted lines are
+    literal digests (computed once in Python, not per row). Weight is
+    integer fixed-point (1e6, truncating), replayed exactly.
+    """
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / float(_LINE_W)).cast("int"), F.lit(1)
+    )
+    body_lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * _LINE_W + 1, F.lit(_LINE_W)),
+    )
+    body = d.select("doc_id", F.explode(body_lines).alias("lt")).select(
+        "doc_id",
+        F.md5(F.array_join(F.col("lt"), " ")).alias("g"),
+        F.size("lt").cast("long").alias("mass"),
+    )
+    foot_a = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit(_BP_MD5_A).alias("g"), F.lit(8).cast("long").alias("mass")
+    )
+    foot_b = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.lit(_BP_MD5_B).alias("g"), F.lit(6).cast("long").alias("mass")
+    )
+    lines = body.unionByName(foot_a).unionByName(foot_b)
+    df = lines.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    dup_lines = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    kept_mass = F.sum(F.when(F.col("df") < 2, F.col("mass")).otherwise(0))
+    return (
+        lines.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dup_lines.cast("long").alias("n_dup_lines"),
+            F.sum("mass").cast("long").alias("total_toks"),
+            kept_mass.cast("long").alias("kept_toks"),
+            F.expr(
+                "sum(CASE WHEN df < 2 THEN mass ELSE 0L END) * 1000000L"
+                " div sum(mass)"
+            )
+            .cast("long")
+            .alias("weight_fp"),
+        )
+    )

@@ -977,3 +977,33 @@ def test_gif_container_interlace_and_refusals():
         decode_gif(bytes(plain))
     with _pytest.raises(ValueError, match="magic"):
         decode_gif(b"NOTGIF" + bytes(plain[6:]))
+
+
+def test_line_weighting_fixture_is_nonvacuous(spark):
+    """The planted-boilerplate fixture must make weights provably
+    non-trivial: every planted doc (doc_id%3 or %4) scores < 1.0 by at
+    least its footer mass, and docs carrying BOTH footers score at or
+    below the single-footer ceiling for their size."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_aws_data_pipeline_spark.operators.dedup import (
+        q_dedup_line_weighting,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = q_dedup_line_weighting(spark, SF_SMOKE).cache()
+    planted = (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 4 == 0)
+    n_planted = out.filter(planted).count()
+    assert n_planted > 0
+    assert out.filter(planted & (F.col("weight_fp") >= 1_000_000)).count() == 0
+    # weight == kept/total exactly, in truncating fixed point
+    bad = out.filter(
+        F.col("weight_fp")
+        != F.expr("kept_toks * 1000000L div total_toks")
+    ).count()
+    assert bad == 0
+    # both-footer docs carry >= 14 boilerplate tokens
+    both = out.filter(F.col("doc_id") % 12 == 0)
+    assert both.filter(
+        F.col("total_toks") - F.col("kept_toks") < 14
+    ).count() == 0
