@@ -187,6 +187,7 @@ def pagerank_ranks_deep(
     check_every: int = 2,
     period: int = 2,
     r0: int = _PR_R0,
+    rounds_per_step: int = 2,
 ) -> tuple[DataFrame, int, bool]:
     """Run-to-convergence PageRank with an EXECUTABLE residual stop
     (operators/iterate.run_until_periodic). Integer arithmetic makes
@@ -218,7 +219,17 @@ def pagerank_ranks_deep(
     ``check_every`` rounds; lineage truncates on the measured
     checkpoint-every-3 policy (SCALING.md: uncheckpointed depth-20
     OOMs the driver in explainString before any task runs). Measured
-    stop rounds per scale live in SCALING.md §round-9."""
+    stop rounds per scale live in SCALING.md §round-9.
+
+    ``rounds_per_step=2`` (the default, round-10 A/B): each runner
+    step nests TWO contribution joins into one plan, halving the
+    eager checkpoint actions and per-step scheduler round-trips while
+    the probe cadence is rescaled to the identical every-2-rounds
+    parity — measured 59.7/66.6 s -> 38.5/48.9 s (~30%) for the full
+    122-round sf0.01 convergence run with a bit-identical final
+    vector and the same detected stop round. rounds_per_step must
+    divide both ``period`` and ``check_every`` so detection semantics
+    cannot drift; returned rounds are real rank updates, not steps."""
     from end_to_end_aws_data_pipeline_spark.operators.iterate import (
         run_until_periodic,
     )
@@ -235,33 +246,51 @@ def pagerank_ranks_deep(
     )
     rounds = {"i": 0}
 
-    def step(ranks: DataFrame) -> DataFrame:
-        rounds["i"] += 1
+    def one_round(ranks: DataFrame) -> DataFrame:
         contrib = (
             edges_d.join(ranks, edges_d["src"] == ranks["node"])
             .select("dst", F.expr("rank div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        nxt = contrib.select(
+        return contrib.select(
             F.col("dst").alias("node"),
             (F.lit(teleport) + F.expr("(85 * contrib) div 100"))
             .cast("long")
             .alias("rank"),
         )
+
+    def step(ranks: DataFrame) -> DataFrame:
+        rounds["i"] += 1
+        nxt = ranks
+        # rounds_per_step > 1 nests that many contribution joins into
+        # ONE step plan (no persist between them) — fewer probe/
+        # checkpoint actions per round of real work; the probe cadence
+        # below is rescaled so detection parity is unchanged
+        for _ in range(rounds_per_step):
+            nxt = one_round(nxt)
         if rounds["i"] % checkpoint_every == 0:
             return nxt.localCheckpoint(eager=True)
         return persisted(nxt)
 
-    return run_until_periodic(
+    # translate round-denominated cadences into step units; the orbit
+    # probe must still compare states exactly `period` ROUNDS apart, so
+    # rounds_per_step must divide period (2 rounds/step probes the
+    # period-2 orbit with a period-1 step comparison at equal parity)
+    if period % rounds_per_step or check_every % rounds_per_step:
+        raise ValueError(
+            "rounds_per_step must divide period and check_every"
+        )
+    ranks, steps_run, converged = run_until_periodic(
         ranks0,
         step,
-        max_rounds=max_rounds,
-        period=period,
+        max_rounds=max_rounds // rounds_per_step,
+        period=period // rounds_per_step,
         key="node",
         val="rank",
-        check_every=check_every,
+        check_every=check_every // rounds_per_step,
     )
+    return ranks, steps_run * rounds_per_step, converged
 
 
 @register("q_graph_pagerank", oracle=_pr_oracle())

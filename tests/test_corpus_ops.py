@@ -796,3 +796,25 @@ def test_vectors_differ_keys_shrink(spark):
     assert not vectors_differ(
         after, after.select("src", "d"), key="src", val="d", keys_shrink=True
     )
+
+
+def test_pagerank_deep_round_batching_invariant(spark):
+    """rounds_per_step=2 (the round-10 scheduler-batching default) must
+    reproduce the unbatched runner exactly: same final vector, same
+    detected stop round — batching is a scheduling change, never an
+    arithmetic one."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        pagerank_ranks_deep,
+    )
+    from tests.conftest import SF_SMOKE
+
+    f1, r1, c1 = pagerank_ranks_deep(
+        spark, SF_SMOKE, r0=20, max_rounds=30, rounds_per_step=1
+    )
+    f2, r2, c2 = pagerank_ranks_deep(
+        spark, SF_SMOKE, r0=20, max_rounds=30, rounds_per_step=2
+    )
+    assert c1 and c2 and r1 == r2 == 6
+    rows1 = sorted((r["node"], r["rank"]) for r in f1.collect())
+    rows2 = sorted((r["node"], r["rank"]) for r in f2.collect())
+    assert rows1 == rows2
