@@ -2034,15 +2034,18 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass.
 
     Scale shape: the ONLY corpus-sized work is the per-user lag/lead
-    window and the edge count (combinable). Everything after — the
-    (channels+1) chain VARIANTS, built in ONE plan via a tiny
-    cross-join, and the K joint iterations over (variant, state) rows
-    — is constant-size algebra regardless of corpus: removing a
-    channel never re-touches the event log, it is a redirect on the
-    counted matrix. All variants iterate together in one DataFrame, so
-    the scheduler cost is K tiny rounds, not K x channels.
+    window and the edge count (combinable); removing a channel never
+    re-touches the event log, it is a redirect on the counted matrix.
+    The matrix itself is |event types|^2 rows — the Holt/KLL
+    tiny-relation regime — so the (channels+1) variants and their K
+    absorption iterations run as exact Python ints on the DRIVER after
+    one bounded collect: a first cut kept the iteration distributed
+    (12 joint joins over (variant, state) rows) and measured 11-13 s
+    of pure scheduler overhead at EVERY sf (flat from sf0.1 to sf1 —
+    the signature of tiny-relation algebra as Spark jobs); the
+    driver-side form is the established precedent for
+    calendar/vocabulary-bounded state.
     """
-    from end_to_end_aws_data_pipeline_spark.cache import persisted
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
@@ -2072,84 +2075,48 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    deg = tm.groupBy("s").agg(F.sum("n").cast("long").alias("d"))
-    ptm = persisted(
-        tm.join(deg, "s").select(
-            "s", "t", F.expr(f"n * {_RMV_P0} div d").alias("p")
-        )
-    )
-    chans = ptm.select(F.col("s").alias("c")).distinct().filter(
-        F.col("c") != "__START__"
-    )
-    full_v = ptm.select(F.lit("__FULL__").alias("v"), "s", "t", "p")
-    removed_v = (
-        ptm.crossJoin(F.broadcast(chans))
-        .filter(F.col("s") != F.col("c"))
-        .select(
-            F.col("c").alias("v"),
-            "s",
-            F.when(F.col("t") == F.col("c"), F.lit("__NULL__"))
-            .otherwise(F.col("t"))
-            .alias("t"),
-            "p",
-        )
-    )
-    ve = persisted(
-        full_v.unionByName(removed_v)
-        .groupBy("v", "s", "t")
-        .agg(F.sum("p").cast("long").alias("p"))
-    )
-    a = ve.groupBy("v", "s").agg(F.lit(0).cast("long").alias("mass"))
-    for _ in range(_RMV_K):
-        pa = a.select(
-            F.col("v").alias("pv"), F.col("s").alias("ps"), "mass"
-        )
-        a = (
-            ve.join(
-                pa,
-                (F.col("v") == F.col("pv")) & (F.col("t") == F.col("ps")),
-                "left",
-            )
-            .groupBy("v", "s")
-            .agg(
-                F.expr(
-                    f"sum(p * CASE WHEN t = '__CONV__' THEN {_RMV_R0}L "
-                    f"ELSE COALESCE(mass, 0L) END) div {_RMV_P0}"
+    edges = [
+        (r["s"], r["t"], int(r["n"])) for r in tm.collect()
+    ]  # bounded: |event types + 1| x |event types + 2| rows
+    deg: dict[str, int] = {}
+    for s, _t, n in edges:
+        deg[s] = deg.get(s, 0) + n
+    ptm = [(s, t, n * _RMV_P0 // deg[s]) for s, t, n in edges]
+    chans = sorted({s for s, _, _ in ptm if s != "__START__"})
+
+    def variant(removed: str | None) -> dict[str, list[tuple[str, int]]]:
+        agg: dict[tuple[str, str], int] = {}
+        for s, t, pr in ptm:
+            if s == removed:
+                continue
+            t2 = "__NULL__" if t == removed else t
+            agg[(s, t2)] = agg.get((s, t2), 0) + pr
+        by_src: dict[str, list[tuple[str, int]]] = {}
+        for (s, t2), pr in agg.items():
+            by_src.setdefault(s, []).append((t2, pr))
+        return by_src
+
+    def absorb(by_src: dict[str, list[tuple[str, int]]]) -> int:
+        a = {s: 0 for s in by_src}
+        for _ in range(_RMV_K):
+            a = {
+                s: sum(
+                    pr * (_RMV_R0 if t == "__CONV__" else a.get(t, 0))
+                    for t, pr in lst
                 )
-                .cast("long")
-                .alias("mass")
-            )
-        )
-    conv = a.filter(F.col("s") == "__START__").select("v", "mass")
-    full_mass = conv.filter(F.col("v") == "__FULL__").select(
-        F.col("mass").alias("conv_full_fp")
-    )
-    re = persisted(
-        chans.join(conv, chans.c == conv.v, "left")
-        .crossJoin(F.broadcast(full_mass))
-        .select(
-            F.col("c").alias("channel"),
-            "conv_full_fp",
-            F.coalesce(F.col("mass"), F.lit(0)).cast("long").alias(
-                "conv_removed_fp"
-            ),
-            (
-                F.lit(_RMV_R0)
-                - F.expr(
-                    f"COALESCE(mass, 0L) * {_RMV_R0}L div conv_full_fp"
-                )
-            )
-            .cast("long")
-            .alias("removal_fp"),
-        )
-    )
-    tot = re.agg(F.sum("removal_fp").cast("long").alias("tot"))
-    return re.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        "conv_full_fp",
-        "conv_removed_fp",
-        "removal_fp",
-        F.expr(f"removal_fp * {_RMV_R0}L div tot").cast("long").alias(
-            "credit_fp"
-        ),
+                // _RMV_P0
+                for s, lst in by_src.items()
+            }
+        return a["__START__"]
+
+    conv_full = absorb(variant(None))
+    rows = []
+    for c in chans:
+        cr = absorb(variant(c))
+        rows.append((c, conv_full, cr, _RMV_R0 - cr * _RMV_R0 // conv_full))
+    tot = sum(r[3] for r in rows)
+    return spark.createDataFrame(
+        [(c, f_, cr, rm, rm * _RMV_R0 // tot) for c, f_, cr, rm in rows],
+        "channel string, conv_full_fp long, conv_removed_fp long, "
+        "removal_fp long, credit_fp long",
     )
