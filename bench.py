@@ -236,9 +236,14 @@ HEADLINE = (
     "q_stream_heavy_hitters",
     "q_etl_mv_join_delta",
     "q_timeseries_holt",
-    # round-10 additions
+    # round-10 additions. The applyInPandasWithState pattern stream
+    # (q_stream_pattern_match) is registered + gate-verified but NOT
+    # benched — its cost is linear in key count (per-key Python calls;
+    # 18.2 s sf0.1, 142 s sf1), the same reason
+    # q_stream_stateful_user_aggs sits outside the basket; the JVM-RLE
+    # scale path below is the benched form (decade-flat).
     "q_timeseries_holt_bykey",
-    "q_stream_pattern_match",
+    "q_stream_pattern_match_rle",
     "q_attribution_markov",
     "q_dedup_line_weighting",
 )

@@ -561,3 +561,53 @@ def test_pattern_stream_resume_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_pattern_rle_restart_and_equivalence(spark, tmp_path):
+    """The JVM-RLE pattern stream must (a) equal the batch composition
+    on a clean drain, and (b) survive a mid-stream kill after 2 of 4
+    batches + checkpoint resume with the identical final state — the
+    batch-id-keyed snapshot makes a replayed batch rewrite its
+    predecessor-derived state byte-identically."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_events_pattern_match,
+    )
+    from end_to_end_aws_data_pipeline_spark.streaming.pattern import (
+        rle_final_matches,
+        run_pattern_stream_rle,
+        staged_time_dir,
+    )
+    from tests.conftest import SF_SMOKE
+
+    staged = staged_time_dir(os.path.join(SF_SMOKE, "events.parquet"))
+
+    want = sorted(
+        tuple(r)
+        for r in q_events_pattern_match(spark, SF_SMOKE)
+        .select(
+            "user_id",
+            "n_matches",
+            "views_matched",
+            "longest_view_run",
+            "first_match_start",
+        )
+        .collect()
+    )
+    assert len(want) > 0
+
+    clean_store = str(tmp_path / "clean")
+    run_pattern_stream_rle(spark, staged, clean_store)
+    got_clean = sorted(
+        tuple(r) for r in rle_final_matches(spark, clean_store).collect()
+    )
+    assert got_clean == want
+
+    store2, ck2 = str(tmp_path / "killed"), str(tmp_path / "ck2")
+    run_pattern_stream_rle(spark, staged, store2, ck2, stop_after_batches=2)
+    done_mid = {int(d[1:]) for d in os.listdir(store2) if d.startswith("b")}
+    assert 0 < len(done_mid) <= 3  # genuinely interrupted mid-stream
+    run_pattern_stream_rle(spark, staged, store2, ck2)  # resume
+    got_resumed = sorted(
+        tuple(r) for r in rle_final_matches(spark, store2).collect()
+    )
+    assert got_resumed == want
