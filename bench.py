@@ -246,6 +246,7 @@ HEADLINE = (
     "q_stream_pattern_match_rle",
     "q_attribution_markov",
     "q_dedup_line_weighting",
+    "q_timeseries_holt_winters",
 )
 
 

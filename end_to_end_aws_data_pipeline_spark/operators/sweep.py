@@ -2537,3 +2537,144 @@ def q_timeseries_holt_bykey(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(rows, columns=cols)
 
     return daily.groupBy("nation").applyInPandas(smooth, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (triple exponential, m=7)
+# ---------------------------------------------------------------------------
+
+# alpha=3/10, beta=1/10, gamma=2/10 as exact integer fractions; all
+# divisions truncate on both engines (the Holt contract, extended with
+# a third coupled state: a rolling 7-slot day-of-week seasonal vector)
+_HW_M = 7
+
+_HW_ORACLE = f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), s AS MATERIALIZED (
+  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM d
+), init AS MATERIALIZED (
+  SELECT (SELECT CAST(sum(y) AS BIGINT) FROM s WHERE t <= {_HW_M})
+           // {_HW_M} AS l0,
+         ((SELECT CAST(sum(y) AS BIGINT) FROM s
+           WHERE t > {_HW_M} AND t <= {2 * _HW_M}) // {_HW_M}
+          - (SELECT CAST(sum(y) AS BIGINT) FROM s WHERE t <= {_HW_M})
+            // {_HW_M}) // {_HW_M} AS b0,
+         (SELECT list(y - (SELECT CAST(sum(y) AS BIGINT) FROM s
+                           WHERE t <= {_HW_M}) // {_HW_M} ORDER BY t)
+          FROM s WHERE t <= {_HW_M}) AS sv0
+), h AS (
+  SELECT CAST({_HW_M} AS BIGINT) AS t, l0 AS l, b0 AS b, sv0 AS sv
+  FROM init WHERE (SELECT max(t) FROM s) >= {2 * _HW_M}
+  UNION ALL
+  SELECT s.t,
+         (3 * (s.y - h.sv[1]) + 7 * (h.l + h.b)) // 10,
+         ((3 * (s.y - h.sv[1]) + 7 * (h.l + h.b)) // 10 - h.l + 9 * h.b)
+           // 10,
+         list_append(h.sv[2:{_HW_M}],
+           (2 * (s.y - (3 * (s.y - h.sv[1]) + 7 * (h.l + h.b)) // 10)
+            + 8 * h.sv[1]) // 10)
+  FROM h JOIN s ON s.t = h.t + 1
+)
+SELECT s.t, CAST(s.day AS VARCHAR) AS day, s.y AS y_c,
+       hp.l + hp.b + hp.sv[1] AS fitted_c,
+       s.y - hp.l - hp.b - hp.sv[1] AS resid_c,
+       h.l AS level_c, h.b AS trend_c, h.sv[{_HW_M}] AS seasonal_c
+FROM s JOIN h ON h.t = s.t JOIN h hp ON hp.t = s.t - 1
+"""
+
+
+def _hw_steps(
+    ys: list[int],
+) -> list[tuple[int, int, int, int, int, int, int]]:
+    """The Holt-Winters recursion: returns one row per step t > 2m
+    ... t in [m+1, n]: (t, y, fitted, resid, level, trend, seasonal).
+    Empty when fewer than 2 seasons exist (initialization needs two
+    full weeks). All arithmetic is the Holt integer-cent contract plus
+    the rolling seasonal slot s_t = (2(y_t - l_t) + 8 s_{t-m}) tdiv 10;
+    fitted_t = l_{t-1} + b_{t-1} + s_{t-m}."""
+    m = _HW_M
+    if len(ys) < 2 * m:
+        return []
+    l0 = _tdiv(sum(ys[:m]), m)
+    b0 = _tdiv(_tdiv(sum(ys[m : 2 * m]), m) - l0, m)
+    sv = [y - l0 for y in ys[:m]]  # s_1..s_m, oldest first
+    lvl, tr = l0, b0
+    out = []
+    for t in range(m + 1, len(ys) + 1):
+        y = ys[t - 1]
+        stm = sv[0]
+        fitted = lvl + tr + stm
+        nl = _tdiv(3 * (y - stm) + 7 * (lvl + tr), 10)
+        nb = _tdiv(nl - lvl + 9 * tr, 10)
+        ns = _tdiv(2 * (y - nl) + 8 * stm, 10)
+        out.append((t, y, fitted, y - fitted, nl, nb, ns))
+        sv = sv[1:] + [ns]
+        lvl, tr = nl, nb
+    return out
+
+
+@register("q_timeseries_holt_winters", oracle=_HW_ORACLE)
+def q_timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (triple exponential,
+    Winters 1960) over the daily-revenue series with a day-of-week
+    season (m=7): THREE coupled integer recursions — level, trend, and
+    a rolling 7-slot seasonal vector —
+    l_t = α(y_t − s_{{t−m}}) + (1−α)(l_{{t−1}}+b_{{t−1}}),
+    b_t = β(l_t − l_{{t−1}}) + (1−β)b_{{t−1}},
+    s_t = γ(y_t − l_t) + (1−γ)s_{{t−m}}, α,β,γ = 3/10, 1/10, 2/10,
+    publishing every day's seasonal one-step forecast
+    l+b+s_{{t−m}}, residual, and all three states. Initialization is
+    deterministic (first-week mean level, week-over-week per-day
+    trend, first-week deviations as the seasonal vector) and the
+    operator publishes nothing below two full seasons — the oracle's
+    anchor carries the same guard.
+
+    The DuckDB oracle replays the recursion as a RECURSIVE CTE whose
+    working row carries the seasonal vector AS A LIST (sliced and
+    re-appended each step), so hash equality pins all ~2.5k steps of
+    all three states — the Holt verification strategy extended to
+    vector-valued recursion state. Division truncates on both engines
+    (the pinned _tdiv contract; seasonal deviations go negative, where
+    Python's flooring // would drift).
+
+    Scale shape: identical to q_timeseries_holt — the only
+    corpus-sized work is the combinable day groupBy; the recursion is
+    O(days) driver-side with O(m) state (the tiny-relation precedent),
+    and the per-key generalization is exactly
+    q_timeseries_holt_bykey's applyInPandas lift with sv in the pandas
+    state.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .collect()
+    )
+    daily.sort(key=lambda r: r["day"])
+    ys = [int(r["y"]) for r in daily]
+    days = [str(r["day"]) for r in daily]
+    schema = (
+        "t long, day string, y_c long, fitted_c long, resid_c long, "
+        "level_c long, trend_c long, seasonal_c long"
+    )
+    steps = _hw_steps(ys)
+    if not steps:
+        return spark.createDataFrame([], schema)
+    out = [
+        (t, days[t - 1], y, fitted, resid, nl, nb, ns)
+        for (t, y, fitted, resid, nl, nb, ns) in steps
+    ]
+    return spark.createDataFrame(out, schema)

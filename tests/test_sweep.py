@@ -244,3 +244,46 @@ def test_holt_bykey_single_key_equals_global(spark, tmp_path):
         assert g["nation"] == "FRANCE"
         for c in ("day", "y_c", "fitted_c", "resid_c", "level_c", "trend_c"):
             assert g[c] == w[c], (w["t"], c)
+
+
+def test_holt_winters_guard_and_first_step(spark, tmp_path):
+    """Below two full seasons the operator publishes nothing (matching
+    the oracle's anchor guard); at exactly two weeks it publishes
+    t=8..14 and the first step's arithmetic is hand-checkable from the
+    deterministic initialization."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _hw_steps,
+        _tdiv,
+        q_timeseries_holt_winters,
+    )
+
+    # 13 days -> empty
+    sf_a = str(tmp_path / "sf13")
+    rows = [(f"1995-01-{d:02d}", float(d)) for d in range(1, 14)]
+    spark.createDataFrame(
+        rows, "l_shipdate string, l_extendedprice double"
+    ).write.parquet(f"{sf_a}/lineitem.parquet")
+    assert q_timeseries_holt_winters(spark, sf_a).count() == 0
+
+    # 14 days -> 7 published steps, t = 8..14
+    sf_b = str(tmp_path / "sf14")
+    rows = [(f"1995-01-{d:02d}", float(10 * d)) for d in range(1, 15)]
+    spark.createDataFrame(
+        rows, "l_shipdate string, l_extendedprice double"
+    ).write.parquet(f"{sf_b}/lineitem.parquet")
+    got = {r["t"]: r for r in q_timeseries_holt_winters(spark, sf_b).collect()}
+    assert sorted(got) == list(range(8, 15))
+
+    ys = [1000 * d for d in range(1, 15)]
+    l0 = _tdiv(sum(ys[:7]), 7)          # 4000
+    b0 = _tdiv(_tdiv(sum(ys[7:14]), 7) - l0, 7)  # (11000-4000)//7 = 1000
+    s1 = ys[0] - l0                     # -3000
+    fitted8 = l0 + b0 + s1
+    assert got[8]["fitted_c"] == fitted8
+    assert got[8]["y_c"] == 8000
+    nl = _tdiv(3 * (8000 - s1) + 7 * (l0 + b0), 10)
+    assert got[8]["level_c"] == nl
+    assert got[8]["seasonal_c"] == _tdiv(2 * (8000 - nl) + 8 * s1, 10)
+
+    # pure-Python helper agrees with the published frame end-to-end
+    assert len(_hw_steps(ys)) == 7
