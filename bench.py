@@ -247,6 +247,7 @@ HEADLINE = (
     "q_attribution_markov",
     "q_dedup_line_weighting",
     "q_timeseries_holt_winters",
+    "q_timeseries_holt_winters_bykey",
 )
 
 

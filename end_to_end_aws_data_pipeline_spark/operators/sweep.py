@@ -2678,3 +2678,127 @@ def q_timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for (t, y, fitted, resid, nl, nb, ns) in steps
     ]
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Per-key Holt-Winters: seasonal smoothing for every series in parallel
+# ---------------------------------------------------------------------------
+
+_HW_BYKEY_ORACLE = f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT n.n_name AS nation, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem l
+  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+  JOIN nation n ON su.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), s AS MATERIALIZED (
+  SELECT nation, day, y,
+         CAST(row_number() OVER (PARTITION BY nation ORDER BY day)
+              AS BIGINT) AS t
+  FROM d
+), init AS MATERIALIZED (
+  SELECT w1.nation,
+         w1.sy // {_HW_M} AS l0,
+         (w2.sy // {_HW_M} - w1.sy // {_HW_M}) // {_HW_M} AS b0,
+         w1.sv AS yv1
+  FROM (SELECT nation, CAST(sum(y) AS BIGINT) AS sy,
+               list(y ORDER BY t) AS sv
+        FROM s WHERE t <= {_HW_M} GROUP BY nation) w1
+  JOIN (SELECT nation, CAST(sum(y) AS BIGINT) AS sy
+        FROM s WHERE t > {_HW_M} AND t <= {2 * _HW_M}
+        GROUP BY nation
+        HAVING count(*) = {_HW_M}) w2
+    ON w2.nation = w1.nation
+  JOIN (SELECT nation FROM s GROUP BY nation
+        HAVING max(t) >= {2 * _HW_M}) ok
+    ON ok.nation = w1.nation
+), h AS (
+  SELECT nation, CAST({_HW_M} AS BIGINT) AS t, l0 AS l, b0 AS b,
+         list_transform(yv1, v -> v - l0) AS sv
+  FROM init
+  UNION ALL
+  SELECT s.nation, s.t,
+         (3 * (s.y - h.sv[1]) + 7 * (h.l + h.b)) // 10,
+         ((3 * (s.y - h.sv[1]) + 7 * (h.l + h.b)) // 10 - h.l + 9 * h.b)
+           // 10,
+         list_append(h.sv[2:{_HW_M}],
+           (2 * (s.y - (3 * (s.y - h.sv[1]) + 7 * (h.l + h.b)) // 10)
+            + 8 * h.sv[1]) // 10)
+  FROM h JOIN s ON s.nation = h.nation AND s.t = h.t + 1
+)
+SELECT s.nation, s.t, CAST(s.day AS VARCHAR) AS day, s.y AS y_c,
+       hp.l + hp.b + hp.sv[1] AS fitted_c,
+       s.y - hp.l - hp.b - hp.sv[1] AS resid_c,
+       h.l AS level_c, h.b AS trend_c, h.sv[{_HW_M}] AS seasonal_c
+FROM s
+JOIN h ON h.nation = s.nation AND h.t = s.t
+JOIN h hp ON hp.nation = s.nation AND hp.t = s.t - 1
+"""
+
+
+@register("q_timeseries_holt_winters_bykey", oracle=_HW_BYKEY_ORACLE)
+def q_timeseries_holt_winters_bykey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters seasonal smoothing PER SERIES: one daily-revenue
+    series per supplier nation, every series triple-smoothed in
+    parallel inside applyInPandas — completing the smoothing-family
+    square (global/per-key x Holt/Holt-Winters). The recursion body is
+    ``_hw_steps`` verbatim (shared with the hash-pinned global query),
+    and the per-key oracle adds PARTITION BY to the list-state
+    recursive CTE; the two-full-seasons guard holds per key (nations
+    with <14 days publish nothing — enforced by the oracle's HAVING
+    count(*) = m on week 2, which also matches _hw_steps' len < 2m
+    early return).
+
+    Scale shape: identical to q_timeseries_holt_bykey — broadcast
+    dimension joins (the fact table never shuffles for them), one
+    combinable (nation, day) aggregate, one shuffle to group series,
+    O(days + m) state per pandas group, no corpus-global windows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        li.select("l_suppkey", "l_shipdate", "l_extendedprice")
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    out_schema = (
+        "nation string, t long, day string, y_c long, fitted_c long, "
+        "resid_c long, level_c long, trend_c long, seasonal_c long"
+    )
+
+    def smooth(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"]]
+        days = [str(v) for v in pdf["day"]]
+        nation = str(pdf["nation"].iloc[0])
+        cols = [
+            "nation", "t", "day", "y_c", "fitted_c", "resid_c",
+            "level_c", "trend_c", "seasonal_c",
+        ]
+        rows = [
+            (nation, t, days[t - 1], y, fitted, resid, nl, nb, ns)
+            for (t, y, fitted, resid, nl, nb, ns) in _hw_steps(ys)
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return daily.groupBy("nation").applyInPandas(smooth, out_schema)
