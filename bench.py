@@ -402,10 +402,35 @@ def main() -> None:
     if errors:
         record["errors"] = errors
     # full per-query detail always lands in a file next to bench.py ...
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "bench_detail.json")
     with open(detail_path, "w") as fh:
         json.dump(record, fh, indent=1)
+    # ... AND every full-suite run archives its own immutable copy under
+    # bench_runs/ (run-numbered, never overwritten).  The round-10 record
+    # run lost its per-query detail because the next run clobbered
+    # bench_detail.json before anyone copied it aside; a process rule was
+    # written and promptly proved insufficient — rules decay, code
+    # doesn't.  Subset runs (SPARK_GRAFT_BENCH_ONLY) are exploratory and
+    # skip the archive to keep it a registry of citable full runs.
+    if not only:
+        runs_dir = os.path.join(repo_dir, "bench_runs")
+        os.makedirs(runs_dir, exist_ok=True)
+        seq = 1 + max(
+            (
+                int(m.group(1))
+                for f in os.listdir(runs_dir)
+                if (m := re.match(r"detail_run(\d+)_", f))
+            ),
+            default=0,
+        )
+        sf_tag = str(sf).replace(".", "p") if sf is not None else "unknown"
+        run_path = os.path.join(
+            runs_dir, f"detail_run{seq:04d}_sf{sf_tag}.json"
+        )
+        with open(run_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"bench: archived {run_path}", file=sys.stderr)
     # ... while the one stdout line must fit the driver's 2000-char tail
     # capture window (BENCH_r05 clipped a 112-query line mid-JSON and lost
     # the headline).  If the full map overflows the budget, keep only the
