@@ -2010,8 +2010,14 @@ SELECT channel, conv_full_fp, conv_removed_fp, removal_fp,
        CAST(removal_fp * {_RMV_R0}
             // (SELECT CAST(sum(removal_fp) AS BIGINT) FROM re)
             AS BIGINT) AS credit_fp
-FROM re"""
+FROM re
+WHERE conv_full_fp > 0
+  AND (SELECT sum(removal_fp) FROM re) > 0"""
     )
+    # the WHERE guard matches the engine's degenerate-input contract:
+    # zero conversions (conv_full_fp = 0 -> NULL divisions) or a zero
+    # total removal effect yield an EMPTY result on both sides instead
+    # of a crash/NULL divergence
     return "".join(parts)
 
 
@@ -2075,9 +2081,18 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    _RMV_SCHEMA = (
+        "channel string, conv_full_fp long, conv_removed_fp long, "
+        "removal_fp long, credit_fp long"
+    )
     edges = [
         (r["s"], r["t"], int(r["n"])) for r in tm.collect()
     ]  # bounded: |event types + 1| x |event types + 2| rows
+    if not edges:
+        # degenerate input (empty events): no chain to absorb over —
+        # return the declared-empty shape; the oracle's final WHERE
+        # guard agrees (see _rmv_oracle)
+        return spark.createDataFrame([], _RMV_SCHEMA)
     deg: dict[str, int] = {}
     for s, _t, n in edges:
         deg[s] = deg.get(s, 0) + n
@@ -2110,13 +2125,21 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         return a["__START__"]
 
     conv_full = absorb(variant(None))
+    if conv_full == 0:
+        # zero conversions in the full chain: removal effects are
+        # undefined (division by zero on both engines) — empty result,
+        # mirrored by the oracle's conv_full_fp > 0 guard
+        return spark.createDataFrame([], _RMV_SCHEMA)
     rows = []
     for c in chans:
         cr = absorb(variant(c))
         rows.append((c, conv_full, cr, _RMV_R0 - cr * _RMV_R0 // conv_full))
     tot = sum(r[3] for r in rows)
+    if tot == 0:
+        # every removal left conversion untouched: credit shares are
+        # 0/0 — same empty-result contract as the oracle's sum guard
+        return spark.createDataFrame([], _RMV_SCHEMA)
     return spark.createDataFrame(
         [(c, f_, cr, rm, rm * _RMV_R0 // tot) for c, f_, cr, rm in rows],
-        "channel string, conv_full_fp long, conv_removed_fp long, "
-        "removal_fp long, credit_fp long",
+        _RMV_SCHEMA,
     )

@@ -269,6 +269,13 @@ def pagerank_ranks_deep(
         # below is rescaled so detection parity is unchanged
         for _ in range(rounds_per_step):
             nxt = one_round(nxt)
+        # checkpoint cadence is denominated in STEPS: with the default
+        # rounds_per_step=2 the effective truncation interval is
+        # checkpoint_every x rounds_per_step = 6 ROUNDS of 2-deep
+        # nested plans between eager checkpoints — a deliberate trade
+        # (fewer eager actions is where the ~30% batching win comes
+        # from); lineage depth stays bounded and SCALING.md carries
+        # the measurement
         if rounds["i"] % checkpoint_every == 0:
             return nxt.localCheckpoint(eager=True)
         return persisted(nxt)
@@ -277,9 +284,16 @@ def pagerank_ranks_deep(
     # probe must still compare states exactly `period` ROUNDS apart, so
     # rounds_per_step must divide period (2 rounds/step probes the
     # period-2 orbit with a period-1 step comparison at equal parity)
-    if period % rounds_per_step or check_every % rounds_per_step:
+    # max_rounds included: floor division would otherwise SILENTLY
+    # shrink an odd round budget (max_rounds=149 ran 148 rounds)
+    if (
+        period % rounds_per_step
+        or check_every % rounds_per_step
+        or max_rounds % rounds_per_step
+    ):
         raise ValueError(
-            "rounds_per_step must divide period and check_every"
+            "rounds_per_step must divide period, check_every and "
+            "max_rounds"
         )
     ranks, steps_run, converged = run_until_periodic(
         ranks0,
@@ -1265,4 +1279,256 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").bitwiseAND((1 << 32) - 1).alias("cust_b"),
         "ra_ppm",
         "n_common",
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperANF: the neighborhood function N(k) via per-node HLL registers
+# ---------------------------------------------------------------------------
+
+# Boldi–Vigna HyperANF (WWW'11): B(v, k+1) = B(v,k) ∪ ⋃_{(v,w)∈E} B(w,k),
+# each ball approximated by an HLL counter so the union is a register-wise
+# MAX — one edge join + one aggregate per round, never a frontier BFS.
+# m = 64 registers/node: per-node error ~13%, but N(k) SUMS |nodes|
+# independent estimates, so the aggregate concentrates far tighter — and
+# small m is what makes the per-round shuffle (edges x 64-int array)
+# affordable at 100 TB, exactly B&V's sizing argument.
+_HA_P = 6
+_HA_M = 1 << _HA_P
+_HA_WBITS = 56          # md5 hex chars 3..16 -> 56-bit register payload
+_HA_CAP = 48            # same rho cap as q_agg_hll_distinct: int64-safe sums
+_HA_K = 4               # fixed rounds (oracle unrolls them); the deep
+                        # variant runs to the register fixpoint instead
+# alpha_64 = 0.709 (Flajolet et al., AofA'07, small-m table), times
+# m^2 * 2^cap — precomputed in Python and injected as ONE double literal
+# into both engines (the q_agg_hll_distinct determinism recipe)
+_HA_NUM = 0.709 * _HA_M * _HA_M * float(1 << _HA_CAP)
+import math as _ha_math
+
+_HA_LNTAB = [_ha_math.log(_HA_M / v) for v in range(1, _HA_M + 1)]
+_HA_LNTAB_SQL = "[" + ", ".join(repr(x) for x in _HA_LNTAB) + "]"
+
+
+def _ha_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(edges-with-self-loops, initial sketches): the pagerank purchase
+    graph symmetrized, plus (v,v) loops so a node's own ball carries
+    through the max-merge without a separate union branch."""
+    fwd = _purchase_fwd(spark, sf_dir)
+    edges0 = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = persisted(edges0.select(F.col("src").alias("node")).distinct())
+    edges = persisted(
+        edges0.unionAll(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+    )
+    hx = F.md5(F.col("node").cast("string"))
+    bucket = F.pmod(
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long"), F.lit(_HA_M)
+    )
+    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
+    rho = F.least(
+        F.when(w == F.lit(0), F.lit(_HA_WBITS + 1)).otherwise(
+            F.lit(_HA_WBITS + 1) - F.length(F.bin(w))
+        ),
+        F.lit(_HA_CAP),
+    ).cast("int")
+    sk0 = persisted(
+        nodes.select(
+            "node",
+            F.array(
+                *[
+                    F.when(bucket == F.lit(i), rho)
+                    .otherwise(F.lit(0))
+                    .cast("int")
+                    for i in range(_HA_M)
+                ]
+            ).alias("regs"),
+        )
+    )
+    return edges, sk0
+
+
+def _ha_round(edges: DataFrame, sk: DataFrame) -> DataFrame:
+    """One HyperANF round: ship each node's registers to its neighbors
+    (self-loop included) and take the register-wise MAX — 64 plain
+    JVM max aggregates over a compact array column, one shuffle."""
+    msg = edges.join(sk, edges["src"] == sk["node"]).select(
+        F.col("dst").alias("node"), "regs"
+    )
+    agg = msg.groupBy("node").agg(
+        *[
+            F.max(F.element_at("regs", i + 1)).alias(f"r{i}")
+            for i in range(_HA_M)
+        ]
+    )
+    return agg.select(
+        "node", F.array(*[F.col(f"r{i}") for i in range(_HA_M)]).alias("regs")
+    )
+
+
+def _ha_nf_cents(sk: DataFrame) -> int:
+    """Sum over nodes of floor(100 * HLL-estimate(regs)) — an exact
+    int64, so the cross-node sum is order-free and hash-replayable.
+    The per-node estimate mirrors q_agg_hll_distinct: integer-scaled
+    denominator, one shared double constant, literal ln table for the
+    linear-counting branch."""
+    denom = F.expr(
+        f"aggregate(regs, CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), {_HA_CAP} - x))"
+    )
+    v_cnt = F.expr("aggregate(regs, 0, (acc, x) -> acc + IF(x > 0, 1, 0))")
+    raw = F.lit(_HA_NUM) / denom
+    v_empty = F.lit(_HA_M) - v_cnt
+    lntab = F.array(*[F.lit(x) for x in _HA_LNTAB])
+    est = F.when(
+        (v_empty > F.lit(0)) & (raw <= F.lit(2.5 * _HA_M)),
+        F.lit(float(_HA_M)) * F.element_at(lntab, v_empty),
+    ).otherwise(raw)
+    cents = F.floor(F.lit(100.0) * est).cast("long")
+    row = sk.select(cents.alias("c")).agg(F.sum("c").alias("s")).collect()
+    return int(row[0]["s"] or 0)
+
+
+def hyperanf_counts(
+    spark: SparkSession, sf_dir: str, k_rounds: int = _HA_K
+) -> list[tuple[int, int]]:
+    """[(k, N(k) in estimate-cents)] for k = 0..k_rounds."""
+    edges, sk = _ha_graph(spark, sf_dir)
+    out = [(0, _ha_nf_cents(sk))]
+    for k in range(1, k_rounds + 1):
+        sk = persisted(_ha_round(edges, sk))
+        out.append((k, _ha_nf_cents(sk)))
+    return out
+
+
+def hyperanf_deep(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 16
+) -> tuple[DataFrame, int, bool]:
+    """Run HyperANF to the register FIXPOINT instead of a fixed k —
+    registers are monotone nondecreasing (max-merge), so the classic
+    changed==0 stop (run_until_periodic, period=1) fires exactly when
+    every ball has saturated its connected component; the stop round
+    is the graph's (register-resolution) radius. Deep-R stop rules per
+    operators/iterate.py. Returns (final sketches, rounds, converged)."""
+    from end_to_end_aws_data_pipeline_spark.operators.iterate import (
+        run_until_periodic,
+    )
+
+    edges, sk0 = _ha_graph(spark, sf_dir)
+
+    def step(sk: DataFrame) -> DataFrame:
+        return persisted(_ha_round(edges, sk))
+
+    return run_until_periodic(
+        sk0,
+        step,
+        max_rounds=max_rounds,
+        period=1,
+        key="node",
+        val="regs",
+        check_every=1,
+    )
+
+
+def _ha_oracle() -> str:
+    """Unrolled-CTE replay: long-format (node, bucket, rho) registers,
+    K max-merge rounds along the same edge list, per-k integer-cents
+    estimates, then the pct/effective-diameter readout."""
+    wb1 = _HA_WBITS + 1
+    parts = [
+        f"""
+WITH fwd AS MATERIALIZED ({_PR_EDGES_SQL}
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM fwd UNION SELECT dst FROM fwd
+), edges AS MATERIALIZED (
+  SELECT src, dst FROM fwd
+  UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  UNION ALL SELECT node AS src, node AS dst FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node,
+         ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 2))::BIGINT
+           % {_HA_M} AS bucket,
+         least(CASE WHEN w = 0 THEN {wb1}
+                    ELSE {wb1} - length(bin(w)) END, {_HA_CAP}) AS rho
+  FROM (SELECT node,
+               ('0x' || substr(md5(CAST(node AS VARCHAR)), 3, 14))::BIGINT
+                 AS w
+        FROM nodes)
+)"""
+    ]
+    for i in range(1, _HA_K + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT e.dst AS node, r.bucket, max(r.rho) AS rho
+  FROM edges e JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY e.dst, r.bucket
+)"""
+        )
+
+    def est_sql(k: int) -> str:
+        d = (
+            f"(denom_ne + ({_HA_M} - v_cnt) * "
+            f"(CAST(1 AS BIGINT) << {_HA_CAP}))"
+        )
+        return f"""
+  SELECT {k} AS k,
+         CAST(sum(CAST(floor(100 * CASE
+           WHEN ({_HA_M} - v_cnt) > 0
+                AND {_HA_NUM!r} / {d} <= {2.5 * _HA_M}
+           THEN {float(_HA_M)!r} * ({_HA_LNTAB_SQL})[{_HA_M} - v_cnt]
+           ELSE {_HA_NUM!r} / {d}
+         END) AS BIGINT)) AS BIGINT) AS nf_cents
+  FROM (SELECT node,
+               sum(CAST(1 AS BIGINT) << ({_HA_CAP} - rho)) AS denom_ne,
+               count(*) AS v_cnt
+        FROM r{k} GROUP BY node)"""
+
+    union = "\n  UNION ALL".join(est_sql(k) for k in range(_HA_K + 1))
+    parts.append(
+        f""", nf AS MATERIALIZED ({union}
+), pct AS MATERIALIZED (
+  SELECT k, nf_cents,
+         nf_cents * 10000 // (SELECT max(nf_cents) FROM nf) AS pct_bp
+  FROM nf
+)
+SELECT k, nf_cents, pct_bp,
+       k = (SELECT min(k) FROM pct WHERE pct_bp >= 9000)
+         AS is_eff_diameter
+FROM pct"""
+    )
+    return "".join(parts)
+
+
+@register("q_graph_hyperanf", oracle=_ha_oracle())
+def q_graph_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function over the purchase graph
+    (Boldi–Vigna, WWW'11): N(k) = Σ_v |ball(v, k)| estimated by
+    per-node 64-register HLL counters, max-merged along edges for
+    _HA_K rounds — plus the effective-diameter readout (smallest k
+    whose N(k) reaches 90% of the deepest measured N).
+
+    Spark shape: each round is ONE edge⋈sketch shuffle + 64 JVM max
+    aggregates over a compact array<int> column (no Python in the row
+    path, no frontier explosion — cost is edges x 64 ints per round
+    regardless of ball sizes, which is the whole point vs exact BFS
+    at 100 TB). Determinism: md5-hash registers, integer-scaled
+    denominators, floor-to-cents per node so the cross-node sum is an
+    exact int64 — the q_agg_hll_distinct replayable-sketch recipe
+    lifted to graph iteration; the oracle unrolls the identical
+    register algebra as CTEs. The per-k readout is K+1 bounded
+    one-row collects (audit-scalar class); the pct/effective-diameter
+    algebra runs on K+1 driver ints (tiny-relation doctrine).
+
+    hyperanf_deep runs the same fold to the register fixpoint under
+    operators/iterate.py's deep-R stop rules (monotone ⇒ period=1).
+    """
+    rows = hyperanf_counts(spark, sf_dir)
+    mx = max(c for _, c in rows)
+    pct = [(k, c, c * 10000 // mx) for k, c in rows]
+    eff = min(k for k, _c, p in pct if p >= 9000)
+    return spark.createDataFrame(
+        [(k, c, p, k == eff) for k, c, p in pct],
+        "k int, nf_cents long, pct_bp long, is_eff_diameter boolean",
     )

@@ -2298,6 +2298,130 @@ def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# quantified row patterns: click view{n,m} purchase
+# ---------------------------------------------------------------------------
+
+# A{n,m} bounds for the quantified pattern family (batch + streaming
+# share them; the streaming form in streaming/pattern.py passes them to
+# the same RLE fold the unquantified stream uses)
+_PQ_LO = 2
+_PQ_HI = 4
+
+_PATTERN_Q_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM ev
+), numbered AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run_idx
+  FROM flagged
+), runs AS (
+  SELECT user_id, run_idx, min(event_type) AS etype,
+         CAST(count(*) AS BIGINT) AS run_len, min(ts) AS run_start
+  FROM numbered GROUP BY user_id, run_idx
+), ctx AS (
+  SELECT *, lag(etype)  OVER (PARTITION BY user_id ORDER BY run_idx) AS prev_t,
+            lead(etype) OVER (PARTITION BY user_id ORDER BY run_idx) AS next_t
+  FROM runs
+), mq AS (
+  SELECT user_id, run_len, run_start,
+         run_len BETWEEN {_PQ_LO} AND {_PQ_HI} AS ok
+  FROM ctx WHERE etype = 'view' AND prev_t = 'click' AND next_t = 'purchase'
+)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_matches,
+       CAST(COALESCE(sum(run_len) FILTER (WHERE ok), 0) AS BIGINT)
+         AS views_matched,
+       CAST(COALESCE(max(run_len) FILTER (WHERE ok), 0) AS BIGINT)
+         AS longest_view_run,
+       CAST(min(run_start) FILTER (WHERE ok) AS VARCHAR) AS first_match_start,
+       CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_quant_rejected
+FROM mq GROUP BY user_id
+"""
+
+
+@register("q_events_pattern_quantified", oracle=_PATTERN_Q_ORACLE)
+def q_events_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified row pattern ``click view{{n,m}} purchase`` (SQL:2016
+    bounded quantifier, n=2 m=4): identical RLE + lag/lead composition
+    as q_events_pattern_match — the bounded quantifier is NOT new
+    machinery, it is one more predicate on the maximal run's length.
+    Maximality makes the semantics exact: the view run between a click
+    and a purchase is consumed whole, so ``view{{2,4}}`` holds iff
+    2 <= run_len <= 4 (a longer run's tail views would sit between the
+    consumed views and the purchase, breaking adjacency — greedy
+    MATCH_RECOGNIZE agrees). Publishes per-user match stats PLUS the
+    count of candidates rejected only by the quantifier, so the bound
+    is provably non-vacuous (the q_dedup_line_weighting planted-fixture
+    doctrine, enforced in pytest).
+
+    Scale shape: unchanged from the unquantified form — one user_id
+    shuffle serves all windows, state collapses events→runs before the
+    predicate, final aggregate is run-sized.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.when(
+            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    wr = W.partitionBy("user_id").orderBy("rn")
+    numbered = flagged.withColumn("run_idx", F.sum("chg").over(wr))
+    runs = numbered.groupBy("user_id", "run_idx").agg(
+        F.min("event_type").alias("etype"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+    wk = W.partitionBy("user_id").orderBy("run_idx")
+    ctx = runs.select(
+        "user_id",
+        "etype",
+        "run_len",
+        "run_start",
+        F.lag("etype").over(wk).alias("prev_t"),
+        F.lead("etype").over(wk).alias("next_t"),
+    )
+    mq = ctx.filter(
+        (F.col("etype") == "view")
+        & (F.col("prev_t") == "click")
+        & (F.col("next_t") == "purchase")
+    ).select(
+        "user_id",
+        "run_len",
+        "run_start",
+        F.col("run_len").between(_PQ_LO, _PQ_HI).alias("ok"),
+    )
+    okl = F.when(F.col("ok"), F.col("run_len"))
+    return mq.groupBy("user_id").agg(
+        F.count(F.when(F.col("ok"), F.lit(1))).cast("long").alias("n_matches"),
+        F.coalesce(F.sum(okl), F.lit(0)).cast("long").alias("views_matched"),
+        F.coalesce(F.max(okl), F.lit(0)).cast("long").alias(
+            "longest_view_run"
+        ),
+        F.min(F.when(F.col("ok"), F.col("run_start")))
+        .cast("string")
+        .alias("first_match_start"),
+        F.count(F.when(~F.col("ok"), F.lit(1)))
+        .cast("long")
+        .alias("n_quant_rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Holt linear-trend smoothing (double exponential) over daily revenue
 # ---------------------------------------------------------------------------
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import os
+import re
 import shutil
 from collections.abc import Iterable
 
@@ -41,10 +42,63 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import _cached_schema
 from end_to_end_aws_data_pipeline_spark.registry import register
+from end_to_end_aws_data_pipeline_spark.streaming.stopping import (
+    await_or_stop,
+    request_stop,
+)
 
 _counter = itertools.count()
 
 _PM_BUCKETS = 4  # staged time-ordered chunks = micro-batches
+
+# state-store sharding: the carried per-user snapshot is written as
+# N_BUCKETS bucket-pure files (hash(user_id) % N), partitionBy'd on the
+# bucket — the sharded-Bloom store layout (dedup.py digest_bloom_sharded)
+# applied to streaming state.  A coalesce(1) snapshot was a single-task
+# write that serializes at 100x users; bucketed, the write is N parallel
+# tasks and a production MERGE can address one bucket at a time.
+_RLE_STATE_BUCKETS = max(
+    1, int(os.environ.get("SPARK_GRAFT_PATTERN_STATE_BUCKETS", "8"))
+)
+# snapshots older than (newest - RETAIN) are retired after each batch
+# commit: availableNow replay redelivers at most the last uncommitted
+# batch, which re-reads only its immediate predecessor, so RETAIN=2 is
+# strictly sufficient — 3 leaves a margin.  Without retirement the
+# store grows O(batches x users).
+_RLE_STATE_RETAIN = max(
+    2, int(os.environ.get("SPARK_GRAFT_PATTERN_STATE_RETAIN", "3"))
+)
+
+def _fresh_run_dir(base: str, prefix: str) -> str:
+    """Allocate a per-invocation output dir under ``base`` and reap
+    stale siblings: dirs left by DEAD processes, plus this process's
+    own previous dir for the same prefix (by the time a query is
+    invoked again, its previous invocation's result DataFrame has been
+    executed — the gate/bench/pytest contract).  Live other-process
+    dirs are left alone.  Without reaping, every gate/bench run leaked
+    one sink dir and one state store into /tmp forever."""
+    pat = re.compile(rf"^{re.escape(prefix)}_(\d+)_\d+$")
+    me = os.getpid()
+    try:
+        names = os.listdir(base)
+    except OSError:
+        names = []
+    for name in names:
+        m = pat.match(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        stale = pid == me
+        if not stale:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                stale = True
+            except OSError:
+                pass  # alive but not ours (EPERM) — leave it
+        if stale:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    return os.path.join(base, f"{prefix}_{me}_{next(_counter)}")
 
 # state: the previous run's type, the open run (type, length, start),
 # and the accumulated match stats. first_us is -1 until the first
@@ -270,9 +324,7 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     staged = staged_time_dir(os.path.join(sf_dir, "events.parquet"))
-    sink_dir = os.path.join(
-        staged, "..", f"pattern_out_{os.getpid()}_{next(_counter)}"
-    )
+    sink_dir = _fresh_run_dir(os.path.dirname(staged), "pattern_out")
     run_pattern_stream(spark, staged, sink_dir)
     return final_matches(spark, [sink_dir])
 
@@ -343,6 +395,8 @@ def run_pattern_stream_rle(
     store: str,
     ckpt: str | None = None,
     stop_after_batches: int | None = None,
+    len_lo: int | None = None,
+    len_hi: int | None = None,
 ) -> None:
     """Drain the staged chunks through the JVM-RLE pattern fold.
 
@@ -357,10 +411,15 @@ def run_pattern_stream_rle(
     partition-scoped upsert discipline applied to carried state).
 
     State per user is one row; the snapshot is user-sized, never
-    event-sized. A production deployment MERGEs into a keyed store
-    instead of rewriting the snapshot; the per-batch read-modify-write
-    here is the local-parquet stand-in, exactly like
-    ingest/watermark.py's state table."""
+    event-sized — and it is written BUCKETED (hash(user_id) %
+    _RLE_STATE_BUCKETS, partitionBy'd) so the write is N parallel
+    tasks, not one, and only the last _RLE_STATE_RETAIN snapshots are
+    kept (availableNow replay needs exactly the predecessor; storage
+    stays O(users), not O(batches x users)). A production deployment
+    MERGEs into a keyed store per bucket instead of rewriting the
+    snapshot; the per-batch read-modify-write here is the
+    local-parquet stand-in, exactly like ingest/watermark.py's state
+    table."""
     schema = _cached_schema(spark, os.path.join(staged, "chunk_0.parquet"))
     src = (
         spark.readStream.schema(schema)
@@ -372,10 +431,26 @@ def run_pattern_stream_rle(
     def upd(bdf: DataFrame, bid: int) -> None:
         runs = _batch_runs(bdf)
         prev_path = os.path.join(store, f"b{bid - 1}")
-        if bid > 0 and os.path.isdir(prev_path):
+        if bid > 0:
+            if not os.path.isdir(prev_path):
+                # the checkpoint proves batch bid-1 committed, so its
+                # snapshot MUST exist — falling back to empty state
+                # here would silently drop every carried run and
+                # under-count matches (a checkpoint paired with the
+                # wrong or cleaned store dir)
+                raise RuntimeError(
+                    f"pattern-RLE state store {store} is missing "
+                    f"snapshot b{bid - 1} while the checkpoint resumes "
+                    f"at batch {bid}: refusing to continue from empty "
+                    "state — pair the checkpoint with its store dir, "
+                    "or raise SPARK_GRAFT_PATTERN_STATE_RETAIN"
+                )
             # explicit schema: an inferred read costs one extra
-            # footer-sampling job per micro-batch
-            st = spark.read.schema(_RLE_STATE_SCHEMA).parquet(prev_path)
+            # footer-sampling job per micro-batch (bucket is the
+            # partition directory column; dropped after read)
+            st = spark.read.schema(_RLE_STATE_SCHEMA + ", bucket int").parquet(
+                prev_path
+            ).drop("bucket")
         else:
             st = spark.createDataFrame([], _RLE_STATE_SCHEMA)
         j = runs.join(st, "user_id", "left")
@@ -392,11 +467,24 @@ def run_pattern_stream_rle(
             F.col("idx") == 1,
             F.when(cont, F.col("prev_t")).otherwise(F.col("open_t")),
         ).otherwise(F.col("lag_t"))
+        # bounded quantifier view{lo,hi}: one more predicate on the
+        # EFFECTIVE run length (batch-spanning runs accumulate into
+        # eff_len / open_len before the test, so the bound applies to
+        # the maximal run exactly as in the batch composition)
+        def _qlen(col):
+            if len_lo is None and len_hi is None:
+                return F.lit(True)
+            return col.between(
+                len_lo if len_lo is not None else 1,
+                len_hi if len_hi is not None else (1 << 62),
+            )
+
         run_match = (
             F.col("lead_t").isNotNull()
             & (F.col("etype") == "view")
             & (eff_prev == "click")
             & (F.col("lead_t") == "purchase")
+            & _qlen(eff_len)
         )
         # the stored open run, closed by the batch's first run
         boundary = (
@@ -405,6 +493,7 @@ def run_pattern_stream_rle(
             & (F.col("open_t") == "view")
             & (F.col("prev_t") == "click")
             & (F.col("etype") == "purchase")
+            & _qlen(F.col("open_len"))
         )
         e = j.select(
             "user_id",
@@ -497,12 +586,35 @@ def run_pattern_stream_rle(
                 for c in new_rows.columns[1:]
             ),
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(store, f"b{bid}")
+        # bucketed snapshot: hash(user_id) buckets, one task per bucket
+        # (parallel write; a production store MERGEs per bucket) — the
+        # coalesce(1) form was the one single-task serialization point
+        # left at 100x users
+        nb = _RLE_STATE_BUCKETS
+        (
+            merged.withColumn(
+                "bucket", F.pmod(F.hash("user_id"), F.lit(nb))
+            )
+            .repartition(nb, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(store, f"b{bid}"))
         )
+        # retire snapshots older than the replay horizon: keep the last
+        # RETAIN batch snapshots, delete the rest (storage would
+        # otherwise grow O(batches x users)); deletion happens only
+        # after this batch's snapshot is fully written, so a replayed
+        # batch always finds its predecessor
+        for d in os.listdir(store):
+            if (
+                d.startswith("b")
+                and d[1:].isdigit()
+                and int(d[1:]) <= bid - _RLE_STATE_RETAIN
+            ):
+                shutil.rmtree(os.path.join(store, d), ignore_errors=True)
         seen["n"] += 1
         if stop_after_batches and seen["n"] >= stop_after_batches:
-            raise RuntimeError("__stop_requested__")
+            request_stop(seen)
 
     w = (
         src.writeStream.foreachBatch(upd)
@@ -514,26 +626,32 @@ def run_pattern_stream_rle(
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q = w.start()
-        try:
-            q.awaitTermination()
-        except Exception as exc:
-            if stop_after_batches is None or "__stop_requested__" not in str(
-                exc
-            ):
-                raise
-            q.stop()
+        await_or_stop(w.start(), seen)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def rle_final_matches(spark: SparkSession, store: str) -> DataFrame:
     """Project the newest state snapshot into the oracle's shape."""
-    last = max(
-        (d for d in os.listdir(store) if d.startswith("b")),
-        key=lambda d: int(d[1:]),
+    snaps = (
+        [
+            d
+            for d in os.listdir(store)
+            if d.startswith("b") and d[1:].isdigit()
+        ]
+        if os.path.isdir(store)
+        else []
     )
-    st = spark.read.parquet(os.path.join(store, last))
+    if not snaps:
+        raise RuntimeError(
+            f"pattern-RLE state store has no snapshots: {store} — the "
+            "drain never ran, or this is not the store dir the stream "
+            "wrote to"
+        )
+    last = max(snaps, key=lambda d: int(d[1:]))
+    # inferred read is fine here (once per query, not per micro-batch);
+    # drop the bucket partition column before projecting
+    st = spark.read.parquet(os.path.join(store, last)).drop("bucket")
     return st.filter(F.col("n_matches") > 0).select(
         "user_id",
         "n_matches",
@@ -566,8 +684,51 @@ def q_stream_pattern_match_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     staged = staged_time_dir(os.path.join(sf_dir, "events.parquet"))
-    store = os.path.join(
-        staged, "..", f"pattern_rle_{os.getpid()}_{next(_counter)}"
-    )
+    store = _fresh_run_dir(os.path.dirname(staged), "pattern_rle")
     run_pattern_stream_rle(spark, staged, store)
+    return rle_final_matches(spark, store)
+
+
+def _pattern_q_stream_oracle() -> str:
+    """The quantified batch oracle, projected to the stream's shape:
+    the stream emits only users with at least one accepted match and
+    carries no rejected-candidate counter (that diagnostic is the
+    batch form's)."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _PATTERN_Q_ORACLE,
+    )
+
+    return (
+        "SELECT user_id, n_matches, views_matched, longest_view_run, "
+        "first_match_start FROM (" + _PATTERN_Q_ORACLE + ") "
+        "WHERE n_matches > 0"
+    )
+
+
+@register("q_stream_pattern_quantified", oracle=_pattern_q_stream_oracle())
+def q_stream_pattern_quantified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming form of the quantified pattern ``click view{n,m}
+    purchase`` (n=2, m=4 shared with q_events_pattern_quantified):
+    the IDENTICAL JVM-RLE fold as q_stream_pattern_match_rle with the
+    length bound passed down — batch-spanning view runs accumulate
+    their effective length across micro-batches before the quantifier
+    tests it, so a run split 3+2 across a batch boundary is correctly
+    REJECTED at {2,4} while a 2+2 split is accepted. Hashes against
+    the quantified batch oracle: the quantifier semantics are
+    driver-checked equal in both forms every round.
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _PQ_HI,
+        _PQ_LO,
+    )
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    staged = staged_time_dir(os.path.join(sf_dir, "events.parquet"))
+    store = _fresh_run_dir(os.path.dirname(staged), "pattern_q_rle")
+    run_pattern_stream_rle(
+        spark, staged, store, len_lo=_PQ_LO, len_hi=_PQ_HI
+    )
     return rle_final_matches(spark, store)

@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import _cached_schema
 from end_to_end_aws_data_pipeline_spark.registry import register
+from end_to_end_aws_data_pipeline_spark.streaming.stopping import (
+    await_or_stop,
+    request_stop,
+)
 
 _counter = itertools.count()
 
@@ -270,7 +274,10 @@ def run_sketch_stream(
         )
         seen["n"] += 1
         if stop_after_batches and seen["n"] >= stop_after_batches:
-            raise RuntimeError("__stop_requested__")
+            # deliberate mid-stream kill for the restart test: flags
+            # driver state before raising so await_or_stop recognizes
+            # it even if Py4J wraps/truncates the message
+            request_stop(seen)
 
     # right-size the per-batch shuffles: each micro-batch is
     # bucket-sized, and foreachBatch jobs inherit the session's 32
@@ -285,17 +292,11 @@ def run_sketch_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        except Exception as exc:
-            # only the deliberate mid-stream kill is swallowed; a real
-            # stream failure during a capped run must still surface
-            if stop_after_batches is None or "__stop_requested__" not in str(exc):
-                raise
-            # deliberate mid-stream kill for the restart test: the
-            # failed batch's write either completed (overwrite makes
-            # the redelivery identical) or didn't (it re-runs)
-            q.stop()
+        # only the flagged deliberate kill is swallowed; a real stream
+        # failure during a capped run still surfaces.  The killed
+        # batch's write either completed (overwrite makes the
+        # redelivery identical) or didn't (it re-runs).
+        await_or_stop(q, seen)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
@@ -565,7 +566,7 @@ def run_hh_stream(
         )
         seen["n"] += 1
         if stop_after_batches and seen["n"] >= stop_after_batches:
-            raise RuntimeError("__stop_requested__")
+            request_stop(seen)
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -576,12 +577,7 @@ def run_hh_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        except Exception as exc:
-            if stop_after_batches is None or "__stop_requested__" not in str(exc):
-                raise
-            q.stop()
+        await_or_stop(q, seen)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 

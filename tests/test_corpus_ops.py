@@ -818,3 +818,38 @@ def test_pagerank_deep_round_batching_invariant(spark):
     rows1 = sorted((r["node"], r["rank"]) for r in f1.collect())
     rows2 = sorted((r["node"], r["rank"]) for r in f2.collect())
     assert rows1 == rows2
+
+
+def test_hyperanf_monotone_and_deep_fixpoint(spark):
+    """HyperANF invariants: N(k) is monotone nondecreasing (balls only
+    grow under max-merge), N(0) is exactly 100 cents per node (the
+    single-element linear-counting estimate), the registered query
+    flags exactly one effective-diameter row, and the deep runner's
+    register fixpoint reproduces the fixed-k fold's saturated N."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _ha_nf_cents,
+        hyperanf_counts,
+        hyperanf_deep,
+        q_graph_hyperanf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    counts = hyperanf_counts(spark, SF_SMOKE)
+    assert [k for k, _ in counts] == [0, 1, 2, 3, 4]
+    vals = [c for _, c in counts]
+    assert vals == sorted(vals)  # monotone
+    n_nodes = vals[0] // 100
+    assert vals[0] == 100 * n_nodes and n_nodes > 0
+    assert vals[-1] > vals[0]  # balls actually grew
+
+    out = q_graph_hyperanf(spark, SF_SMOKE).collect()
+    assert len(out) == 5
+    eff = [r for r in out if r["is_eff_diameter"]]
+    assert len(eff) == 1
+    assert max(r["pct_bp"] for r in out) == 10000
+    assert eff[0]["pct_bp"] >= 9000
+
+    final, rounds, conv = hyperanf_deep(spark, SF_SMOKE, max_rounds=12)
+    assert conv and 0 < rounds <= 12
+    # at the register fixpoint the estimate equals the saturated curve
+    assert _ha_nf_cents(final) >= vals[-1]

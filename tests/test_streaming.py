@@ -602,6 +602,18 @@ def test_pattern_rle_restart_and_equivalence(spark, tmp_path):
     )
     assert got_clean == want
 
+    # bucketed + retained store layout: after the 4-batch drain only the
+    # last _RLE_STATE_RETAIN snapshots survive, each sharded into
+    # bucket=K partition dirs (parallel write, no coalesce(1) task)
+    from end_to_end_aws_data_pipeline_spark.streaming import pattern as pat
+
+    snaps = sorted(
+        int(d[1:]) for d in os.listdir(clean_store) if d.startswith("b")
+    )
+    assert snaps == list(range(4 - pat._RLE_STATE_RETAIN, 4))
+    newest = os.path.join(clean_store, f"b{snaps[-1]}")
+    assert any(n.startswith("bucket=") for n in os.listdir(newest))
+
     store2, ck2 = str(tmp_path / "killed"), str(tmp_path / "ck2")
     run_pattern_stream_rle(spark, staged, store2, ck2, stop_after_batches=2)
     done_mid = {int(d[1:]) for d in os.listdir(store2) if d.startswith("b")}
@@ -611,3 +623,135 @@ def test_pattern_rle_restart_and_equivalence(spark, tmp_path):
         tuple(r) for r in rle_final_matches(spark, store2).collect()
     )
     assert got_resumed == want
+
+
+def test_rle_store_guards(spark, tmp_path):
+    """A checkpoint that resumes against a cleaned store must FAIL
+    loudly (empty-state fallback would silently under-count matches),
+    and reading an empty store names the problem instead of a bare
+    ValueError from max()."""
+    import shutil as _sh
+
+    import pytest
+
+    from end_to_end_aws_data_pipeline_spark.streaming.pattern import (
+        rle_final_matches,
+        run_pattern_stream_rle,
+        staged_time_dir,
+    )
+    from tests.conftest import SF_SMOKE
+
+    with pytest.raises(RuntimeError, match="no snapshots"):
+        rle_final_matches(spark, str(tmp_path / "never_written"))
+
+    staged = staged_time_dir(os.path.join(SF_SMOKE, "events.parquet"))
+    store, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+    run_pattern_stream_rle(spark, staged, store, ck, stop_after_batches=2)
+    _sh.rmtree(store)  # checkpoint now points at a vanished store
+    with pytest.raises(Exception, match="missing"):
+        run_pattern_stream_rle(spark, staged, store, ck)
+
+
+def test_fresh_run_dir_reaps_stale(tmp_path):
+    """_fresh_run_dir removes dead-pid and own-pid leftovers for its
+    prefix, leaves live other-process dirs and other prefixes alone."""
+    from end_to_end_aws_data_pipeline_spark.streaming.pattern import (
+        _fresh_run_dir,
+    )
+
+    base = str(tmp_path)
+    dead = os.path.join(base, "pattern_rle_999999999_0")
+    mine = os.path.join(base, f"pattern_rle_{os.getpid()}_7")
+    other_prefix = os.path.join(base, "pattern_out_999999999_0")
+    for d in (dead, mine, other_prefix):
+        os.makedirs(d)
+    fresh = _fresh_run_dir(base, "pattern_rle")
+    assert not os.path.exists(dead)
+    assert not os.path.exists(mine)
+    assert os.path.exists(other_prefix)  # different prefix untouched
+    assert os.path.basename(fresh).startswith(f"pattern_rle_{os.getpid()}_")
+
+
+def test_pattern_quantified_batch_stream_equal_and_nonvacuous(spark):
+    """The bounded quantifier view{2,4} must (a) actually reject some
+    candidates AND accept some (non-vacuous on the fixture), (b) keep
+    every accepted run inside the bound, and (c) produce identical
+    per-user stats from the batch composition and the streaming RLE
+    fold — including runs that span micro-batch boundaries, whose
+    effective length is accumulated before the bound is tested.
+    Runs at SF_ORACLE: the sf0.001 fixture's candidate view runs are
+    ALL length 1, so the {2,4} bound is only non-vacuous in both
+    directions (some accepted AND some rejected) at sf0.01 — the SF
+    the driver gate verifies at."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _PQ_HI,
+        _PQ_LO,
+        q_events_pattern_quantified,
+    )
+    from end_to_end_aws_data_pipeline_spark.streaming.pattern import (
+        q_stream_pattern_quantified,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = q_events_pattern_quantified(spark, SF_ORACLE).collect()
+    assert sum(r["n_quant_rejected"] for r in rows) > 0
+    assert sum(r["n_matches"] for r in rows) > 0
+    for r in rows:
+        if r["n_matches"] > 0:
+            assert _PQ_LO <= r["longest_view_run"] <= _PQ_HI
+
+    want = sorted(
+        (
+            r["user_id"],
+            r["n_matches"],
+            r["views_matched"],
+            r["longest_view_run"],
+            r["first_match_start"],
+        )
+        for r in rows
+        if r["n_matches"] > 0
+    )
+    got = sorted(
+        tuple(r)
+        for r in q_stream_pattern_quantified(spark, SF_ORACLE).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_ann_index_stream_restart_and_batch_equality(spark, tmp_path):
+    """The maintained IVF index must (a) equal itself across a
+    mid-stream kill + checkpoint resume (bit-identical snapshot fold),
+    and (b) be non-trivial: multiple buckets, shortlists capped at K,
+    checksums consistent with membership."""
+    from end_to_end_aws_data_pipeline_spark.streaming.ann_index import (
+        _AI_TOPK,
+        final_index,
+        run_ann_index_stream,
+        staged_vec_dir,
+    )
+    from tests.conftest import SF_SMOKE
+
+    staged = staged_vec_dir(os.path.join(SF_SMOKE, "embeddings.parquet"))
+
+    clean = str(tmp_path / "clean")
+    run_ann_index_stream(spark, SF_SMOKE, staged, clean)
+    got_clean = sorted(tuple(r) for r in final_index(spark, clean).collect())
+    assert len(got_clean) > 0
+    n_buckets = len({r[0] for r in got_clean})
+    assert n_buckets > 1
+    per_bucket = {}
+    for cent_id, n_members, _cs, rank, _mid, _dot in got_clean:
+        per_bucket.setdefault(cent_id, []).append(rank)
+        assert rank <= min(_AI_TOPK, n_members)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_bucket.values())
+
+    store2, ck2 = str(tmp_path / "killed"), str(tmp_path / "ck")
+    run_ann_index_stream(
+        spark, SF_SMOKE, staged, store2, ck2, stop_after_batches=2
+    )
+    run_ann_index_stream(spark, SF_SMOKE, staged, store2, ck2)  # resume
+    got_resumed = sorted(
+        tuple(r) for r in final_index(spark, store2).collect()
+    )
+    assert got_resumed == got_clean
