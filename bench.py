@@ -248,6 +248,11 @@ HEADLINE = (
     "q_dedup_line_weighting",
     "q_timeseries_holt_winters",
     "q_timeseries_holt_winters_bykey",
+    # round-11 additions
+    "q_graph_hyperanf",
+    "q_events_pattern_quantified",
+    "q_stream_pattern_quantified",
+    "q_stream_ann_index",
 )
 
 

@@ -1309,31 +1309,51 @@ _HA_LNTAB = [_ha_math.log(_HA_M / v) for v in range(1, _HA_M + 1)]
 _HA_LNTAB_SQL = "[" + ", ".join(repr(x) for x in _HA_LNTAB) + "]"
 
 
-def _ha_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(edges-with-self-loops, initial sketches): the pagerank purchase
-    graph symmetrized, plus (v,v) loops so a node's own ball carries
-    through the max-merge without a separate union branch."""
+# sketch-side join strategy threshold: below this node count the whole
+# register table broadcasts (~280 B/node -> ~140 MB at the default), so
+# each round's join ships NO edge bytes at all — measured 3.4 s vs
+# 12.4 s (pre-partitioned shuffle join) vs 46 s (naive shuffle join)
+# for 4 rounds at sf0.1.  Above it, edges are hash-partitioned by src
+# ONCE at build and only the node-sized sketch shuffles per round —
+# the honest 100 TB shape (a billion-node sketch table cannot
+# broadcast; the edge side must never re-shuffle per round).
+_HA_BCAST_NODES = 500_000
+
+
+def _ha_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, bool]:
+    """(edges-with-self-loops, initial sketches, small): the pagerank
+    purchase graph symmetrized, plus (v,v) loops so a node's own ball
+    carries through the max-merge without a separate union branch.
+    ``small`` picks the per-round join strategy (see _HA_BCAST_NODES);
+    in the large regime edges come back pre-partitioned by src so the
+    per-round join only ever shuffles the sketch side."""
     fwd = _purchase_fwd(spark, sf_dir)
     edges0 = fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = persisted(edges0.select(F.col("src").alias("node")).distinct())
-    edges = persisted(
-        edges0.unionAll(
-            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-        )
+    small = nodes.count() <= _HA_BCAST_NODES
+    edges_all = edges0.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     )
+    edges = persisted(edges_all if small else edges_all.repartition("src"))
     hx = F.md5(F.col("node").cast("string"))
     bucket = F.pmod(
         F.conv(F.substring(hx, 1, 2), 16, 10).cast("long"), F.lit(_HA_M)
     )
     w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("long")
+    # registers are TINYINT (rho <= 48): a 64-register sketch row is
+    # ~64 payload bytes instead of 256 — the per-round message shuffle
+    # and aggregate state both shrink 4x, which is the dominant cost in
+    # the large regime (measured sf10)
     rho = F.least(
         F.when(w == F.lit(0), F.lit(_HA_WBITS + 1)).otherwise(
             F.lit(_HA_WBITS + 1) - F.length(F.bin(w))
         ),
         F.lit(_HA_CAP),
-    ).cast("int")
+    ).cast("tinyint")
     sk0 = persisted(
         nodes.select(
             "node",
@@ -1341,22 +1361,35 @@ def _ha_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                 *[
                     F.when(bucket == F.lit(i), rho)
                     .otherwise(F.lit(0))
-                    .cast("int")
+                    .cast("tinyint")
                     for i in range(_HA_M)
                 ]
             ).alias("regs"),
         )
     )
-    return edges, sk0
+    return edges, sk0, small
 
 
-def _ha_round(edges: DataFrame, sk: DataFrame) -> DataFrame:
+def _ha_round(edges: DataFrame, sk: DataFrame, small: bool) -> DataFrame:
     """One HyperANF round: ship each node's registers to its neighbors
     (self-loop included) and take the register-wise MAX — 64 plain
-    JVM max aggregates over a compact array column, one shuffle."""
-    msg = edges.join(sk, edges["src"] == sk["node"]).select(
+    JVM max aggregates over a compact array column (map-side combined,
+    so the agg shuffle is partitions x nodes x 64, never edge-sized).
+    ``small`` broadcasts the node-sized sketch (zero edge movement);
+    otherwise the join rides the edges' build-time src partitioning
+    and only the sketch shuffles — and the message stream is
+    EXPLICITLY repartitioned by node before the aggregate: at ~15
+    messages/node the partial aggregation reduces almost nothing
+    while its per-task hashmap covers nearly EVERY node (nodes x 64
+    ints per task -> spill-to-sort; the sf10 leg ran minutes instead
+    of seconds), whereas after the node exchange each task aggregates
+    only its own nodes/P slice."""
+    rhs = F.broadcast(sk) if small else sk
+    msg = edges.join(rhs, edges["src"] == sk["node"]).select(
         F.col("dst").alias("node"), "regs"
     )
+    if not small:
+        msg = msg.repartition("node")
     agg = msg.groupBy("node").agg(
         *[
             F.max(F.element_at("regs", i + 1)).alias(f"r{i}")
@@ -1395,10 +1428,10 @@ def hyperanf_counts(
     spark: SparkSession, sf_dir: str, k_rounds: int = _HA_K
 ) -> list[tuple[int, int]]:
     """[(k, N(k) in estimate-cents)] for k = 0..k_rounds."""
-    edges, sk = _ha_graph(spark, sf_dir)
+    edges, sk, small = _ha_graph(spark, sf_dir)
     out = [(0, _ha_nf_cents(sk))]
     for k in range(1, k_rounds + 1):
-        sk = persisted(_ha_round(edges, sk))
+        sk = persisted(_ha_round(edges, sk, small))
         out.append((k, _ha_nf_cents(sk)))
     return out
 
@@ -1416,10 +1449,10 @@ def hyperanf_deep(
         run_until_periodic,
     )
 
-    edges, sk0 = _ha_graph(spark, sf_dir)
+    edges, sk0, small = _ha_graph(spark, sf_dir)
 
     def step(sk: DataFrame) -> DataFrame:
-        return persisted(_ha_round(edges, sk))
+        return persisted(_ha_round(edges, sk, small))
 
     return run_until_periodic(
         sk0,

@@ -853,3 +853,17 @@ def test_hyperanf_monotone_and_deep_fixpoint(spark):
     assert conv and 0 < rounds <= 12
     # at the register fixpoint the estimate equals the saturated curve
     assert _ha_nf_cents(final) >= vals[-1]
+
+
+def test_hyperanf_join_regime_invariance(spark, monkeypatch):
+    """The size-aware join strategy (broadcast sketch vs pre-partitioned
+    edges + sketch-side shuffle) is a SCHEDULING choice, never an
+    arithmetic one: forcing the large regime at smoke scale must
+    reproduce the broadcast regime's N(k) curve exactly."""
+    from end_to_end_aws_data_pipeline_spark.operators import graph as G
+    from tests.conftest import SF_SMOKE
+
+    small_curve = G.hyperanf_counts(spark, SF_SMOKE)
+    monkeypatch.setattr(G, "_HA_BCAST_NODES", 0)  # force shuffle regime
+    large_curve = G.hyperanf_counts(spark, SF_SMOKE)
+    assert large_curve == small_curve
