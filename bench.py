@@ -253,6 +253,7 @@ HEADLINE = (
     "q_events_pattern_quantified",
     "q_stream_pattern_quantified",
     "q_stream_ann_index",
+    "q_graph_harmonic_centrality",
 )
 
 

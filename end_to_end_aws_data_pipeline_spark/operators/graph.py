@@ -1401,12 +1401,11 @@ def _ha_round(edges: DataFrame, sk: DataFrame, small: bool) -> DataFrame:
     )
 
 
-def _ha_nf_cents(sk: DataFrame) -> int:
-    """Sum over nodes of floor(100 * HLL-estimate(regs)) — an exact
-    int64, so the cross-node sum is order-free and hash-replayable.
-    The per-node estimate mirrors q_agg_hll_distinct: integer-scaled
-    denominator, one shared double constant, literal ln table for the
-    linear-counting branch."""
+def _ha_cents_expr():
+    """floor(100 * HLL-estimate(regs)) as an exact int64 — the
+    per-node ball-size estimate in cents. Mirrors q_agg_hll_distinct:
+    integer-scaled denominator, one shared double constant, literal
+    ln table for the linear-counting branch."""
     denom = F.expr(
         f"aggregate(regs, CAST(0 AS BIGINT), "
         f"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), {_HA_CAP} - x))"
@@ -1419,8 +1418,17 @@ def _ha_nf_cents(sk: DataFrame) -> int:
         (v_empty > F.lit(0)) & (raw <= F.lit(2.5 * _HA_M)),
         F.lit(float(_HA_M)) * F.element_at(lntab, v_empty),
     ).otherwise(raw)
-    cents = F.floor(F.lit(100.0) * est).cast("long")
-    row = sk.select(cents.alias("c")).agg(F.sum("c").alias("s")).collect()
+    return F.floor(F.lit(100.0) * est).cast("long")
+
+
+def _ha_nf_cents(sk: DataFrame) -> int:
+    """Sum over nodes of the per-node cents estimate — exact int64,
+    so the cross-node sum is order-free and hash-replayable."""
+    row = (
+        sk.select(_ha_cents_expr().alias("c"))
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    )
     return int(row[0]["s"] or 0)
 
 
@@ -1564,4 +1572,110 @@ def q_graph_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k, c, p, k == eff) for k, c, p in pct],
         "k int, nf_cents long, pct_bp long, is_eff_diameter boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality via HyperBall (per-node ball-size differences)
+# ---------------------------------------------------------------------------
+
+_HC_TOP = 20
+# fixed-point weight: H(v) = sum_k (|B(v,k)| - |B(v,k-1)|) / k, scaled
+# by lcm(1..4) = 12 so every per-k term is an exact integer
+_HC_W = {1: 12, 2: 6, 3: 4, 4: 3}
+
+
+def _hc_oracle() -> str:
+    """The HyperANF register CTEs (r0..rK) extended with per-NODE
+    estimates per k and the integer harmonic combination."""
+    base = _ha_oracle()
+    # reuse everything up to (and including) the last register CTE;
+    # the nf/pct readout is hyperanf's, not ours
+    cut = base.index(", nf AS MATERIALIZED")
+    parts = [base[:cut]]
+    d = (
+        f"(denom_ne + ({_HA_M} - v_cnt) * "
+        f"(CAST(1 AS BIGINT) << {_HA_CAP}))"
+    )
+    for k in range(_HA_K + 1):
+        parts.append(
+            f""", e{k} AS MATERIALIZED (
+  SELECT node,
+         CAST(floor(100 * CASE
+           WHEN ({_HA_M} - v_cnt) > 0
+                AND {_HA_NUM!r} / {d} <= {2.5 * _HA_M}
+           THEN {float(_HA_M)!r} * ({_HA_LNTAB_SQL})[{_HA_M} - v_cnt]
+           ELSE {_HA_NUM!r} / {d}
+         END) AS BIGINT) AS cents
+  FROM (SELECT node,
+               sum(CAST(1 AS BIGINT) << ({_HA_CAP} - rho)) AS denom_ne,
+               count(*) AS v_cnt
+        FROM r{k} GROUP BY node))"""
+        )
+    combo = " + ".join(
+        f"(e{k}.cents - e{k - 1}.cents) * {_HC_W[k]}"
+        for k in range(1, _HA_K + 1)
+    )
+    joins = " ".join(f"JOIN e{k} USING (node)" for k in range(1, _HA_K + 1))
+    parts.append(
+        f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       CAST({combo} AS BIGINT) AS hc_fp12
+FROM e0 {joins}
+ORDER BY hc_fp12 DESC, node
+LIMIT {_HC_TOP}"""
+    )
+    return "".join(parts)
+
+
+@register("q_graph_harmonic_centrality", oracle=_hc_oracle())
+def q_graph_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic centrality estimated by HyperBall (Boldi–Vigna,
+    WWW'14): H(v) = Σ_{u≠v} 1/d(u,v) = Σ_k (|B(v,k)|−|B(v,k−1)|)/k,
+    read straight off the HyperANF register fold's per-node ball
+    sizes — the centrality that geometric-axiom analysis recommends
+    over closeness, computable at 100 TB because it never runs a BFS:
+    the SAME K max-merge rounds HyperANF already pays, plus K
+    node-sized joins (each k's cents against k−1's).
+
+    Determinism: per-node cents are exact int64 (floor-to-cents, the
+    q_graph_hyperanf recipe) and the 1/k weights are lcm-scaled
+    integers (×12), so hc_fp12 is exact integer algebra the oracle
+    replays; top-{_HC_TOP} with (hc desc, node) tiebreak is a unique
+    cut. Per-k ball ESTIMATES can dip at a linear-counting→raw
+    switch (a standard HLL artifact); both engines compute the
+    identical estimator, so the hash ties them regardless.
+    """
+    edges, sk, small = _ha_graph(spark, sf_dir)
+    prev = sk.select("node", _ha_cents_expr().alias("cents"))
+    diffs = None
+    for k in range(1, _HA_K + 1):
+        sk = persisted(_ha_round(edges, sk, small))
+        cur = sk.select("node", _ha_cents_expr().alias("cents"))
+        d = cur.join(
+            prev.withColumnRenamed("cents", "pc"), "node"
+        ).select(
+            "node",
+            ((F.col("cents") - F.col("pc")) * _HC_W[k]).alias("d"),
+        )
+        diffs = d if diffs is None else diffs.unionByName(d)
+        prev = cur
+    hc = diffs.groupBy("node").agg(F.sum("d").cast("long").alias("hc_fp12"))
+    node_type = F.when(F.col("node") % 2 == 0, "customer").otherwise(
+        "supplier"
+    )
+    return (
+        hc.select(
+            node_type.alias("node_type"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            "hc_fp12",
+            "node",
+        )
+        .orderBy(F.col("hc_fp12").desc(), "node")
+        .limit(_HC_TOP)
+        .drop("node")
     )

@@ -867,3 +867,26 @@ def test_hyperanf_join_regime_invariance(spark, monkeypatch):
     monkeypatch.setattr(G, "_HA_BCAST_NODES", 0)  # force shuffle regime
     large_curve = G.hyperanf_counts(spark, SF_SMOKE)
     assert large_curve == small_curve
+
+
+def test_harmonic_centrality_shape_and_hubs(spark):
+    """HyperBall harmonic centrality: exactly TOP rows, positive
+    fixed-point scores, descending order with the (hc desc, node)
+    tiebreak — and on the bipartite purchase graph the 100 suppliers
+    serve ~15x more counterparties each than customers do, so the
+    top of the ranking must be supplier-dominated."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _HC_TOP,
+        q_graph_harmonic_centrality,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_graph_harmonic_centrality(spark, SF_SMOKE).collect()
+    assert len(rows) == _HC_TOP
+    scores = [r["hc_fp12"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # sf0.001 has only 10 suppliers TOTAL — every one of them ranking
+    # inside the top-20 (10/20, vs suppliers' ~1.5% share of nodes) is
+    # the hub signal
+    assert sum(r["node_type"] == "supplier" for r in rows) >= _HC_TOP // 2
