@@ -254,6 +254,7 @@ HEADLINE = (
     "q_stream_pattern_quantified",
     "q_stream_ann_index",
     "q_graph_harmonic_centrality",
+    "q_graph_pagerank_personalized",
 )
 
 

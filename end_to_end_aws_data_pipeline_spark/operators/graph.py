@@ -1679,3 +1679,142 @@ def q_graph_harmonic_centrality(
         .limit(_HC_TOP)
         .drop("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (random walk with restart at a seed set)
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 101  # seeds: customers with custkey % 101 == 0 (~1%)
+_PPR_TOP = 20
+
+
+def _ppr_seed_sql() -> str:
+    return f"(node % 2 = 0 AND (node // 2) % {_PPR_SEED_MOD} = 0)"
+
+
+def _ppr_oracle() -> str:
+    """_pr_oracle with the teleport gated on seed membership and a
+    seed-only initial vector — the same unrolled integer CTE replay."""
+    parts = [
+        f"""
+WITH e0 AS ({_PR_EDGES_SQL}
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node,
+         CAST(CASE WHEN {_ppr_seed_sql().replace("node", "src")}
+              THEN {_PR_R0} ELSE 0 END AS BIGINT) AS rank
+  FROM deg
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node, sum(r.rank // d.d) AS contrib
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT node,
+         CAST(CASE WHEN {_ppr_seed_sql()} THEN {_PR_TELEPORT} ELSE 0 END
+              + (85 * contrib) // 100 AS BIGINT) AS rank
+  FROM c{i}
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       rank AS rank_q,
+       {_ppr_seed_sql()} AS is_seed
+FROM {prev}
+ORDER BY rank DESC, node
+LIMIT {_PPR_TOP}"""
+    )
+    return "".join(parts)
+
+
+@register("q_graph_pagerank_personalized", oracle=_ppr_oracle())
+def q_graph_pagerank_personalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank — the random-walk-with-restart integer
+    analogue: mass starts ON the seed set (customers with custkey %
+    101 == 0) and the teleport term returns only to seeds,
+    so the stationary mass measures proximity-to-seeds instead of
+    global importance. The curation use-case: given a trusted seed
+    cohort, rank the rest of the graph by influence distance (seed
+    expansion, neighborhood harvesting for training-data selection).
+
+    Same execution shape as q_graph_pagerank — the per-round plan is
+    ONE contribution join + one aggregate over the shared
+    contribution-ready edge list; only the initial vector and the
+    teleport expression differ, so the unrolled-CTE oracle replays it
+    with a seed-conditional CASE. Nodes the walk hasn't reached hold
+    exact zeros (integer arithmetic, no epsilon noise), and the
+    top-20 cut is unique via the (rank desc, node) tiebreak.
+    """
+    fwd = _purchase_fwd(spark, sf_dir)
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    edges_d = persisted(edges.join(deg, "src").select("src", "dst", "d"))
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.when(
+            (F.col("src") % 2 == 0)
+            & (F.expr("(src div 2)") % _PPR_SEED_MOD == 0),
+            F.lit(_PR_R0),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_d.join(ranks, edges_d["src"] == ranks["node"])
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = persisted(
+            contrib.select(
+                F.col("dst").alias("node"),
+                (
+                    F.when(
+                        (F.col("dst") % 2 == 0)
+                        & (F.expr("(dst div 2)") % _PPR_SEED_MOD == 0),
+                        F.lit(_PR_TELEPORT),
+                    ).otherwise(F.lit(0))
+                    + F.expr("(85 * contrib) div 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    node_type = F.when(F.col("node") % 2 == 0, "customer").otherwise(
+        "supplier"
+    )
+    is_seed = (F.col("node") % 2 == 0) & (
+        F.expr("(node div 2)") % _PPR_SEED_MOD == 0
+    )
+    return (
+        ranks.select(
+            node_type.alias("node_type"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            F.col("rank").alias("rank_q"),
+            is_seed.alias("is_seed"),
+            "node",
+        )
+        .orderBy(F.col("rank_q").desc(), "node")
+        .limit(_PPR_TOP)
+        .drop("node")
+    )

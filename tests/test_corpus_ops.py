@@ -890,3 +890,25 @@ def test_harmonic_centrality_shape_and_hubs(spark):
     # inside the top-20 (10/20, vs suppliers' ~1.5% share of nodes) is
     # the hub signal
     assert sum(r["node_type"] == "supplier" for r in rows) >= _HC_TOP // 2
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """PPR sanity: seeds hold the top of their own ranking (teleport
+    returns only to them), every returned score is positive, and at
+    least one NON-seed made the cut (mass actually propagated to the
+    seed neighborhood instead of staying put)."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        q_graph_pagerank_personalized,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_graph_pagerank_personalized(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["rank_q"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a supplier touching BOTH seeds can out-rank either single seed
+    # (it aggregates two restart streams), so the invariant is that
+    # seeds sit AT the top, not necessarily first
+    assert any(r["is_seed"] for r in rows[:3])
+    assert any(not r["is_seed"] for r in rows)
+    assert all(s > 0 for s in scores)
