@@ -282,6 +282,39 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _psi() -> dict[str, dict[str, float]] | None:
+    """Kernel pressure-stall stamps (/proc/pressure/{cpu,memory}).
+
+    Loadavg alone can't distinguish hypervisor steal from memory stall
+    or real CPU contention on this VM's phantom-load regime (idle 1-min
+    load ~4.4 with zero engine processes).  PSI gives kernel evidence:
+    cpu-some high with memory-full ~0 means contention/steal; memory
+    pressure flags heap/page-cache stalls.  Recorded as
+    {"cpu": {"some_avg10": ..., "some_avg60": ...},
+     "memory": {"some_avg10": ..., "full_avg10": ..., ...}}.
+    """
+    out: dict[str, dict[str, float]] = {}
+    for res in ("cpu", "memory"):
+        try:
+            with open(f"/proc/pressure/{res}") as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            return None
+        vals: dict[str, float] = {}
+        for line in lines:
+            parts = line.split()
+            kind = parts[0]  # "some" | "full"
+            for kv in parts[1:]:
+                k, _, v = kv.partition("=")
+                if k in ("avg10", "avg60"):
+                    try:
+                        vals[f"{kind}_{k}"] = float(v)
+                    except ValueError:
+                        pass
+        out[res] = vals
+    return out or None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -330,6 +363,7 @@ def main() -> None:
     # reps=1 were indistinguishable from cold-run noise.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     load_start = _loadavg()
+    psi_start = _psi()
     # SPARK_GRAFT_BENCH_ONLY=q_a,q_b: time a subset with the identical
     # methodology (warmup, reps, cache release) — for pairing newly
     # added queries into SCALING.md without a full-suite rerun
@@ -376,6 +410,12 @@ def main() -> None:
         # comparable load stamps (variance convention, SCALING.md)
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        # pressure-stall stamps (cpu/memory some+full avg10/avg60):
+        # separates real CPU contention and memory stall from hypervisor
+        # steal, which loadavg conflates — the window classification in
+        # SCALING.md cites these, not loadavg inference
+        "psi_start": psi_start,
+        "psi_end": _psi(),
         "reps": reps,
     }
     # like-for-like subtotals over FIXED query baskets (tools/
@@ -432,11 +472,22 @@ def main() -> None:
             default=0,
         )
         sf_tag = str(sf).replace(".", "p") if sf is not None else "unknown"
-        run_path = os.path.join(
-            runs_dir, f"detail_run{seq:04d}_sf{sf_tag}.json"
-        )
-        with open(run_path, "w") as fh:
-            json.dump(record, fh, indent=1)
+        # exclusive create + retry: two concurrent bench invocations can
+        # compute the same seq from the same listdir snapshot; mode "x"
+        # makes the second lose the name race instead of silently
+        # overwriting an archive the design calls immutable.  The seq is
+        # unbounded (no %04d wrap concern — zero-pad is cosmetic, the
+        # regex parses any width).
+        while True:
+            run_path = os.path.join(
+                runs_dir, f"detail_run{seq:04d}_sf{sf_tag}.json"
+            )
+            try:
+                with open(run_path, "x") as fh:
+                    json.dump(record, fh, indent=1)
+                break
+            except FileExistsError:
+                seq += 1
         print(f"bench: archived {run_path}", file=sys.stderr)
     # ... while the one stdout line must fit the driver's 2000-char tail
     # capture window (BENCH_r05 clipped a 112-query line mid-JSON and lost
