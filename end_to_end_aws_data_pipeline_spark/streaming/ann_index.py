@@ -84,19 +84,39 @@ def staged_vec_dir(path: str) -> str:
     done = os.path.join(d, "_STAGED")
     if os.path.exists(done):
         return d
-    if os.path.isdir(d):
-        shutil.rmtree(d)
-    os.makedirs(d)
+    # stage into a private temp dir and rename it into place atomically:
+    # two processes keyed to the same (path, mtime) can both miss the
+    # marker, and an in-place build would let one rmtree the dir while
+    # the other is mid-write (partial chunks under a present marker).
+    # With rename, each builds a COMPLETE dir privately; the loser's
+    # rename fails on the existing target and it adopts the winner's.
+    tmp = f"{d}.tmp.{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     t = t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
     n = t.num_rows
     for g in range(_AI_CHUNKS):
         lo = g * n // _AI_CHUNKS
         hi = (g + 1) * n // _AI_CHUNKS
-        f = os.path.join(d, f"chunk_{g}.parquet")
+        f = os.path.join(tmp, f"chunk_{g}.parquet")
         pq.write_table(t.slice(lo, hi - lo), f)
         os.utime(f, (mt + 10 * g, mt + 10 * g))
-    open(done, "w").close()
+    open(os.path.join(tmp, "_STAGED"), "w").close()
+    if os.path.isdir(d):
+        # crashed partial build (no marker — a marked dir returned
+        # above); clear it so the rename can land.  A concurrent
+        # stager that completes between this rmtree and the rename
+        # just makes our rename fail, handled below.
+        shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        # another process renamed its complete dir in first
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
     return d
 
 

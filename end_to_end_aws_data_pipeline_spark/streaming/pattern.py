@@ -319,6 +319,12 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned shuffle only, no corpus-global structure; the
     staged time-ordered arrival is the operator's stated input
     contract (see module docstring).
+
+    Result lifetime: the returned DataFrame reads this invocation's
+    run dir, which the NEXT invocation of this query in the same
+    process reaps (_fresh_run_dir) — execute or materialize the result
+    before re-invoking; holding two successive lazy results is not
+    supported.
     """
     from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
 
@@ -443,7 +449,10 @@ def run_pattern_stream_rle(
                     f"snapshot b{bid - 1} while the checkpoint resumes "
                     f"at batch {bid}: refusing to continue from empty "
                     "state — pair the checkpoint with its store dir, "
-                    "or raise SPARK_GRAFT_PATTERN_STATE_RETAIN"
+                    "or restart from a fresh checkpoint + store pair "
+                    "(once the snapshot is retired it cannot be "
+                    "recovered; SPARK_GRAFT_PATTERN_STATE_RETAIN only "
+                    "helps preventively, raised before the drain)"
                 )
             # explicit schema: an inferred read costs one extra
             # footer-sampling job per micro-batch (bucket is the
@@ -679,6 +688,11 @@ def q_stream_pattern_match_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same per-key-Python vs JVM split as the UDF ladder, applied to
     streaming state. Both forms hash against the IDENTICAL batch
     oracle, so their equivalence is driver-checked every round.
+
+    Result lifetime: the returned DataFrame reads this invocation's
+    store dir, which the NEXT invocation of this query in the same
+    process reaps (_fresh_run_dir) — execute the result before
+    re-invoking; holding two successive lazy results is not supported.
     """
     from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
 
@@ -718,6 +732,10 @@ def q_stream_pattern_quantified(
     REJECTED at {2,4} while a 2+2 split is accepted. Hashes against
     the quantified batch oracle: the quantifier semantics are
     driver-checked equal in both forms every round.
+
+    Result lifetime: execute the returned DataFrame before re-invoking
+    this query in the same process — the next invocation reaps this
+    one's store dir (_fresh_run_dir contract).
     """
     from end_to_end_aws_data_pipeline_spark.operators.sweep import (
         _PQ_HI,
