@@ -1818,3 +1818,177 @@ def q_graph_pagerank_personalized(
         .limit(_PPR_TOP)
         .drop("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg, JACM '99) — integer fixed-point
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+# initial hub score per customer; any positive constant works (HITS is
+# scale-invariant up to normalization) — 1e6 keeps the first raw
+# authority sums comfortably inside int64 at any plausible node count
+_HITS_H0 = 1_000_000
+# target total mass after each normalization: scores are renormalized
+# to sum ~= _HITS_MASS by dividing by the scalar q = max(S div MASS, 1)
+# (divide-by-scalar instead of multiply-then-divide keeps every
+# intermediate <= maxdeg * MASS ~ 1e14 << 2^63 — no DECIMAL(38) needed)
+_HITS_MASS = 1_000_000_000
+_HITS_TOP = 20
+
+
+def _hits_oracle() -> str:
+    """Unrolled {_HITS_ITERS}-iteration integer HITS as chained CTEs:
+    each iteration is authority-from-hubs then hub-from-authorities,
+    each followed by the divide-by-scalar renormalization — the
+    pagerank-oracle strategy (replay the integer arithmetic exactly)
+    applied to two coupled vectors."""
+    parts = [
+        f"""
+WITH e0 AS ({_PR_EDGES_SQL}
+), h0 AS (
+  SELECT DISTINCT src AS node, CAST({_HITS_H0} AS BIGINT) AS h FROM e0
+)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""", a{i}r AS (
+  SELECT e.dst AS node, SUM(h.h) AS a
+  FROM e0 e JOIN {prev_h} h ON h.node = e.src
+  GROUP BY e.dst
+), a{i} AS (
+  SELECT node,
+         CAST(a // GREATEST(s // {_HITS_MASS}, 1) AS BIGINT) AS a
+  FROM a{i}r, (SELECT SUM(a) AS s FROM a{i}r)
+), h{i}r AS (
+  SELECT e.src AS node, SUM(a.a) AS h
+  FROM e0 e JOIN a{i} a ON a.node = e.dst
+  GROUP BY e.src
+), h{i} AS (
+  SELECT node,
+         CAST(h // GREATEST(s // {_HITS_MASS}, 1) AS BIGINT) AS h
+  FROM h{i}r, (SELECT SUM(h) AS s FROM h{i}r)
+)"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+SELECT role, entity_key, score_q FROM (
+  (SELECT 'authority' AS role,
+          CAST(node // 2 AS BIGINT) AS entity_key,
+          a AS score_q
+   FROM a{_HITS_ITERS} ORDER BY a DESC, node LIMIT {_HITS_TOP})
+  UNION ALL
+  (SELECT 'hub' AS role,
+          CAST(node // 2 AS BIGINT) AS entity_key,
+          h AS score_q
+   FROM h{_HITS_ITERS} ORDER BY h DESC, node LIMIT {_HITS_TOP})
+)
+ORDER BY role, score_q DESC, entity_key"""
+    )
+    return "".join(parts)
+
+
+def hits_scores(
+    spark: SparkSession, sf_dir: str, iters: int = _HITS_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """(hub, authority) integer score vectors after ``iters`` HITS
+    iterations over the DIRECTED customer→supplier purchase graph
+    (the bipartite orientation: customers are the only hub candidates,
+    suppliers the only authorities).
+
+    Per iteration the plan is the audited PageRank contribution join
+    run twice in alternation — authority(v) = Σ hub(u) over in-edges,
+    hub(u) = Σ authority(v) over out-edges — with an integer
+    renormalization between: divide every score by the scalar
+    q = max(S div {_HITS_MASS}, 1) where S is the vector's sum.  The
+    scalar enters the plan as a 1-row aggregate broadcast-cross-joined
+    against the node-sized vector (never collected), so the oracle can
+    replay it as a subquery and the whole operator stays
+    hash-checkable despite being iterative and normalized.
+
+    Scale: the edge list is persisted once and reused by all
+    2×``iters`` joins; per round only the node-sized score vector
+    shuffles (the q_graph_pagerank posture).  Divide-by-scalar keeps
+    every intermediate ≤ maxdeg·MASS ≈ 1e14 — structurally inside
+    int64 with no decimal widening on the hot path.
+    """
+    edges = persisted(_purchase_fwd(spark, sf_dir))
+    hub = edges.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(_HITS_H0).cast("long").alias("h"),
+    )
+    auth = None
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        s = raw.agg(F.sum(col).alias("s"))
+        return persisted(
+            raw.crossJoin(F.broadcast(s)).select(
+                "node",
+                F.expr(
+                    f"{col} div greatest(s div {_HITS_MASS}, 1L)"
+                )
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    for _ in range(iters):
+        auth = _normalize(
+            edges.join(hub, edges["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "node"),
+            "a",
+        )
+        hub = _normalize(
+            edges.join(auth, edges["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "node"),
+            "h",
+        )
+    return hub, auth
+
+
+@register("q_graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg, JACM '99): top-{TOP}
+    customers by hub score and top-{TOP} suppliers by authority score
+    after {ITERS} alternating iterations over the directed
+    customer→supplier purchase graph — the classic iterative-graph
+    operator the family lacked, sharing the PageRank contribution-join
+    plan with the roles swapped each half-step.
+
+    Integer fixed-point throughout (no float drift): scores renormalize
+    to a fixed total mass via divide-by-scalar, and the oracle unrolls
+    all {ITERS} iterations as CTEs replaying the arithmetic exactly —
+    iterative + normalized, yet fully hash-checked.  The top-k cuts
+    tiebreak on node id, so the result set is order-unique."""
+    hub, auth = hits_scores(spark, sf_dir)
+    top_auth = (
+        auth.select(
+            F.lit("authority").alias("role"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            F.col("a").alias("score_q"),
+            "node",
+        )
+        .orderBy(F.col("score_q").desc(), "node")
+        .limit(_HITS_TOP)
+        .drop("node")
+    )
+    top_hub = (
+        hub.select(
+            F.lit("hub").alias("role"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            F.col("h").alias("score_q"),
+            "node",
+        )
+        .orderBy(F.col("score_q").desc(), "node")
+        .limit(_HITS_TOP)
+        .drop("node")
+    )
+    return top_auth.unionAll(top_hub).orderBy(
+        "role", F.col("score_q").desc(), "entity_key"
+    )

@@ -772,6 +772,280 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# two-level coarse quantizer: hierarchical routing cuts assignment flops
+# ---------------------------------------------------------------------------
+
+# super-codebook size: ceil(sqrt(C)) over the C = ceil(sqrt(N)) fine
+# centroids — assignment drops from N·C = N·√N dots to N·(S + C/S) ≈
+# 2·N·N^(1/4) (the hierarchical/vocabulary-tree router of Nistér &
+# Stewénius CVPR'06, the same flop-cutting role the inverted
+# multi-index plays for product codebooks).  Expressed as a scalar
+# subquery so both engines derive the SAME S from the data at any SF.
+_SUPERS_SQL = (
+    "(SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT) "
+    "FROM embeddings)"
+)
+
+
+def n_super_for(n_cent: int) -> int:
+    """ceil(sqrt(C)) super-codebook size (must mirror _SUPERS_SQL)."""
+    import math
+
+    return max(1, int(math.ceil(math.sqrt(n_cent))))
+
+
+def _super_kmeans_sql(n_iters: int = _KMEANS_ITERS) -> tuple[str, str]:
+    """CTE chain REPLAYING the super-level Lloyd training over the fine
+    centroid relation ``c``: seed s0 = first ceil(sqrt(C)) centroids,
+    then ``n_iters`` rounds of (nearest-super assignment → element-wise
+    floor-mean, empty supers carrying forward) — the _kmeans_sql recipe
+    applied one level up, over C rows instead of N."""
+    parts = [
+        f""", s0 AS (
+  SELECT cent_id AS sup_id, cq AS sq FROM c WHERE cent_id < {_SUPERS_SQL}
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f""", ka{t} AS (
+  SELECT cent_id, sup_id, cq FROM (
+    SELECT c.cent_id, s.sup_id, c.cq,
+           row_number() OVER (
+             PARTITION BY c.cent_id
+             ORDER BY list_sum(list_transform(range(1, len(cq)+1),
+                      i -> cq[i] * sq[i])) DESC, s.sup_id) AS rn
+    FROM c CROSS JOIN s{t - 1} s
+  ) WHERE rn = 1
+), ks{t} AS (
+  SELECT sup_id, pos,
+         CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM (
+    SELECT sup_id,
+           unnest(range(1, len(cq)+1)) AS pos,
+           unnest(cq) AS x
+    FROM ka{t}
+  ) GROUP BY sup_id, pos
+), s{t} AS (
+  SELECT p.sup_id, coalesce(n.sq, p.sq) AS sq
+  FROM s{t - 1} p
+  LEFT JOIN (
+    SELECT sup_id, list(m ORDER BY pos) AS sq FROM ks{t} GROUP BY sup_id
+  ) n USING (sup_id)
+)"""
+        )
+    return "".join(parts), f"s{n_iters}"
+
+
+_SUP_CHAIN, _SUP_FINAL = _super_kmeans_sql()
+
+_IVF_TWOLEVEL_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v
+  WHERE vec_id < {_CENTROIDS_SQL}
+){_SUP_CHAIN}, route AS (
+  SELECT cent_id, sup_id FROM (
+    SELECT c.cent_id, s.sup_id,
+           row_number() OVER (
+             PARTITION BY c.cent_id
+             ORDER BY list_sum(list_transform(range(1, len(cq)+1),
+                      i -> cq[i] * sq[i])) DESC, s.sup_id) AS rn
+    FROM c CROSS JOIN {_SUP_FINAL} s
+  ) WHERE rn = 1
+), live AS (
+  SELECT s.sup_id, s.sq FROM {_SUP_FINAL} s
+  JOIN (SELECT DISTINCT sup_id FROM route) r USING (sup_id)
+), vsup AS (
+  SELECT vec_id, sup_id FROM (
+    SELECT v.vec_id, s.sup_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * sq[i])) DESC, s.sup_id) AS rn
+    FROM v CROSS JOIN live s
+  ) WHERE rn = 1
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v
+    JOIN vsup ON vsup.vec_id = v.vec_id
+    JOIN route r ON r.sup_id = vsup.sup_id
+    JOIN c ON c.cent_id = r.cent_id
+  ) WHERE rn = 1
+), qs AS (
+  SELECT v.vec_id AS query_id, v.q AS qq, a.cent_id
+  FROM v JOIN assign a USING (vec_id)
+  WHERE v.vec_id % {_QUERY_MOD} = 0
+  ORDER BY v.vec_id LIMIT {_MAX_QUERIES}
+), scored AS (
+  SELECT qs.query_id, v.vec_id AS neighbor_id, qs.cent_id,
+         list_sum(list_transform(range(1, len(qq)+1), i -> qq[i] * v.q[i]))
+           AS dot_q
+  FROM qs
+  JOIN assign a ON a.cent_id = qs.cent_id
+  JOIN v ON v.vec_id = a.vec_id AND v.vec_id <> qs.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cent_id, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(cent_id AS BIGINT) AS probed_centroid,
+       CAST(rank AS INT) AS rank,
+       floor(CAST(dot_q AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 AS cosine
+FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+def _super_quantizer(cent_ids, cent_mat, n_sup, n_iters: int = _KMEANS_ITERS):
+    """(sup_ids, sup_mat, route): DRIVER-LOCAL Lloyd over the C fine
+    centroid rows (they already live on the driver as the codebook
+    matrix — C = √N ≈ 31k rows × dim even at N = 1e9, a few MB), then
+    the fine→super routing table.
+
+    Mirrors :func:`_super_kmeans_sql` exactly: int64 dot argmax with
+    ties to the lowest sup_id (np.argmax takes the first max and the
+    seed rows ascend by id), floor(float64(sum)/count) means (per-super
+    per-dim |sums| ≤ C·1e8 ≈ 3e12 — exactly representable in float64,
+    so the floor is exact), empty supers carrying forward."""
+    import numpy as np
+
+    sup_ids = cent_ids[:n_sup].copy()
+    sup = cent_mat[:n_sup].copy()
+    for _ in range(n_iters):
+        best = (cent_mat @ sup.T).argmax(axis=1)
+        new = sup.copy()
+        for si in range(n_sup):
+            sel = cent_mat[best == si]
+            if len(sel):
+                new[si] = np.floor(
+                    sel.sum(axis=0).astype(np.float64) / len(sel)
+                ).astype(np.int64)
+        sup = new
+    route = (cent_mat @ sup.T).argmax(axis=1)
+    return sup_ids, sup, route
+
+
+@register("q_ann_ivf_twolevel", oracle=_IVF_TWOLEVEL_ORACLE)
+def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k behind a TWO-LEVEL coarse quantizer — the one real
+    scale gap left in the ANN family closed: single-level assignment is
+    N·√N dot products (the measured 31.6×/decade flop growth the
+    streaming index inherits); here each vector routes through
+    S = ceil(√C) ≈ N^(1/4) super-centroids to a candidate subset of
+    ~C/S fine centroids, cutting assignment to N·(S + C/S) ≈ 2·N·N^(1/4)
+    flops while the within-subset argmax stays the family's exact-int64
+    arithmetic (hierarchical k-means router — Nistér & Stewénius
+    CVPR'06 — in the flop-cutting role the inverted multi-index plays
+    for product codebooks).
+
+    The fine codebook is the SAME first-√N quantizer as q_ann_ivf_topk,
+    so the routing approximation is directly comparable: recall vs
+    brute force is asserted against the single-level form in pytest.
+    The super level trains with the deterministic Lloyd recipe ON the C
+    centroid rows — driver-local (the codebook already lives there) and
+    replayed step-for-step by the oracle, like q_ann_ivf_trained.
+    Supers that own no fine centroid are excluded from routing so every
+    vector lands in a real bucket (the oracle's `live` CTE — otherwise
+    an empty super's vectors would silently drop from the index).
+
+    Probe is unchanged (nprobe=1 within the routed bucket): the output
+    schema and ranking rule match q_ann_ivf_topk, only the assignment
+    path differs.
+    """
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.cache import persisted
+
+    v = _quantized(spark, sf_dir)
+    n_cent = n_centroids_for(v.count())
+    cent_ids, cent_mat = _query_matrix(
+        v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
+    )
+    sup_ids, sup_mat, route = _super_quantizer(
+        cent_ids, cent_mat, n_super_for(n_cent)
+    )
+    live = np.unique(route)  # ascending → argmax ties hit lowest sup_id
+    live_sup = sup_mat[live]
+    cand = {int(s): np.flatnonzero(route == s) for s in live}
+
+    def _assign2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            # level 1: B×S dots over live supers only
+            bs = live[(m @ live_sup.T).argmax(axis=1)]
+            out = np.empty(len(m), dtype=np.int64)
+            # level 2: exact argmax within each routed candidate subset
+            # (ci ascends by construction → ties to the lowest cent_id)
+            for s in np.unique(bs):
+                rows = np.flatnonzero(bs == s)
+                ci = cand[int(s)]
+                best = (m[rows] @ cent_mat[ci].T).argmax(axis=1)
+                out[rows] = cent_ids[ci[best]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cent_id": pd.Series(out, dtype="int64"),
+                    "q": pdf["q"],
+                }
+            )
+
+    assign = spread(v).mapInPandas(
+        _assign2, schema="vec_id long, cent_id long, q array<long>"
+    )
+    # queries routed on the driver with the IDENTICAL two-level rule
+    q_ids, q_mat = _query_matrix(
+        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERIES)
+    )
+    qbs = live[(q_mat @ live_sup.T).argmax(axis=1)]
+    q_cents = []
+    for s, qv in zip(qbs, q_mat):
+        ci = cand[int(s)]
+        q_cents.append(int(cent_ids[ci[(cent_mat[ci] @ qv).argmax()]]))
+    qs = spark.createDataFrame(
+        [
+            (int(qid), [int(x) for x in qv], cid)
+            for qid, qv, cid in zip(q_ids, q_mat, q_cents)
+        ],
+        schema="query_id long, qq array<long>, cent_id long",
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        assign.join(F.broadcast(qs), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cent_id").cast("long").alias("probed_centroid"),
+            dot_q.alias("dot_q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_K)
+        .select(
+            "query_id", "neighbor_id", "probed_centroid", "rank", _cosine_out()
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: cluster-bucketed semantic deduplication
 # ---------------------------------------------------------------------------
 

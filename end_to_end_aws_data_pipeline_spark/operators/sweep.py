@@ -2422,6 +2422,154 @@ def q_events_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pattern alternation: click view{n,m} (purchase|signup)
+# ---------------------------------------------------------------------------
+
+# terminal alphabet for the alternation family (batch + streaming share
+# it; streaming/pattern.py passes it into the same RLE fold the
+# quantified stream uses — an alphabet predicate, not new machinery)
+_PA_ALTS = ("purchase", "signup")
+
+_PA_ALTS_SQL = ", ".join(f"'{t}'" for t in _PA_ALTS)
+
+_PATTERN_ALT_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM ev
+), numbered AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run_idx
+  FROM flagged
+), runs AS (
+  SELECT user_id, run_idx, min(event_type) AS etype,
+         CAST(count(*) AS BIGINT) AS run_len, min(ts) AS run_start
+  FROM numbered GROUP BY user_id, run_idx
+), ctx AS (
+  SELECT *, lag(etype)  OVER (PARTITION BY user_id ORDER BY run_idx) AS prev_t,
+            lead(etype) OVER (PARTITION BY user_id ORDER BY run_idx) AS next_t
+  FROM runs
+), ma AS (
+  SELECT user_id, run_len, run_start, next_t,
+         (run_len BETWEEN {_PQ_LO} AND {_PQ_HI})
+           AND next_t IN ({_PA_ALTS_SQL}) AS ok
+  FROM ctx
+  WHERE etype = 'view' AND prev_t = 'click' AND next_t IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_matches,
+       CAST(COALESCE(sum(run_len) FILTER (WHERE ok), 0) AS BIGINT)
+         AS views_matched,
+       CAST(COALESCE(max(run_len) FILTER (WHERE ok), 0) AS BIGINT)
+         AS longest_view_run,
+       CAST(min(run_start) FILTER (WHERE ok) AS VARCHAR) AS first_match_start,
+       CAST(count(*) FILTER (WHERE ok AND next_t = 'purchase') AS BIGINT)
+         AS n_branch_purchase,
+       CAST(count(*) FILTER (WHERE ok AND next_t = 'signup') AS BIGINT)
+         AS n_branch_signup,
+       CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_alt_rejected
+FROM ma GROUP BY user_id
+"""
+
+
+@register("q_events_pattern_alternation", oracle=_PATTERN_ALT_ORACLE)
+def q_events_pattern_alternation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alternation row pattern ``click view{{n,m}} (purchase|signup)``
+    (SQL:2016 alternation over the terminal symbol, bounds shared with
+    q_events_pattern_quantified): the IDENTICAL RLE + lag/lead
+    composition — alternation over maximal runs is an ALPHABET
+    predicate (``next_t IN (...)``) on the closing neighbour, not new
+    machinery, exactly as the bounded quantifier was one predicate on
+    the run length. This completes the practical MATCH_RECOGNIZE
+    subset: symbols, +, {{n,m}}, and (B|C) all compile to predicates
+    over the run table.
+
+    Publishes per-user match stats, the per-branch accepted counts
+    (so the alternation is provably non-vacuous — BOTH branches must
+    fire at sf0.01, pinned in pytest), and the count of candidates
+    rejected by the quantifier-or-alphabet test.
+
+    Scale shape: unchanged — one user_id shuffle serves all windows,
+    state collapses events→runs before the predicate, final aggregate
+    is run-sized."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.when(
+            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    wr = W.partitionBy("user_id").orderBy("rn")
+    numbered = flagged.withColumn("run_idx", F.sum("chg").over(wr))
+    runs = numbered.groupBy("user_id", "run_idx").agg(
+        F.min("event_type").alias("etype"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+    wk = W.partitionBy("user_id").orderBy("run_idx")
+    ctx = runs.select(
+        "user_id",
+        "etype",
+        "run_len",
+        "run_start",
+        F.lag("etype").over(wk).alias("prev_t"),
+        F.lead("etype").over(wk).alias("next_t"),
+    )
+    ma = ctx.filter(
+        (F.col("etype") == "view")
+        & (F.col("prev_t") == "click")
+        & F.col("next_t").isNotNull()
+    ).select(
+        "user_id",
+        "run_len",
+        "run_start",
+        "next_t",
+        (
+            F.col("run_len").between(_PQ_LO, _PQ_HI)
+            & F.col("next_t").isin(*_PA_ALTS)
+        ).alias("ok"),
+    )
+    okl = F.when(F.col("ok"), F.col("run_len"))
+    return ma.groupBy("user_id").agg(
+        F.count(F.when(F.col("ok"), F.lit(1))).cast("long").alias("n_matches"),
+        F.coalesce(F.sum(okl), F.lit(0)).cast("long").alias("views_matched"),
+        F.coalesce(F.max(okl), F.lit(0)).cast("long").alias(
+            "longest_view_run"
+        ),
+        F.min(F.when(F.col("ok"), F.col("run_start")))
+        .cast("string")
+        .alias("first_match_start"),
+        F.count(
+            F.when(F.col("ok") & (F.col("next_t") == "purchase"), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_branch_purchase"),
+        F.count(
+            F.when(F.col("ok") & (F.col("next_t") == "signup"), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_branch_signup"),
+        F.count(F.when(~F.col("ok"), F.lit(1)))
+        .cast("long")
+        .alias("n_alt_rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Holt linear-trend smoothing (double exponential) over daily revenue
 # ---------------------------------------------------------------------------
 

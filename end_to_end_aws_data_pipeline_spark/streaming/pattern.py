@@ -403,6 +403,7 @@ def run_pattern_stream_rle(
     stop_after_batches: int | None = None,
     len_lo: int | None = None,
     len_hi: int | None = None,
+    terminals: tuple[str, ...] = ("purchase",),
 ) -> None:
     """Drain the staged chunks through the JVM-RLE pattern fold.
 
@@ -488,11 +489,14 @@ def run_pattern_stream_rle(
                 len_hi if len_hi is not None else (1 << 62),
             )
 
+        # alternation (B|C) over the closing symbol is an ALPHABET
+        # predicate on the neighbour run's type — same compilation as
+        # the batch composition, no new state or machinery
         run_match = (
             F.col("lead_t").isNotNull()
             & (F.col("etype") == "view")
             & (eff_prev == "click")
-            & (F.col("lead_t") == "purchase")
+            & F.col("lead_t").isin(*terminals)
             & _qlen(eff_len)
         )
         # the stored open run, closed by the batch's first run
@@ -501,7 +505,7 @@ def run_pattern_stream_rle(
             & ~cont
             & (F.col("open_t") == "view")
             & (F.col("prev_t") == "click")
-            & (F.col("etype") == "purchase")
+            & F.col("etype").isin(*terminals)
             & _qlen(F.col("open_len"))
         )
         e = j.select(
@@ -748,5 +752,62 @@ def q_stream_pattern_quantified(
     store = _fresh_run_dir(os.path.dirname(staged), "pattern_q_rle")
     run_pattern_stream_rle(
         spark, staged, store, len_lo=_PQ_LO, len_hi=_PQ_HI
+    )
+    return rle_final_matches(spark, store)
+
+
+def _pattern_alt_stream_oracle() -> str:
+    """The alternation batch oracle, projected to the stream's shape:
+    users with at least one accepted match, without the batch form's
+    branch-breakdown and rejected-candidate diagnostics (the state
+    fold tracks exactly the five published counters, so the stream
+    stays schema-identical to the other stream pattern forms)."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _PATTERN_ALT_ORACLE,
+    )
+
+    return (
+        "SELECT user_id, n_matches, views_matched, longest_view_run, "
+        "first_match_start FROM (" + _PATTERN_ALT_ORACLE + ") "
+        "WHERE n_matches > 0"
+    )
+
+
+@register("q_stream_pattern_alternation", oracle=_pattern_alt_stream_oracle())
+def q_stream_pattern_alternation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming form of the alternation pattern ``click view{n,m}
+    (purchase|signup)`` (bounds and alphabet shared with
+    q_events_pattern_alternation): the IDENTICAL JVM-RLE fold as the
+    quantified stream with the terminal ALPHABET passed down — both
+    the in-batch closing neighbour and the state-carried open run
+    close on any symbol of the alternation, so a view run split
+    across a batch boundary and closed by a 'signup' is accepted
+    exactly as the batch composition accepts it. Hashes against the
+    alternation batch oracle: symbol-alternation semantics are
+    driver-checked equal in both forms every round.
+
+    Result lifetime: execute the returned DataFrame before re-invoking
+    this query in the same process — the next invocation reaps this
+    one's store dir (_fresh_run_dir contract).
+    """
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        _PA_ALTS,
+        _PQ_HI,
+        _PQ_LO,
+    )
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    staged = staged_time_dir(os.path.join(sf_dir, "events.parquet"))
+    store = _fresh_run_dir(os.path.dirname(staged), "pattern_a_rle")
+    run_pattern_stream_rle(
+        spark,
+        staged,
+        store,
+        len_lo=_PQ_LO,
+        len_hi=_PQ_HI,
+        terminals=_PA_ALTS,
     )
     return rle_final_matches(spark, store)

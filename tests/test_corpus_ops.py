@@ -912,3 +912,28 @@ def test_personalized_pagerank_seed_locality(spark):
     assert any(r["is_seed"] for r in rows[:3])
     assert any(not r["is_seed"] for r in rows)
     assert all(s > 0 for s in scores)
+
+
+def test_hits_bipartite_roles_and_ordering(spark):
+    """HITS on the directed customer→supplier graph: authorities can
+    only be suppliers and hubs only customers (the bipartite
+    orientation), each role's block is score-descending with positive
+    scores, the hub block is exactly TOP rows, and the authority block
+    is min(TOP, |suppliers|) — sf0.001 has only 10 suppliers total, so
+    all 10 must rank."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _HITS_TOP,
+        q_graph_hits,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_graph_hits(spark, SF_SMOKE).collect()
+    auth = [r for r in rows if r["role"] == "authority"]
+    hub = [r for r in rows if r["role"] == "hub"]
+    assert len(auth) + len(hub) == len(rows)
+    assert len(hub) == _HITS_TOP
+    assert 0 < len(auth) <= _HITS_TOP
+    for block in (auth, hub):
+        scores = [r["score_q"] for r in block]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)

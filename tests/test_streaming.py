@@ -755,3 +755,44 @@ def test_ann_index_stream_restart_and_batch_equality(spark, tmp_path):
         tuple(r) for r in final_index(spark, store2).collect()
     )
     assert got_resumed == got_clean
+
+
+def test_pattern_alternation_batch_stream_equal_and_nonvacuous(spark):
+    """The terminal alternation (purchase|signup) must (a) fire through
+    BOTH branches at sf0.01 (alternation non-vacuous, the quantified
+    form's planted-fixture doctrine), (b) reject some candidates (the
+    alphabet-or-bound test actually excludes something), and (c)
+    produce identical per-user stats from the batch composition and
+    the streaming RLE fold with the alphabet passed down — including
+    batch-boundary-spanning runs closed by either terminal symbol."""
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_events_pattern_alternation,
+    )
+    from end_to_end_aws_data_pipeline_spark.streaming.pattern import (
+        q_stream_pattern_alternation,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = q_events_pattern_alternation(spark, SF_ORACLE).collect()
+    assert sum(r["n_branch_purchase"] for r in rows) > 0
+    assert sum(r["n_branch_signup"] for r in rows) > 0
+    assert sum(r["n_alt_rejected"] for r in rows) > 0
+    for r in rows:
+        assert r["n_matches"] == r["n_branch_purchase"] + r["n_branch_signup"]
+
+    want = sorted(
+        (
+            r["user_id"],
+            r["n_matches"],
+            r["views_matched"],
+            r["longest_view_run"],
+            r["first_match_start"],
+        )
+        for r in rows
+        if r["n_matches"] > 0
+    )
+    got = sorted(
+        tuple(r)
+        for r in q_stream_pattern_alternation(spark, SF_ORACLE).collect()
+    )
+    assert got == want and len(want) > 0
