@@ -1908,47 +1908,71 @@ def hits_scores(
     replay it as a subquery and the whole operator stays
     hash-checkable despite being iterative and normalized.
 
-    Scale: the edge list is persisted once and reused by all
-    2×``iters`` joins; per round only the node-sized score vector
-    shuffles (the q_graph_pagerank posture).  Divide-by-scalar keeps
-    every intermediate ≤ maxdeg·MASS ≈ 1e14 — structurally inside
-    int64 with no decimal widening on the hot path.
+    Scale: the join strategy is size-aware, the HyperANF regime pick
+    (_HA_BCAST_NODES) applied to two coupled vectors — below the
+    threshold the node-sized score vector BROADCASTS into each
+    half-step join (zero edge movement per round); above it, edges
+    persist pre-partitioned by src AND
+    by dst (HITS alternates join keys, so each direction pays its
+    shuffle ONCE at build) and per round only the node-sized vector
+    shuffles, with the message stream explicitly repartitioned on the
+    group key before the aggregate (the HyperANF partial-agg spill
+    lesson).  Divide-by-scalar normalization keeps every intermediate
+    ≤ maxdeg·MASS ≈ 1e14 — structurally inside int64 with no decimal
+    widening on the hot path.  Each half-step's raw aggregate is
+    eagerly localCheckpoint'ed: six stacked crossJoin+broadcast plans
+    made ANALYSIS the dominant cost (20 s warm on a 600-row fixture,
+    all driver time — 22.7 → 10.5 s one-shot at sf0.1 after
+    truncation), and the checkpointed leaf also feeds the scalar's
+    BroadcastExchange job without re-running the contribution join.
     """
     edges = persisted(_purchase_fwd(spark, sf_dir))
+    n_nodes = edges.agg(
+        (
+            F.countDistinct("src") + F.countDistinct("dst")
+        ).alias("n")
+    ).first()["n"]
+    small = n_nodes <= _HA_BCAST_NODES
+    if small:
+        e_src = e_dst = edges
+    else:
+        e_src = persisted(edges.repartition("src"))
+        e_dst = persisted(edges.repartition("dst"))
     hub = edges.select("src").distinct().select(
         F.col("src").alias("node"),
         F.lit(_HITS_H0).cast("long").alias("h"),
     )
     auth = None
 
-    def _normalize(raw: DataFrame, col: str) -> DataFrame:
-        s = raw.agg(F.sum(col).alias("s"))
-        return persisted(
-            raw.crossJoin(F.broadcast(s)).select(
-                "node",
-                F.expr(
-                    f"{col} div greatest(s div {_HITS_MASS}, 1L)"
-                )
-                .cast("long")
-                .alias(col),
-            )
+    def _half(e: DataFrame, vec: DataFrame, key: str, out_key: str,
+              vcol: str, out: str) -> DataFrame:
+        rhs = F.broadcast(vec) if small else vec
+        msg = e.join(rhs, e[key] == vec["node"]).select(out_key, vcol)
+        if not small:
+            msg = msg.repartition(out_key)
+        # eager localCheckpoint, not persist: each half-step stacks a
+        # crossJoin + broadcast on the previous one's plan, and SIX of
+        # those nested made ANALYSIS the cost (20 s warm at sf0.001 —
+        # 600 rows — all driver time).  Checkpointing the node-sized
+        # raw aggregate truncates the lineage to a leaf per half-step,
+        # the q_graph_pagerank deep-runner lesson applied at depth 6.
+        raw = (
+            msg.groupBy(out_key)
+            .agg(F.sum(vcol).alias(out))
+            .withColumnRenamed(out_key, "node")
+            .localCheckpoint(eager=True)
+        )
+        s = raw.agg(F.sum(out).alias("s"))
+        return raw.crossJoin(F.broadcast(s)).select(
+            "node",
+            F.expr(f"{out} div greatest(s div {_HITS_MASS}, 1L)")
+            .cast("long")
+            .alias(out),
         )
 
     for _ in range(iters):
-        auth = _normalize(
-            edges.join(hub, edges["src"] == hub["node"])
-            .groupBy("dst")
-            .agg(F.sum("h").alias("a"))
-            .withColumnRenamed("dst", "node"),
-            "a",
-        )
-        hub = _normalize(
-            edges.join(auth, edges["dst"] == auth["node"])
-            .groupBy("src")
-            .agg(F.sum("a").alias("h"))
-            .withColumnRenamed("src", "node"),
-            "h",
-        )
+        auth = _half(e_src, hub, "src", "dst", "h", "a")
+        hub = _half(e_dst, auth, "dst", "src", "a", "h")
     return hub, auth
 
 

@@ -1328,3 +1328,43 @@ def test_mv_join_delta_plan_posture(spark):
     assert "CartesianProduct" not in p and "Python" not in p
     assert has_pushed_filters(mv, "o_orderdate")
     assert has_pushed_filters(mv, "l_shipdate")
+
+
+def test_round12_plan_posture(spark):
+    """New round-12 ops keep the contract: HITS half-steps read
+    checkpointed leaves (no nested analysis blowup) with the score
+    vector broadcast in the small regime and no cartesian anywhere;
+    the two-level quantizer's Python is exactly ONE Arrow-batched
+    assignment pass with the query set broadcast; alternation adds an
+    IN predicate, not a shuffle (single user_id exchange, no Python)."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        q_graph_hits,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        q_ann_ivf_twolevel,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.sweep import (
+        q_events_pattern_alternation,
+    )
+
+    p = physical_plan(q_graph_hits(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "Python" not in p
+    # lineage truncated: the last half-steps join checkpointed RDD
+    # leaves, not the full nested contribution-join tree
+    assert "ExistingRDD" in p or "LocalTableScan" in p
+    assert "BroadcastHashJoin" in p  # small regime: vector broadcasts
+
+    p = physical_plan(q_ann_ivf_twolevel(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert p.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in p
+
+    pa = q_events_pattern_alternation(spark, SF_SMOKE)
+    p = physical_plan(pa)
+    assert p.count("Scan parquet") == 1
+    assert "Python" not in p
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+    from end_to_end_aws_data_pipeline_spark.cache import release_all
+
+    release_all()

@@ -84,6 +84,30 @@ SHOWCASE = {
         "list (InMemoryTableScan reuse), rank vector co-shuffled on src",
         "pure int64 rank arithmetic — no floats anywhere in the plan",
     ],
+    "q_graph_hits": [
+        "alternating contribution joins read checkpointed leaves "
+        "(LocalTableScan/ExistingRDD per half-step — lineage "
+        "truncated; analysis cost stays flat in iterations)",
+        "score vector BROADCASTS below the node threshold "
+        "(BroadcastHashJoin, zero edge movement per half-step)",
+        "normalizer is a 1-row BroadcastNestedLoopJoin — the scalar "
+        "never collects to the driver",
+    ],
+    "q_ann_ivf_twolevel": [
+        "assignment is ONE mapInPandas pass (ArrowEvalPython/"
+        "MapInPandas) — two small matmuls per batch, no per-pair "
+        "expression fold",
+        "probe join BROADCASTS the 64-query set on cent_id; corpus "
+        "side never re-shuffles",
+        "top-k per query via window rank over bucket-sized input, "
+        "no global sort",
+    ],
+    "q_events_pattern_alternation": [
+        "ONE hash exchange on user_id serves all three window passes "
+        "(row_number, run windows, lag/lead) and the final aggregate",
+        "alternation is a plain IN predicate over the run table — "
+        "no extra shuffle vs the unquantified pattern",
+    ],
     "q_timeseries_gapfill": [
         "both bracketing lookups are RUNNING window frames "
         "([unboundedPreceding, currentRow]; the 'next' side over "
