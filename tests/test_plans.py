@@ -1349,10 +1349,13 @@ def test_round12_plan_posture(spark):
 
     p = physical_plan(q_graph_hits(spark, SF_SMOKE))
     assert "CartesianProduct" not in p and "Python" not in p
-    # lineage truncated: the last half-steps join checkpointed RDD
-    # leaves, not the full nested contribution-join tree
+    # lineage truncated: the returned top-k plan reads checkpointed
+    # RDD leaves — the contribution joins already executed eagerly
+    # inside the half-step checkpoints, so the final plan must NOT
+    # contain the nested join tree (that was the 20-s-warm-analysis
+    # failure mode)
     assert "ExistingRDD" in p or "LocalTableScan" in p
-    assert "BroadcastHashJoin" in p  # small regime: vector broadcasts
+    assert "Scan parquet" not in p  # no re-derivation from the corpus
 
     p = physical_plan(q_ann_ivf_twolevel(spark, SF_SMOKE))
     assert "CartesianProduct" not in p

@@ -85,13 +85,14 @@ SHOWCASE = {
         "pure int64 rank arithmetic — no floats anywhere in the plan",
     ],
     "q_graph_hits": [
-        "alternating contribution joins read checkpointed leaves "
-        "(LocalTableScan/ExistingRDD per half-step — lineage "
-        "truncated; analysis cost stays flat in iterations)",
-        "score vector BROADCASTS below the node threshold "
-        "(BroadcastHashJoin, zero edge movement per half-step)",
-        "normalizer is a 1-row BroadcastNestedLoopJoin — the scalar "
-        "never collects to the driver",
+        "final top-k plan reads ExistingRDD leaves ONLY — the "
+        "alternating contribution joins executed eagerly inside the "
+        "per-half-step localCheckpoints (lineage truncated; six "
+        "nested crossJoin plans made ANALYSIS cost 20 s warm on 600 "
+        "rows before truncation)",
+        "no corpus re-scan, no cartesian; the vector broadcast / "
+        "dual-partitioned regimes live inside the checkpointed "
+        "half-steps (size-aware, the HyperANF pick)",
     ],
     "q_ann_ivf_twolevel": [
         "assignment is ONE mapInPandas pass (ArrowEvalPython/"
