@@ -255,6 +255,12 @@ HEADLINE = (
     "q_stream_ann_index",
     "q_graph_harmonic_centrality",
     "q_graph_pagerank_personalized",
+    # round-12 additions
+    "q_graph_hits",
+    "q_ann_ivf_twolevel",
+    "q_events_pattern_alternation",
+    "q_stream_pattern_alternation",
+    "q_stream_ann_index_twolevel",
 )
 
 
@@ -371,11 +377,19 @@ def main() -> None:
     names = tuple(only.split(",")) if only else HEADLINE
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-query wall-clock offset from run start: start stamps cannot
+    # see a MID-RUN stall window (run 0009 started at load 0.76 / PSI
+    # 0.0 and still read queries #147-158 at 3-6x their record values —
+    # a 12-query contiguous cluster, i.e. a transient window, which the
+    # offsets make attributable instead of inferential)
+    t_offsets: dict[str, float] = {}
+    t_run0 = time.perf_counter()
     for name in names:
         fn = qs.get(name)
         if fn is None:
             continue
         best = None
+        t_offsets[name] = round(time.perf_counter() - t_run0, 1)
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         try:
             for _ in range(reps):
@@ -448,6 +462,9 @@ def main() -> None:
             )
     if errors:
         record["errors"] = errors
+    # per-query start offsets go to the DETAIL artifacts only (the
+    # stdout line has a 1500-char budget); popped again before printing
+    record["query_t_offsets"] = t_offsets
     # full per-query detail always lands in a file next to bench.py ...
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo_dir, "bench_detail.json")
@@ -494,6 +511,7 @@ def main() -> None:
     # the headline).  If the full map overflows the budget, keep only the
     # slowest queries that fit and say how many were elided and where the
     # rest live.
+    record.pop("query_t_offsets", None)
     line = json.dumps(record)
     if len(line) > 1500:
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])

@@ -838,12 +838,12 @@ def _super_kmeans_sql(n_iters: int = _KMEANS_ITERS) -> tuple[str, str]:
 
 _SUP_CHAIN, _SUP_FINAL = _super_kmeans_sql()
 
-_IVF_TWOLEVEL_ORACLE = f"""
-WITH v AS ({_QV_SQL}
-), c AS (
-  SELECT vec_id AS cent_id, q AS cq FROM v
-  WHERE vec_id < {_CENTROIDS_SQL}
-){_SUP_CHAIN}, route AS (
+# shared two-level routing CTEs (fine codebook `c` + super chain must
+# precede this fragment; consumers append their own `assign` on top):
+# fine→super routing table, live supers (own ≥1 centroid — an empty
+# super must not capture vectors, they would drop from the index),
+# and each vector's super via exact argmax over the live set
+_TWOLEVEL_ROUTING_SQL = f""", route AS (
   SELECT cent_id, sup_id FROM (
     SELECT c.cent_id, s.sup_id,
            row_number() OVER (
@@ -864,7 +864,14 @@ WITH v AS ({_QV_SQL}
                       i -> q[i] * sq[i])) DESC, s.sup_id) AS rn
     FROM v CROSS JOIN live s
   ) WHERE rn = 1
-), assign AS (
+)"""
+
+_IVF_TWOLEVEL_ORACLE = f"""
+WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v
+  WHERE vec_id < {_CENTROIDS_SQL}
+){_SUP_CHAIN}{_TWOLEVEL_ROUTING_SQL}, assign AS (
   SELECT vec_id, cent_id FROM (
     SELECT v.vec_id, c.cent_id,
            row_number() OVER (

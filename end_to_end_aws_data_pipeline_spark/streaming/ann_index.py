@@ -135,6 +135,86 @@ def _frozen_quantizer(spark: SparkSession, sf_dir: str):
     return _query_matrix(v.filter(F.col("vec_id") < n_cent).orderBy("vec_id"))
 
 
+def _frozen_quantizer_twolevel(spark: SparkSession, sf_dir: str):
+    """(cent_ids, cent_mat, live, live_sup, cand): the two-level
+    frozen model — the q_ann_ivf_twolevel recipe (same fine codebook
+    as the single-level index, super level Lloyd-trained driver-local
+    on the C centroid rows, dead supers excluded), trained offline
+    before the stream starts."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _query_matrix,
+        _quantized,
+        _super_quantizer,
+        n_centroids_for,
+        n_super_for,
+    )
+
+    v = _quantized(spark, sf_dir)
+    n_cent = n_centroids_for(v.count())
+    cent_ids, cent_mat = _query_matrix(
+        v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
+    )
+    _sup_ids, sup_mat, route = _super_quantizer(
+        cent_ids, cent_mat, n_super_for(n_cent)
+    )
+    live = np.unique(route)
+    cand = {int(s): np.flatnonzero(route == s) for s in live}
+    return cent_ids, cent_mat, live, sup_mat[live], cand
+
+
+def _assign_batch_twolevel(
+    bdf: DataFrame, cent_ids, cent_mat, live, live_sup, cand
+) -> DataFrame:
+    """Two-level routing of one micro-batch: B×S super argmax, then
+    exact-int64 argmax within the routed candidate subset — the
+    maintained index inherits the router's ~2·N^(1/4) assignment cost
+    instead of the √N it inherited from the single-level quantizer
+    (the round-11 verdict's named inheritance)."""
+    import numpy as np
+
+    from end_to_end_aws_data_pipeline_spark.functions.vector import (
+        l2_normalize,
+    )
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _Q_SCALE,
+    )
+
+    quant = F.transform(
+        l2_normalize(F.col("embedding")),
+        lambda x: F.round(x * _Q_SCALE).cast("long"),
+    )
+    q = bdf.select("vec_id", quant.alias("q"))
+
+    def _route(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["q"]), dtype=np.int64)
+            bs = live[(m @ live_sup.T).argmax(axis=1)]
+            out_c = np.empty(len(m), dtype=np.int64)
+            out_d = np.empty(len(m), dtype=np.int64)
+            for s in np.unique(bs):
+                rows = np.flatnonzero(bs == s)
+                ci = cand[int(s)]
+                dots = m[rows] @ cent_mat[ci].T
+                best = dots.argmax(axis=1)
+                out_c[rows] = cent_ids[ci[best]]
+                out_d[rows] = dots[np.arange(len(best)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cent_id": pd.Series(out_c, dtype="int64"),
+                    "dot_c": pd.Series(out_d, dtype="int64"),
+                }
+            )
+
+    return q.mapInPandas(
+        _route, schema="vec_id long, cent_id long, dot_c long"
+    )
+
+
 def _assign_batch(bdf: DataFrame, cent_ids, cent_mat) -> DataFrame:
     """Quantize one micro-batch and route each vector to its nearest
     frozen centroid — the batch IVF's exact-int64 argmax (ties to the
@@ -183,9 +263,16 @@ def run_ann_index_stream(
     store: str,
     ckpt: str | None = None,
     stop_after_batches: int | None = None,
+    twolevel: bool = False,
 ) -> None:
-    """Drain the staged chunks through the index-maintenance fold."""
-    cent_ids, cent_mat = _frozen_quantizer(spark, sf_dir)
+    """Drain the staged chunks through the index-maintenance fold.
+    ``twolevel`` swaps the frozen single-level quantizer for the
+    hierarchical router (same fold, same store discipline — only the
+    per-batch routing pass differs)."""
+    if twolevel:
+        model2 = _frozen_quantizer_twolevel(spark, sf_dir)
+    else:
+        cent_ids, cent_mat = _frozen_quantizer(spark, sf_dir)
     schema = _cached_schema(spark, os.path.join(staged, "chunk_0.parquet"))
     src = (
         spark.readStream.schema(schema)
@@ -195,7 +282,10 @@ def run_ann_index_stream(
     seen = {"n": 0}
 
     def upd(bdf: DataFrame, bid: int) -> None:
-        assign = _assign_batch(bdf, cent_ids, cent_mat)
+        if twolevel:
+            assign = _assign_batch_twolevel(bdf, *model2)
+        else:
+            assign = _assign_batch(bdf, cent_ids, cent_mat)
         wk = W.partitionBy("cent_id").orderBy(
             F.col("dot_c").desc(), "vec_id"
         )
@@ -390,4 +480,83 @@ def q_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = staged_vec_dir(os.path.join(sf_dir, "embeddings.parquet"))
     store = _fresh_run_dir(os.path.dirname(staged), "annidx")
     run_ann_index_stream(spark, sf_dir, staged, store)
+    return final_index(spark, store)
+
+
+def _ann_index_twolevel_oracle() -> str:
+    """From-scratch batch construction behind the two-level router:
+    the q_ann_ivf_twolevel training + routing CTEs (super Lloyd chain,
+    fine→super route, live supers, per-vector super) with the
+    index-shaped assign (carries dot_c) and the same buckets/shortlist
+    tail as the single-level index oracle."""
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _CENTROIDS_SQL,
+        _QV_SQL,
+        _SUP_CHAIN,
+        _TWOLEVEL_ROUTING_SQL,
+    )
+
+    return f"""
+WITH v AS ({_QV_SQL}
+), c AS (
+  SELECT vec_id AS cent_id, q AS cq FROM v
+  WHERE vec_id < {_CENTROIDS_SQL}
+){_SUP_CHAIN}{_TWOLEVEL_ROUTING_SQL}, assign AS (
+  SELECT vec_id, cent_id, dot_c FROM (
+    SELECT v.vec_id, c.cent_id,
+           CAST(list_sum(list_transform(range(1, len(q)+1),
+                i -> q[i] * cq[i])) AS BIGINT) AS dot_c,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q)+1),
+                      i -> q[i] * cq[i])) DESC, c.cent_id) AS rn
+    FROM v
+    JOIN vsup ON vsup.vec_id = v.vec_id
+    JOIN route r ON r.sup_id = vsup.sup_id
+    JOIN c ON c.cent_id = r.cent_id
+  ) WHERE rn = 1
+), buckets AS (
+  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(vec_id) AS BIGINT) AS id_checksum
+  FROM assign GROUP BY cent_id
+), ranked AS (
+  SELECT cent_id, vec_id, dot_c,
+         row_number() OVER (PARTITION BY cent_id
+                            ORDER BY dot_c DESC, vec_id) AS rank
+  FROM assign
+)
+SELECT b.cent_id, b.n_members, b.id_checksum,
+       CAST(r.rank AS INT) AS rank, r.vec_id AS member_id, r.dot_c
+FROM buckets b JOIN ranked r USING (cent_id)
+WHERE r.rank <= {_AI_TOPK}
+"""
+
+
+@register("q_stream_ann_index_twolevel", oracle=_ann_index_twolevel_oracle())
+def q_stream_ann_index_twolevel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming IVF index maintenance behind the TWO-LEVEL router:
+    identical fold, store discipline, and batch≡stream hash contract
+    as q_stream_ann_index, but each micro-batch routes through the
+    frozen hierarchical quantizer (super argmax → candidate subset →
+    exact fine argmax) — closing the round-11 verdict's note that the
+    maintained index inherits the single-level N·√N assignment cost.
+    The oracle rebuilds the index from scratch behind the SAME router
+    (training replayed as CTEs), so "maintained ≡ rebuilt" holds for
+    the hierarchical form too.
+
+    Result lifetime: execute the returned DataFrame before re-invoking
+    this query in the same process — the next invocation reaps this
+    one's store dir (_fresh_run_dir contract).
+    """
+    from end_to_end_aws_data_pipeline_spark.session import ensure_runtime_confs
+    from end_to_end_aws_data_pipeline_spark.streaming.pattern import (
+        _fresh_run_dir,
+    )
+
+    ensure_runtime_confs(spark)
+    staged = staged_vec_dir(os.path.join(sf_dir, "embeddings.parquet"))
+    store = _fresh_run_dir(os.path.dirname(staged), "annidx2")
+    run_ann_index_stream(spark, sf_dir, staged, store, twolevel=True)
     return final_index(spark, store)

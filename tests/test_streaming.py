@@ -796,3 +796,50 @@ def test_pattern_alternation_batch_stream_equal_and_nonvacuous(spark):
         for r in q_stream_pattern_alternation(spark, SF_ORACLE).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_ann_index_twolevel_mass_conservation_and_distinct_routing(spark):
+    """The two-level-routed maintained index must (a) conserve mass —
+    Σ n_members equals the corpus size and Σ id_checksum equals
+    Σ vec_id (every vector lands in exactly ONE bucket: the live-super
+    guard means no vector drops when a super owns no centroid), and
+    (b) actually route differently from the single-level index for
+    SOME vectors (the router is an approximation, not a rename) while
+    drawing buckets from the same fine codebook."""
+    from end_to_end_aws_data_pipeline_spark.streaming.ann_index import (
+        q_stream_ann_index,
+        q_stream_ann_index_twolevel,
+    )
+    from tests.conftest import SF_SMOKE
+
+    one = q_stream_ann_index(spark, SF_SMOKE).collect()
+    # materialize fully before re-invoking into the same staged base
+    # (_fresh_run_dir result-lifetime contract)
+    two = q_stream_ann_index_twolevel(spark, SF_SMOKE).collect()
+
+    import duckdb
+
+    con = duckdb.connect()
+    n, vid_sum = con.execute(
+        f"SELECT count(*), sum(vec_id) FROM "
+        f"'{SF_SMOKE}/embeddings.parquet'"
+    ).fetchone()
+
+    def per_bucket(rows):
+        return {
+            r["cent_id"]: (r["n_members"], r["id_checksum"]) for r in rows
+        }
+
+    b1, b2 = per_bucket(one), per_bucket(two)
+    for b in (b1, b2):
+        assert sum(v[0] for v in b.values()) == n
+        assert sum(v[1] for v in b.values()) == vid_sum
+    assert b1 != b2  # routing differs somewhere
+    # same id space: every bucket is one of the first-ceil(√N) fine
+    # centroids in BOTH forms (the router changes assignment, not the
+    # codebook)
+    import math
+
+    n_cent = math.ceil(math.sqrt(n))
+    assert all(c < n_cent for c in b1)
+    assert all(c < n_cent for c in b2)
