@@ -261,6 +261,9 @@ HEADLINE = (
     "q_events_pattern_alternation",
     "q_stream_pattern_alternation",
     "q_stream_ann_index_twolevel",
+    "q_timeseries_ccf",
+    "q_graph_random_walks",
+    "q_graph_scc",
 )
 
 

@@ -2016,3 +2016,523 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_auth.unionAll(top_hub).orderBy(
         "role", F.col("score_q").desc(), "entity_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk corpus (DeepWalk-style walk generation)
+# ---------------------------------------------------------------------------
+
+_RW_STEPS = 8
+_RW_SEED_MOD = 97  # seeds: customers with custkey % 97 == 0 (khop's set)
+
+
+def _rw_oracle() -> str:
+    """Unrolled {_RW_STEPS}-step hash-routed walks as chained CTEs."""
+    parts = [
+        f"""
+WITH e0 AS ({_PR_EDGES_SQL}
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM edges
+), w0 AS (
+  SELECT src AS seed, src AS node FROM (
+    SELECT DISTINCT src FROM edges
+    WHERE src % 2 = 0 AND (src // 2) % {_RW_SEED_MOD} = 0
+  )
+)"""
+    ]
+    for t in range(1, _RW_STEPS + 1):
+        parts.append(
+            f""", w{t} AS (
+  SELECT w.seed, a.dst AS node
+  FROM w{t - 1} w JOIN adj a ON a.src = w.node
+   AND a.idx = ('0x' || substr(md5(
+         'rw-' || CAST(w.node AS VARCHAR) || '-{t}'), 1, 15))::BIGINT
+       % a.deg
+)"""
+        )
+    steps = "\n  UNION ALL\n  ".join(
+        f"SELECT seed, CAST({t} AS INT) AS step, node FROM w{t}"
+        for t in range(_RW_STEPS + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(seed // 2 AS BIGINT) AS walk_seed, step,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS entity_key
+FROM (
+  {steps}
+)
+ORDER BY walk_seed, step"""
+    )
+    return "".join(parts)
+
+
+@register("q_graph_random_walks", oracle=_rw_oracle())
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk corpus generation (DeepWalk, KDD '14 / node2vec,
+    KDD '16 — the walk-sampling stage only): one {_RW_STEPS}-step walk
+    from every seed customer over the undirected purchase graph — the
+    training-data pipeline op that turns a graph into a sequence corpus
+    for embedding training (each walk is a "sentence" of node tokens).
+
+    Determinism instead of RNG: the step out of node v at time t picks
+    neighbor index md5_60bit('rw-<v>-<t>') mod deg(v) over the
+    dst-sorted adjacency — a fixed function of (node, step), so the
+    corpus is reproducible run-to-run AND replayable by the oracle,
+    which unrolls all {_RW_STEPS} steps as chained CTEs making the
+    identical md5 choice (the hash-routed analogue of a seeded RNG;
+    same md5→int idiom as q_graph_triangles_doulion's edge sampler).
+
+    Scale shape: the adjacency (idx via one row_number window, deg via
+    the same partition — ONE shuffle by src at build) persists across
+    all steps; each step is one BROADCAST hash join of the seed-sized
+    frontier into the cached adjacency — zero shuffle per step, walk
+    extension is embarrassingly parallel. The frontier is bounded by
+    the seed modulus (|customers|/{_RW_SEED_MOD}); for walk corpora at
+    1e9-node scale raise the modulus or flip the join to the
+    (src,idx)-co-partitioned form the HITS large regime uses. Each
+    frontier localCheckpoints so {_RW_STEPS} stacked joins never grow
+    the analyzed plan (the HITS depth-6 analysis-time lesson)."""
+    fwd = _purchase_fwd(spark, sf_dir)
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("src").orderBy("dst")
+    adj = persisted(
+        edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count(F.lit(1)).over(W.partitionBy("src")).alias("deg"),
+        )
+    )
+    frontier = (
+        edges.select("src")
+        .filter(
+            (F.col("src") % 2 == 0)
+            & (F.expr(f"(src div 2) % {_RW_SEED_MOD}") == 0)
+        )
+        .distinct()
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = [frontier.select("seed", F.lit(0).cast("int").alias("step"), "node")]
+    for t in range(1, _RW_STEPS + 1):
+        pick = F.expr(
+            f"cast(conv(substring(md5(concat_ws('-', 'rw', node, {t})),"
+            " 1, 15), 16, 10) as bigint)"
+        )
+        frontier = (
+            adj.join(F.broadcast(frontier), adj["src"] == frontier["node"])
+            .filter(F.col("idx") == pick % F.col("deg"))
+            .select("seed", F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            frontier.select(
+                "seed", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    walks = out[0]
+    for df in out[1:]:
+        walks = walks.unionAll(df)
+    return walks.select(
+        F.expr("seed div 2").cast("long").alias("walk_seed"),
+        "step",
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("entity_key"),
+    ).orderBy("walk_seed", "step")
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (coloring algorithm over the
+# part-successor digraph)
+# ---------------------------------------------------------------------------
+
+_SCC_SPARSIFY = 8   # keep a deterministic 1/8 of successor edges
+_SCC_MAX_OUTER = 30
+_SCC_MAX_INNER = 64
+
+_SCC_EDGES_SQL = f"""
+  WITH rep AS (
+    SELECT l_orderkey AS okey, min(l_partkey) AS part
+    FROM lineitem GROUP BY 1
+  ), seq AS (
+    SELECT r.part,
+           lag(r.part) OVER (PARTITION BY o.o_custkey
+                             ORDER BY o.o_orderdate, o.o_orderkey) AS prev
+    FROM orders o JOIN rep r ON r.okey = o.o_orderkey
+  ), e AS (
+    SELECT DISTINCT prev AS src, part AS dst FROM seq
+    WHERE prev IS NOT NULL AND prev <> part
+  )
+  SELECT src, dst FROM e
+  WHERE ('0x' || substr(md5('scc-' || CAST(src AS VARCHAR) || '-' ||
+         CAST(dst AS VARCHAR)), 1, 15))::BIGINT % {_SCC_SPARSIFY} = 0
+"""
+
+# Oracle: algorithm-independent ground truth — v,w share an SCC iff
+# mutually reachable; label = least mutual node. The recursive closure
+# is sf0.01-sized only (the driver never runs oracles above that).
+_SCC_ORACLE = f"""
+WITH RECURSIVE edges AS ({_SCC_EDGES_SQL}
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+), mutual AS (
+  SELECT r1.a AS v, r1.b AS w FROM reach r1
+  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+), lab AS (
+  SELECT v, least(v, min(w)) AS scc FROM mutual GROUP BY v
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), nontrivial AS (
+  SELECT CAST(scc AS BIGINT) AS scc_id,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(v) AS BIGINT) AS node_sum
+  FROM lab GROUP BY scc
+), singleton AS (
+  SELECT CAST(-1 AS BIGINT) AS scc_id,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(coalesce(sum(node), 0) AS BIGINT) AS node_sum
+  FROM nodes n WHERE NOT EXISTS (SELECT 1 FROM lab WHERE lab.v = n.node)
+)
+SELECT scc_id, n_nodes, node_sum FROM nontrivial
+UNION ALL
+SELECT scc_id, n_nodes, node_sum FROM singleton
+ORDER BY n_nodes DESC, scc_id
+"""
+
+
+def _scc_digraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparsified part-successor digraph: for each customer's orders in
+    date order, an edge from the previous order's representative part
+    (min partkey) to the next's; a deterministic md5 coin keeps 1 in
+    {_SCC_SPARSIFY} distinct edges so mean degree — and hence SCC
+    regime — is scale-invariant. Matches _SCC_EDGES_SQL row-for-row."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    rep = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.min("l_partkey").alias("part")
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(rep, o["o_orderkey"] == rep["okey"])
+        .select("o_custkey", "o_orderdate", "o_orderkey", "part")
+        .withColumn("prev", F.lag("part").over(w))
+    )
+    e = (
+        seq.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("part")))
+        .select(F.col("prev").alias("src"), F.col("part").alias("dst"))
+        .distinct()
+    )
+    coin = F.expr(
+        "cast(conv(substring(md5(concat_ws('-', 'scc', src, dst)),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    return e.filter(coin % _SCC_SPARSIFY == 0)
+
+
+# Below this many edges SCC is a single-node problem: iterative Tarjan
+# on the driver is O(V+E) and finishes in milliseconds, while EVERY
+# round of the distributed decomposition costs several jobs — the same
+# adaptive routing (and the same cap) as dedup.py's _LOCAL_CC_MAX_EDGES.
+_SCC_LOCAL_MAX_EDGES = 200_000
+
+
+def _driver_tarjan(edges_df: DataFrame) -> DataFrame:
+    """Iterative Tarjan SCC over a collected edge list; returns
+    (node, scc=min member id). Caller guarantees the edge count is
+    bounded (the _SCC_LOCAL_MAX_EDGES routing contract)."""
+    adj: dict = {}
+    all_nodes: set = set()
+    for r in edges_df.collect():
+        s, d = r[0], r[1]
+        adj.setdefault(s, []).append(d)
+        all_nodes.add(s)
+        all_nodes.add(d)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    label: dict = {}
+    ctr = 0
+    for root in all_nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = ctr
+                ctr += 1
+                stack.append(v)
+                on_stack.add(v)
+            descend = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descend = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if descend:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = edges_df.schema["src"].dataType
+    schema = StructType(
+        [StructField("node", node_t), StructField("scc", node_t)]
+    )
+    rows = [(n, label[n]) for n in all_nodes]
+    return edges_df.sparkSession.createDataFrame(rows, schema)
+
+
+def scc_labels(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_outer: int = _SCC_MAX_OUTER,
+    max_inner: int = _SCC_MAX_INNER,
+    local_max_edges: int = _SCC_LOCAL_MAX_EDGES,
+) -> DataFrame:
+    """(node, scc) labels — scc = min member id — for EVERY node of the
+    digraph, via the coloring algorithm (Orzan '04; the FW-BW/Slota
+    variant): per outer round, (1) TRIM nodes missing an in- or
+    out-edge in the remaining graph — they are singleton SCCs — to
+    fixpoint, (2) COLOR by forward min-label propagation to fixpoint
+    (color(v) = min over v and its remaining ancestors), (3) sweep
+    BACKWARD from each color root r along reversed edges that stay
+    inside r's color class — the nodes reached are exactly SCC(r),
+    which peels off; repeat on the remainder.  Color roots are min
+    members by construction, so labels match the oracle's
+    least-mutual-node ground truth without replaying any iteration
+    order.
+
+    Adaptive routing (the dedup.py connected-components philosophy):
+    at or below ``local_max_edges`` the decomposition runs as an
+    iterative driver-side Tarjan — a graph that fits in a few MB is a
+    single-node problem, and even one distributed round costs more than
+    the whole local answer (16.1 → ~3 s at sf0.1). Above the cap, the
+    distributed path below; regime invariance is pytest-forced.
+
+    Scale shape (distributed path): every step is an equi-join/
+    aggregate on node- or edge-sized tables, localCheckpoint'ed per
+    round (flat plans at any depth — the HITS lesson); frontier/label
+    tables carry known sizes so AQE broadcasts them while small.  Trim
+    does the heavy lifting: on sparse graphs it deletes the acyclic
+    bulk in a few cheap degree-filter rounds, leaving the fixpoint
+    propagation to run only on the cyclic core (the documented Slota
+    et al. observation).  Round counts are graph-depth-bounded: loud
+    RuntimeErrors, not silent truncation, past max_outer/max_inner
+    (the iterate.py deep-R contract)."""
+    if local_max_edges > 0:
+        n_edges = edges.limit(local_max_edges + 1).count()
+        if n_edges <= local_max_edges:
+            return _driver_tarjan(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
+    done: list[DataFrame] = []
+
+    n_curr = nodes.count()
+    for _outer in range(max_outer):
+        # --- trim to fixpoint: no in-edge or no out-edge => singleton
+        for _t in range(max_inner):
+            srcs = edges.select(F.col("src").alias("node")).distinct()
+            dsts = edges.select(F.col("dst").alias("node")).distinct()
+            live = (
+                nodes.join(srcs, "node", "left_semi")
+                .join(dsts, "node", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_live = live.count()
+            if n_live == n_curr:
+                break
+            trimmed = nodes.join(live, "node", "left_anti")
+            done.append(
+                trimmed.select("node", F.col("node").alias("scc"))
+                .localCheckpoint(eager=True)
+            )
+            nodes = live
+            n_curr = n_live
+            edges = (
+                edges.join(
+                    live.select(F.col("node").alias("src")), "src", "left_semi"
+                )
+                .join(
+                    live.select(F.col("node").alias("dst")), "dst", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"scc trim did not converge in {max_inner} rounds"
+            )
+        if n_curr == 0:
+            break
+        # --- color: forward min-label propagation to fixpoint
+        colors = nodes.select("node", F.col("node").alias("color"))
+        colors = colors.localCheckpoint(eager=True)
+        for _c in range(max_inner):
+            msgs = (
+                edges.join(
+                    colors.select(
+                        F.col("node").alias("src"),
+                        F.col("color").alias("c_src"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("c_src").alias("c_in"))
+            )
+            upd = (
+                colors.join(msgs, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "color", F.coalesce("c_in", "color")
+                    ).alias("color"),
+                    (
+                        F.coalesce("c_in", "color") < F.col("color")
+                    ).alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = upd.filter("chg").count()
+            colors = upd.drop("chg")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc coloring did not converge in {max_inner} rounds"
+            )
+        # --- backward sweep within color classes from the roots
+        member = (
+            colors.filter(F.col("node") == F.col("color"))
+            .select("node", F.col("color").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = member
+        for _b in range(max_inner):
+            cand = (
+                edges.join(
+                    frontier.select(
+                        F.col("node").alias("dst"), "scc"
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("node"), "scc")
+                .distinct()
+            )
+            cand = cand.join(
+                colors.withColumnRenamed("color", "scc"),
+                ["node", "scc"],
+                "left_semi",
+            )
+            new = cand.join(member, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.count() == 0:
+                break
+            member = member.unionAll(new).localCheckpoint(eager=True)
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"scc backward sweep did not converge in {max_inner} rounds"
+            )
+        done.append(member)
+        nodes = nodes.join(member, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_curr = nodes.count()
+        edges = (
+            edges.join(
+                nodes.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if n_curr == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"scc did not finish in {max_outer} outer rounds; "
+            "raise max_outer for condensation DAGs deeper than that"
+        )
+    out = done[0]
+    for df in done[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+@register("q_graph_scc", oracle=_SCC_ORACLE)
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the part-successor digraph —
+    the directed-graph decomposition the family lacked (Tarjan's
+    problem at cluster scale): which parts form cyclic purchase
+    clusters vs the acyclic bulk.
+
+    Output is the complete SCC partition, aggregate-verified: one row
+    per non-trivial SCC (scc_id = min member partkey, size, member-id
+    sum) plus a scc_id = -1 row pooling every singleton SCC — so the
+    oracle (algorithm-independent mutual-reachability ground truth via
+    a recursive-CTE closure) checks the full partition, not a sample.
+    The digraph is md5-sparsified to 1/{SPARSIFY} of distinct successor
+    edges, keeping mean degree — and the one-giant-SCC-plus-singletons
+    regime of sparse random digraphs — invariant across scale factors."""
+    labels = scc_labels(spark, _scc_digraph(spark, sf_dir))
+    per_scc = labels.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_sum"),
+    )
+    nontrivial = per_scc.filter(F.col("n_nodes") >= 2).select(
+        F.col("scc").cast("long").alias("scc_id"), "n_nodes", "node_sum"
+    )
+    singleton = per_scc.filter(F.col("n_nodes") == 1).agg(
+        F.lit(-1).cast("long").alias("scc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum("node_sum"), F.lit(0)).cast("long").alias("node_sum"),
+    )
+    return nontrivial.unionAll(singleton).orderBy(
+        F.col("n_nodes").desc(), "scc_id"
+    )

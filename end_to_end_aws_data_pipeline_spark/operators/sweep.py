@@ -1878,6 +1878,138 @@ def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cross-correlation function: which event type LEADS which (exact
+# integer CCF over per-type daily series, all ordered type pairs)
+# ---------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 3
+
+_CCF_ORACLE = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT))
+           // count(*) AS y
+  FROM events GROUP BY 1, 2
+), st AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+), dev AS MATERIALIZED (
+  SELECT d.event_type, d.day, d.y * st.n - st.s AS dv
+  FROM daily d JOIN st USING (event_type)
+), den AS MATERIALIZED (
+  SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS den
+  FROM dev GROUP BY event_type
+), lags AS (
+  SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG} + 1)) AS lag
+)
+SELECT a.event_type AS type_x, b.event_type AS type_y,
+       CAST(l.lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(CAST(sum(a.dv * b.dv) AS DOUBLE)
+             / (sqrt(CAST(da.den AS DOUBLE)) * sqrt(CAST(db.den AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS ccf
+FROM dev a
+CROSS JOIN lags l
+JOIN dev b ON b.event_type > a.event_type
+          AND b.day = a.day + CAST(l.lag AS INT)
+JOIN den da ON da.event_type = a.event_type
+JOIN den db ON db.event_type = b.event_type
+GROUP BY a.event_type, b.event_type, l.lag, da.den, db.den
+"""
+
+
+@register("q_timeseries_ccf", oracle=_CCF_ORACLE)
+def q_timeseries_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between every ordered pair of event
+    types at lags -{_CCF_MAX_LAG}..+{_CCF_MAX_LAG} — the lead/lag probe
+    the ACF can't answer: a positive-lag spike in ccf(view, purchase)
+    says views LEAD purchases by that many days, the signal a
+    campaign-attribution or forecast-feature pipeline reads first.
+
+    Same exactness recipe as q_timeseries_acf (the series value is the
+    daily mean in integer cents; deviations carried n-scaled so no
+    float mean enters): the per-type scale factors n_a·n_b appear in
+    BOTH the numerator sum and the sqrt(den_a)·sqrt(den_b) denominator
+    and cancel exactly, so the published ratio is the textbook
+    cross-correlation despite all-integer accumulation.  Products
+    dv_a·dv_b stay ≤ ~1e13 at a 31-day span (intensive daily means,
+    cents ≤ 5e4, n ≤ 31) — int64 with headroom at any corpus size.
+
+    Scale shape: one corpus-sized combinable pass builds the daily
+    table; the pair×lag join runs on the calendar-bounded (type × day)
+    table — |types|²·|days|·|lags| rows independent of corpus size —
+    so the operator costs one scan + constant tail at 100 TB."""
+    daily = persisted(
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(cast(round(value * 100) as bigint)) div count(*)"
+            ).alias("y")
+        )
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    dev = daily.join(st, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("y") * F.col("n") - F.col("s")).alias("dv"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den")
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    b = dev.select(
+        F.col("event_type").alias("type_y"),
+        F.col("day").alias("day_b"),
+        F.col("dv").alias("dv_b"),
+    )
+    pairs = (
+        dev.withColumnRenamed("event_type", "type_x")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("type_y") > F.col("type_x"))
+            & (F.col("day_b") == F.expr("date_add(day, lag)")),
+        )
+        .groupBy("type_x", "type_y", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dv") * F.col("dv_b")).cast("long").alias("num"),
+        )
+    )
+    from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+
+    da = den.select(
+        F.col("event_type").alias("type_x"), F.col("den").alias("den_x")
+    )
+    db = den.select(
+        F.col("event_type").alias("type_y"), F.col("den").alias("den_y")
+    )
+    return pairs.join(da, "type_x").join(db, "type_y").select(
+        "type_x",
+        "type_y",
+        "lag",
+        "n_pairs",
+        stable_round(
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("den_x").cast("double"))
+                * F.sqrt(F.col("den_y").cast("double"))
+            ),
+            6,
+        ).alias("ccf"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cohort retention matrix
 # ---------------------------------------------------------------------------
 

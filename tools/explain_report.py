@@ -109,6 +109,32 @@ SHOWCASE = {
         "alternation is a plain IN predicate over the run table — "
         "no extra shuffle vs the unquantified pattern",
     ],
+    "q_timeseries_ccf": [
+        "ONE corpus-sized combinable aggregate builds the daily "
+        "table (partial_sum before the exchange); everything after "
+        "runs on the calendar-bounded (type × day) table",
+        "lag table broadcast (BroadcastNestedLoop over 7 rows is "
+        "fine); deviations and denominators reuse the persisted "
+        "daily scan, no second corpus pass",
+    ],
+    "q_graph_random_walks": [
+        "adjacency built with ONE exchange on src (row_number idx "
+        "and deg share the partition) and persisted across all 8 "
+        "steps",
+        "each step is a BroadcastHashJoin of the seed-bounded "
+        "frontier into the cached adjacency — zero per-step "
+        "shuffle; frontiers are ExistingRDD leaves "
+        "(localCheckpoint, the HITS depth lesson)",
+    ],
+    "q_graph_scc": [
+        "final aggregate reads ExistingRDD leaves only — trim/"
+        "color/backward rounds executed eagerly inside per-round "
+        "localCheckpoints (flat plans at any depth)",
+        "every round is an equi-join/aggregate on node- or "
+        "edge-sized tables; AQE broadcasts the shrinking "
+        "frontier/label sides (known sizes from checkpointed "
+        "leaves)",
+    ],
     "q_timeseries_gapfill": [
         "both bracketing lookups are RUNNING window frames "
         "([unboundedPreceding, currentRow]; the 'next' side over "
