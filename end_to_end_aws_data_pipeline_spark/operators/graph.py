@@ -2027,17 +2027,12 @@ _RW_SEED_MOD = 97  # seeds: customers with custkey % 97 == 0 (khop's set)
 
 
 def _rw_oracle() -> str:
-    """Unrolled {_RW_STEPS}-step hash-routed walks as chained CTEs."""
+    """Unrolled {_RW_STEPS}-step hash-argmin walks as chained CTEs."""
     parts = [
         f"""
 WITH e0 AS ({_PR_EDGES_SQL}
 ), edges AS (
   SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-), adj AS (
-  SELECT src, dst,
-         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
-         count(*) OVER (PARTITION BY src) AS deg
-  FROM edges
 ), w0 AS (
   SELECT src AS seed, src AS node FROM (
     SELECT DISTINCT src FROM edges
@@ -2048,11 +2043,14 @@ WITH e0 AS ({_PR_EDGES_SQL}
     for t in range(1, _RW_STEPS + 1):
         parts.append(
             f""", w{t} AS (
-  SELECT w.seed, a.dst AS node
-  FROM w{t - 1} w JOIN adj a ON a.src = w.node
-   AND a.idx = ('0x' || substr(md5(
-         'rw-' || CAST(w.node AS VARCHAR) || '-{t}'), 1, 15))::BIGINT
-       % a.deg
+  SELECT seed, (m).d AS node FROM (
+    SELECT w.seed, min(struct_pack(
+      h := ('0x' || substr(md5('rw-' || CAST(e.src AS VARCHAR)
+            || '-{t}-' || CAST(e.dst AS VARCHAR)), 1, 15))::BIGINT,
+      d := e.dst)) AS m
+    FROM w{t - 1} w JOIN edges e ON e.src = w.node
+    GROUP BY w.seed
+  )
 )"""
         )
     steps = "\n  UNION ALL\n  ".join(
@@ -2081,59 +2079,52 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline op that turns a graph into a sequence corpus
     for embedding training (each walk is a "sentence" of node tokens).
 
-    Determinism instead of RNG: the step out of node v at time t picks
-    neighbor index md5_60bit('rw-<v>-<t>') mod deg(v) over the
-    dst-sorted adjacency — a fixed function of (node, step), so the
-    corpus is reproducible run-to-run AND replayable by the oracle,
-    which unrolls all {_RW_STEPS} steps as chained CTEs making the
-    identical md5 choice (the hash-routed analogue of a seeded RNG;
-    same md5→int idiom as q_graph_triangles_doulion's edge sampler).
+    Determinism instead of RNG: the step out of node v at time t is
+    the neighbor minimizing md5_60bit('rw-<v>-<t>-<u>') (tie-broken by
+    id via lexicographic struct-min — engine-agnostic) — each neighbor
+    is equally likely to hold the min hash, so the choice is uniform
+    like a seeded RNG, yet the corpus is reproducible run-to-run AND
+    replayable by the oracle, which unrolls all {_RW_STEPS} steps as
+    chained CTEs making the identical md5 choice (the
+    q_graph_triangles_doulion md5-coin idiom).
 
-    Scale shape: the adjacency (idx via one row_number window, deg via
-    the same partition — ONE shuffle by src at build) persists across
-    all steps; each step is one BROADCAST hash join of the seed-sized
-    frontier into the cached adjacency — zero shuffle per step, walk
-    extension is embarrassingly parallel. The frontier is bounded by
-    the seed modulus (|customers|/{_RW_SEED_MOD}); for walk corpora at
-    1e9-node scale raise the modulus or flip the join to the
-    (src,idx)-co-partitioned form the HITS large regime uses. Each
-    frontier localCheckpoints so {_RW_STEPS} stacked joins never grow
-    the analyzed plan (the HITS depth-6 analysis-time lesson)."""
-    fwd = _purchase_fwd(spark, sf_dir)
-    edges = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("src").orderBy("dst")
-    adj = persisted(
-        edges.select(
-            "src",
-            "dst",
-            (F.row_number().over(w) - 1).alias("idx"),
-            F.count(F.lit(1)).over(W.partitionBy("src")).alias("deg"),
-        )
-    )
+    Scale shape: hash-ARGMIN instead of an indexed adjacency — the
+    first cut built (row_number idx, deg) per edge, and that window
+    sort over the full edge set dominated at sf10 (114.6 s); argmin
+    needs only the RAW directed edge cache, and each step is one
+    BROADCAST join of the seed-bounded frontier into it followed by a
+    map-side-combined min per walk — no window, no deg join, no
+    per-step shuffle beyond the walk-sized aggregate. The bipartite
+    parity buys another 2×: even steps stand on customers and odd on
+    suppliers, so each step scans only ONE direction of the purchase
+    edges (the reverse is a projection of the same cache — the
+    symmetrized union never materializes). Per-step cost is one
+    half-edge scan, amortized over ALL walks in flight — the DeepWalk
+    regime (a walk per NODE) pays the same {_RW_STEPS} scans for N
+    walks. Frontiers localCheckpoint so stacked joins never grow the
+    analyzed plan (the HITS depth-6 lesson)."""
+    fwd = persisted(_purchase_fwd(spark, sf_dir))
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     frontier = (
-        edges.select("src")
-        .filter(
-            (F.col("src") % 2 == 0)
-            & (F.expr(f"(src div 2) % {_RW_SEED_MOD}") == 0)
-        )
+        fwd.select("src")
+        .filter(F.expr(f"(src div 2) % {_RW_SEED_MOD}") == 0)
         .distinct()
         .select(F.col("src").alias("seed"), F.col("src").alias("node"))
         .localCheckpoint(eager=True)
     )
     out = [frontier.select("seed", F.lit(0).cast("int").alias("step"), "node")]
     for t in range(1, _RW_STEPS + 1):
-        pick = F.expr(
-            f"cast(conv(substring(md5(concat_ws('-', 'rw', node, {t})),"
+        h = F.expr(
+            f"cast(conv(substring(md5(concat_ws('-', 'rw', src, {t}, dst)),"
             " 1, 15), 16, 10) as bigint)"
         )
+        half = fwd if t % 2 == 1 else rev
         frontier = (
-            adj.join(F.broadcast(frontier), adj["src"] == frontier["node"])
-            .filter(F.col("idx") == pick % F.col("deg"))
-            .select("seed", F.col("dst").alias("node"))
+            half.join(F.broadcast(frontier), half["src"] == frontier["node"])
+            .select("seed", h.alias("h"), "dst")
+            .groupBy("seed")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("seed", F.col("m.dst").alias("node"))
             .localCheckpoint(eager=True)
         )
         out.append(
@@ -2351,71 +2342,143 @@ def scc_labels(
     the whole local answer (16.1 → ~3 s at sf0.1). Above the cap, the
     distributed path below; regime invariance is pytest-forced.
 
-    Scale shape (distributed path): every step is an equi-join/
-    aggregate on node- or edge-sized tables, localCheckpoint'ed per
-    round (flat plans at any depth — the HITS lesson); frontier/label
-    tables carry known sizes so AQE broadcasts them while small.  Trim
-    does the heavy lifting: on sparse graphs it deletes the acyclic
-    bulk in a few cheap degree-filter rounds, leaving the fixpoint
-    propagation to run only on the cyclic core (the documented Slota
-    et al. observation).  Round counts are graph-depth-bounded: loud
+    Scale shape (distributed path): trim runs as a DELTA iteration —
+    per-node (out, in) degree counters built once, then each round
+    only DECREMENTS the counters along edges incident to the nodes
+    that just died (broadcast probe of the immutable edge cache, no
+    per-round edge rewrite), so total trim work is O(E) across ALL
+    rounds instead of O(E × trim-depth) (the first cut rewrote +
+    re-checkpointed the edge set every round: 20 trim rounds at sf10
+    made that the dominant cost). The color/backward fixpoints run on
+    a post-trim edge set pre-partitioned by src AND by dst (each
+    direction pays its shuffle once — the HITS regime), so per round
+    only the node-sized label/frontier table moves. Every phase
+    localCheckpoints per round (flat plans at any depth — the HITS
+    lesson). After each peel the remainder re-enters the adaptive
+    cap, so the shrunken tail (43 nodes at sf10 after the giant SCC
+    peels) finishes as a driver Tarjan instead of 10+ more
+    distributed rounds. Round counts are graph-depth-bounded: loud
     RuntimeErrors, not silent truncation, past max_outer/max_inner
     (the iterate.py deep-R contract)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = bool(_os.environ.get("SPARK_GRAFT_SCC_DEBUG"))
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str, rounds: int = -1) -> None:
+        if _dbg:
+            print(
+                f"scc: {phase} +{_time.perf_counter() - _t0:.1f}s"
+                + (f" rounds={rounds}" if rounds >= 0 else ""),
+                file=_sys.stderr,
+                flush=True,
+            )
+
     if local_max_edges > 0:
         n_edges = edges.limit(local_max_edges + 1).count()
         if n_edges <= local_max_edges:
             return _driver_tarjan(edges)
-    nodes = (
+    orig_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = edges.localCheckpoint(eager=True)
     done: list[DataFrame] = []
-
-    n_curr = nodes.count()
     for _outer in range(max_outer):
-        # --- trim to fixpoint: no in-edge or no out-edge => singleton
-        for _t in range(max_inner):
-            srcs = edges.select(F.col("src").alias("node")).distinct()
-            dsts = edges.select(F.col("dst").alias("node")).distinct()
-            live = (
-                nodes.join(srcs, "node", "left_semi")
-                .join(dsts, "node", "left_semi")
-                .localCheckpoint(eager=True)
-            )
-            n_live = live.count()
-            if n_live == n_curr:
+        if local_max_edges > 0:
+            n_edges = edges.limit(local_max_edges + 1).count()
+            if n_edges <= local_max_edges:
+                done.append(_driver_tarjan(edges))
                 break
-            trimmed = nodes.join(live, "node", "left_anti")
-            done.append(
-                trimmed.select("node", F.col("node").alias("scc"))
+        edges = edges.localCheckpoint(eager=True)
+        # --- delta trim: (out, in) degree counters; per round, dead
+        # nodes decrement their neighbors' counters — no edge rewrite
+        outd = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+        ind = edges.groupBy(F.col("dst").alias("node")).agg(
+            F.count(F.lit(1)).alias("id_")
+        )
+        deg = (
+            outd.join(ind, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce("od", F.lit(0)).alias("od"),
+                F.coalesce("id_", F.lit(0)).alias("id_"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dead = (
+            deg.filter((F.col("od") <= 0) | (F.col("id_") <= 0))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        _mark("degrees built")
+        for _t in range(max_inner):
+            if dead.count() == 0:
+                _mark("trim fixpoint", _t)
+                break
+            done.append(dead.select("node", F.col("node").alias("scc")))
+            dec_out = (
+                edges.join(
+                    F.broadcast(dead.select(F.col("node").alias("dst"))),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("d_od"))
+            )
+            dec_in = (
+                edges.join(
+                    F.broadcast(dead.select(F.col("node").alias("src"))),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.count(F.lit(1)).alias("d_id"))
+            )
+            deg = (
+                deg.join(dead, "node", "left_anti")
+                .join(dec_out, "node", "left")
+                .join(dec_in, "node", "left")
+                .select(
+                    "node",
+                    (F.col("od") - F.coalesce("d_od", F.lit(0))).alias("od"),
+                    (F.col("id_") - F.coalesce("d_id", F.lit(0))).alias("id_"),
+                )
                 .localCheckpoint(eager=True)
             )
-            nodes = live
-            n_curr = n_live
-            edges = (
-                edges.join(
-                    live.select(F.col("node").alias("src")), "src", "left_semi"
-                )
-                .join(
-                    live.select(F.col("node").alias("dst")), "dst", "left_semi"
-                )
+            dead = (
+                deg.filter((F.col("od") <= 0) | (F.col("id_") <= 0))
+                .select("node")
                 .localCheckpoint(eager=True)
             )
         else:
             raise RuntimeError(
                 f"scc trim did not converge in {max_inner} rounds"
             )
-        if n_curr == 0:
+        live = deg.select("node")
+        if live.count() == 0:
             break
+        # one edge rewrite at trim end (vs one per trim round), then
+        # pre-partition by each join key for the fixpoint phases
+        edges_live = (
+            edges.join(
+                live.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(live.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        e_src = persisted(edges_live.repartition("src"))
+        e_dst = persisted(edges_live.repartition("dst"))
+        _mark("edges_live partitioned")
         # --- color: forward min-label propagation to fixpoint
-        colors = nodes.select("node", F.col("node").alias("color"))
+        colors = live.select("node", F.col("node").alias("color"))
         colors = colors.localCheckpoint(eager=True)
         for _c in range(max_inner):
             msgs = (
-                edges.join(
+                e_src.join(
                     colors.select(
                         F.col("node").alias("src"),
                         F.col("color").alias("c_src"),
@@ -2441,6 +2504,7 @@ def scc_labels(
             changed = upd.filter("chg").count()
             colors = upd.drop("chg")
             if changed == 0:
+                _mark("color fixpoint", _c)
                 break
         else:
             raise RuntimeError(
@@ -2455,7 +2519,7 @@ def scc_labels(
         frontier = member
         for _b in range(max_inner):
             cand = (
-                edges.join(
+                e_dst.join(
                     frontier.select(
                         F.col("node").alias("dst"), "scc"
                     ),
@@ -2473,6 +2537,7 @@ def scc_labels(
                 eager=True
             )
             if new.count() == 0:
+                _mark("backward fixpoint", _b)
                 break
             member = member.unionAll(new).localCheckpoint(eager=True)
             frontier = new
@@ -2481,28 +2546,35 @@ def scc_labels(
                 f"scc backward sweep did not converge in {max_inner} rounds"
             )
         done.append(member)
-        nodes = nodes.join(member, "node", "left_anti").localCheckpoint(
+        # remainder re-enters the loop (and the adaptive cap) with
+        # peeled members' edges removed
+        remaining = live.join(member, "node", "left_anti").localCheckpoint(
             eager=True
         )
-        n_curr = nodes.count()
-        edges = (
-            edges.join(
-                nodes.select(F.col("node").alias("src")), "src", "left_semi"
-            )
-            .join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        if n_curr == 0:
+        if remaining.count() == 0:
             break
+        edges = edges_live.join(
+            remaining.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(
+            remaining.select(F.col("node").alias("dst")), "dst", "left_semi"
+        )
     else:
         raise RuntimeError(
             f"scc did not finish in {max_outer} outer rounds; "
             "raise max_outer for condensation DAGs deeper than that"
         )
-    out = done[0]
+    out = done[0] if done else orig_nodes.limit(0).select(
+        "node", F.col("node").alias("scc")
+    )
     for df in done[1:]:
         out = out.unionAll(df)
-    return out
+    # coverage sweep: a node whose last edge vanished with a peeled
+    # SCC never re-enters deg — every uncovered original node is a
+    # singleton by construction
+    missing = orig_nodes.join(
+        out.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("scc"))
+    return out.unionAll(missing)
 
 
 @register("q_graph_scc", oracle=_SCC_ORACLE)

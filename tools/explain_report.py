@@ -118,12 +118,12 @@ SHOWCASE = {
         "daily scan, no second corpus pass",
     ],
     "q_graph_random_walks": [
-        "adjacency built with ONE exchange on src (row_number idx "
-        "and deg share the partition) and persisted across all 8 "
-        "steps",
+        "NO adjacency index: the raw directed edge cache serves "
+        "every step (one direction per step via bipartite parity; "
+        "no window sort, no deg join)",
         "each step is a BroadcastHashJoin of the seed-bounded "
-        "frontier into the cached adjacency — zero per-step "
-        "shuffle; frontiers are ExistingRDD leaves "
+        "frontier + partial_min before the walk-sized exchange "
+        "(hash-argmin routing); frontiers are ExistingRDD leaves "
         "(localCheckpoint, the HITS depth lesson)",
     ],
     "q_graph_scc": [
