@@ -264,6 +264,8 @@ HEADLINE = (
     "q_timeseries_ccf",
     "q_graph_random_walks",
     "q_graph_scc",
+    "q_graph_mis",
+    "q_embed_kcenter_seed",
 )
 
 

@@ -2608,3 +2608,189 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nontrivial.unionAll(singleton).orderBy(
         F.col("n_nodes").desc(), "scc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (Luby's algorithm, hash-priority rounds)
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 4
+_MIS_INF = 1 << 62
+
+
+def _mis_oracle() -> str:
+    """Unrolled {_MIS_ROUNDS}-round Luby MIS as chained CTEs."""
+    parts = [
+        f"""
+WITH e0 AS MATERIALIZED ({_PR_EDGES_SQL}
+), edges AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), u0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+)"""
+    ]
+    for r in range(1, _MIS_ROUNDS + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+  SELECT node, ('0x' || substr(md5('mis-' || CAST(node AS VARCHAR)
+      || '-{r}'), 1, 15))::BIGINT AS p
+  FROM u{r - 1}
+), w{r} AS MATERIALIZED (
+  SELECT a.node FROM p{r} a LEFT JOIN (
+    SELECT e.dst AS node, min(p.p) AS pn
+    FROM edges e JOIN p{r} p ON p.node = e.src
+    GROUP BY e.dst
+  ) n USING (node)
+  WHERE a.p < coalesce(n.pn, {_MIS_INF})
+), x{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN w{r} w ON w.node = e.src
+  WHERE e.dst IN (SELECT node FROM u{r - 1})
+    AND e.dst NOT IN (SELECT node FROM w{r})
+), u{r} AS MATERIALIZED (
+  SELECT node FROM u{r - 1}
+  WHERE node NOT IN (SELECT node FROM w{r})
+    AND node NOT IN (SELECT node FROM x{r})
+)"""
+        )
+    legs = "\n  UNION ALL\n  ".join(
+        f"""SELECT 'mis' AS status, {r} AS round,
+         count(*) AS n_nodes, coalesce(sum(node), 0) AS node_sum
+       FROM w{r}
+  UNION ALL
+  SELECT 'out', {r}, count(*), coalesce(sum(node), 0) FROM x{r}"""
+        for r in range(1, _MIS_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+SELECT status, CAST(round AS INT) AS round,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(node_sum AS BIGINT) AS node_sum
+FROM (
+  {legs}
+  UNION ALL
+  SELECT 'undecided', 0, count(*), coalesce(sum(node), 0)
+  FROM u{_MIS_ROUNDS}
+)
+WHERE n_nodes > 0
+ORDER BY status, round"""
+    )
+    return "".join(parts)
+
+
+def mis_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int = _MIS_ROUNDS
+) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
+    """([winners per round], [excluded per round], undecided) for
+    Luby's maximal-independent-set algorithm over the symmetrized
+    purchase graph: per round every undecided node draws the hash
+    priority md5_60bit('mis-<v>-<r>') and joins the MIS iff its
+    priority is STRICTLY below every undecided neighbor's (a tie —
+    cosmically unlikely and engine-consistent, since both engines
+    replay the same md5 — just defers both nodes to the next round);
+    winners' neighbors leave as 'out'.  A node whose undecided
+    neighborhood empties wins vacuously (min over nothing = +inf), so
+    every undecided survivor always retains an undecided neighbor —
+    the pytest-pinned invariant.
+
+    Scale shape: one round = one edge-sized join against the
+    undecided-priority table + a node-sized min-aggregate + two
+    set-difference anti-joins — the LPA/PageRank round plan with a
+    priority draw instead of a label. BOTH per-round edge joins key
+    on src, so the symmetrized edges persist pre-partitioned by src
+    ONCE and per round only the node-sized priority table moves (the
+    HITS regime; the unpartitioned first cut shuffled the full edge
+    set twice per round — 185.6 s at sf10). Rounds localCheckpoint
+    (flat plans), and the round count is FIXED at {_MIS_ROUNDS}
+    (Luby decides a constant fraction per round w.h.p., so coverage
+    after k rounds is the published geometric envelope) — the oracle
+    unrolls exactly those rounds; no convergence claim is made and
+    the remainder is REPORTED, not hidden."""
+    fwd = _purchase_fwd(spark, sf_dir)
+    edges = persisted(
+        fwd.unionAll(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("src")
+    )
+    und = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mis_parts: list[DataFrame] = []
+    out_parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        pr = und.select(
+            "node",
+            F.expr(
+                f"cast(conv(substring(md5(concat_ws('-', 'mis', node, {r})),"
+                " 1, 15), 16, 10) as bigint)"
+            ).alias("p"),
+        ).localCheckpoint(eager=True)
+        nbr = (
+            edges.join(
+                pr.select(F.col("node").alias("src"), F.col("p").alias("p_src")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("p_src").alias("p_nbr"))
+        )
+        winners = (
+            pr.join(nbr, "node", "left")
+            .filter(
+                F.col("p")
+                < F.coalesce("p_nbr", F.lit(_MIS_INF).cast("long"))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        excl = (
+            edges.join(
+                winners.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(pr, "node", "left_semi")
+            .join(winners, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners)
+        out_parts.append(excl)
+        und = (
+            und.join(winners, "node", "left_anti")
+            .join(excl, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return mis_parts, out_parts, und
+
+
+@register("q_graph_mis", oracle=_mis_oracle())
+def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-independent-set rounds (Luby, SICOMP '86) over the
+    purchase graph — the symmetry-breaking primitive behind distributed
+    scheduling/coloring, run for {_MIS_ROUNDS} deterministic
+    hash-priority rounds with per-round accounting: one row per
+    (status, round) with node count + id sum ('mis' = joined the
+    independent set that round, 'out' = excluded as a winner's
+    neighbor, 'undecided' = the reported remainder).  RNG replaced by
+    the md5 priority draw, so the oracle replays every round exactly
+    (the q_graph_random_walks recipe applied to Luby)."""
+    mis_parts, out_parts, und = mis_rounds(spark, sf_dir)
+
+    def _leg(df: DataFrame, status: str, r: int) -> DataFrame:
+        return df.agg(
+            F.lit(status).alias("status"),
+            F.lit(r).cast("int").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("node"), F.lit(0)).cast("long").alias("node_sum"),
+        )
+
+    legs = [
+        _leg(df, "mis", r + 1) for r, df in enumerate(mis_parts)
+    ] + [
+        _leg(df, "out", r + 1) for r, df in enumerate(out_parts)
+    ] + [_leg(und, "undecided", 0)]
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionAll(df)
+    return out.filter(F.col("n_nodes") > 0).orderBy("status", "round")

@@ -2150,3 +2150,142 @@ def q_embed_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nn_cos"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center / farthest-point seeding (Gonzalez greedy) over embeddings
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled {_KC_K}-round greedy k-center as chained CTEs."""
+    dot = (
+        "list_sum(list_transform(range(1, len(m.q)+1),"
+        " i -> m.q[i] * s.q[i]))"
+    )
+    parts = [
+        f"""
+WITH v AS MATERIALIZED ({_QV_SQL}
+), s1 AS MATERIALIZED (
+  SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 1
+), m1 AS MATERIALIZED (
+  SELECT m.vec_id, m.q, {dot} AS maxdot
+  FROM v m, s1 s
+)"""
+    ]
+    chosen = ["s1"]
+    for k in range(2, _KC_K + 1):
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM {c}" for c in chosen)
+        parts.append(
+            f""", s{k} AS MATERIALIZED (
+  SELECT vec_id, q, maxdot FROM m{k - 1}
+  WHERE vec_id NOT IN ({excl})
+  ORDER BY maxdot, vec_id LIMIT 1
+)"""
+        )
+        if k < _KC_K:
+            parts.append(
+                f""", m{k} AS MATERIALIZED (
+  SELECT m.vec_id, m.q, greatest(m.maxdot, {dot}) AS maxdot
+  FROM m{k - 1} m, s{k} s
+)"""
+            )
+        chosen.append(f"s{k}")
+    legs = ["""SELECT 1 AS seed_rank, vec_id,
+       CAST(NULL AS DOUBLE) AS radius_sim FROM s1"""]
+    legs += [
+        f"""SELECT {k}, vec_id,
+       floor(CAST(maxdot AS DOUBLE) / {_SCALE_SQ}.0 * 1000000 + 0.5)
+         / 1000000 FROM s{k}"""
+        for k in range(2, _KC_K + 1)
+    ]
+    parts.append(
+        "\nSELECT CAST(seed_rank AS INT) AS seed_rank, vec_id, radius_sim"
+        "\nFROM (\n  "
+        + "\n  UNION ALL\n  ".join(legs)
+        + "\n)\nORDER BY seed_rank"
+    )
+    return "".join(parts)
+
+
+@register("q_embed_kcenter_seed", oracle=_kcenter_oracle())
+def q_embed_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center seeding (Gonzalez '85 farthest-point traversal;
+    the k-means++ alternative when determinism beats D² sampling):
+    {_KC_K} maximally-spread embedding rows — the coreset/codebook
+    initialization a training pipeline runs before clustering, with
+    the published radius_sim column (each new seed's cosine to its
+    NEAREST prior seed) giving the classic 2-approximation coverage
+    certificate as a by-product.
+
+    Fully deterministic and oracle-replayed: seed 1 is the min vec_id;
+    each later seed is the argmin of (max dot to chosen so far,
+    vec_id) over exact int64 quantized dots — the per-round state is
+    ONE int64 column (running max-similarity), so every round is a
+    64-multiply narrow map over the corpus plus a TakeOrdered(1), no
+    shuffle, no UDF. K corpus passes are inherent to greedy k-center;
+    at 1e9 rows each pass is embarrassingly parallel and the collected
+    per-round state is a single 64-int vector (driver-side by design,
+    the IVF-codebook precedent)."""
+    qv = _quantized(spark, sf_dir).localCheckpoint(eager=True)
+    first = qv.orderBy("vec_id").limit(1).collect()[0]
+    chosen_ids = [first["vec_id"]]
+    picks = [(1, first["vec_id"], None)]
+    center = first["q"]
+
+    def _dot(center_vec):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("q"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    state = qv.select("vec_id", "q", _dot(center).alias("maxdot"))
+    state = state.localCheckpoint(eager=True)
+    for k in range(2, _KC_K + 1):
+        sel = (
+            state.filter(~F.col("vec_id").isin(chosen_ids))
+            .orderBy("maxdot", "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen_ids.append(sel["vec_id"])
+        picks.append((k, sel["vec_id"], sel["maxdot"]))
+        if k < _KC_K:
+            state = state.select(
+                "vec_id",
+                "q",
+                F.greatest("maxdot", _dot(sel["q"])).alias("maxdot"),
+            ).localCheckpoint(eager=True)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("seed_rank", IntegerType()),
+            StructField("vec_id", LongType()),
+            StructField("radius_sim", DoubleType()),
+        ]
+    )
+    import math
+
+    rows = [
+        (
+            rank,
+            vid,
+            None
+            if md is None
+            else math.floor(md / _SCALE_SQ * 1_000_000 + 0.5) / 1_000_000,
+        )
+        for rank, vid, md in picks
+    ]
+    return spark.createDataFrame(rows, schema).orderBy("seed_rank")

@@ -199,3 +199,84 @@ def test_scc_labels_match_tarjan(spark):
         if r["scc_id"] != -1:
             assert r["n_nodes"] >= 2
             assert frozenset(got[r["scc_id"]]) in truth
+
+
+def test_mis_independence_and_domination(spark):
+    """Luby invariants after the fixed rounds: the MIS is independent
+    (no two winners adjacent), every 'out' node has a MIS neighbor,
+    every undecided survivor still has an undecided neighbor, and the
+    three statuses partition the node set."""
+    from end_to_end_aws_data_pipeline_spark.operators.graph import (
+        _purchase_fwd,
+        mis_rounds,
+        q_graph_mis,
+    )
+
+    mis_parts, out_parts, und = mis_rounds(spark, SF)
+    mis = {r["node"] for df in mis_parts for r in df.collect()}
+    out = {r["node"] for df in out_parts for r in df.collect()}
+    undec = {r["node"] for r in und.collect()}
+    assert mis, "no MIS winners at sf0.001"
+    assert not (mis & out) and not (mis & undec) and not (out & undec)
+
+    fwd = {(r["src"], r["dst"]) for r in _purchase_fwd(spark, SF).collect()}
+    edges = fwd | {(d, s) for s, d in fwd}
+    nodes = {n for e in edges for n in e}
+    assert mis | out | undec == nodes
+
+    nbrs: dict = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    for v in mis:
+        assert not (nbrs[v] & mis), "two adjacent MIS nodes"
+    for v in out:
+        assert nbrs[v] & mis, "excluded node without a MIS neighbor"
+    for v in undec:
+        assert nbrs[v] & undec, "undecided node with no undecided neighbor"
+
+    rows = q_graph_mis(spark, SF).collect()
+    assert sum(r["n_nodes"] for r in rows) == len(nodes)
+    assert sum(r["node_sum"] for r in rows) == sum(nodes)
+
+
+def test_kcenter_matches_python_greedy(spark):
+    """The seed sequence must equal a plain-python Gonzalez traversal
+    over the same quantized vectors, and the published coverage radius
+    (cosine to nearest prior seed) must be non-decreasing."""
+    from end_to_end_aws_data_pipeline_spark.operators.similarity import (
+        _KC_K,
+        _SCALE_SQ,
+        _quantized,
+        q_embed_kcenter_seed,
+    )
+
+    vecs = {
+        r["vec_id"]: r["q"] for r in _quantized(spark, SF).collect()
+    }
+    chosen = [min(vecs)]
+    maxdot = {
+        v: sum(a * b for a, b in zip(q, vecs[chosen[0]]))
+        for v, q in vecs.items()
+    }
+    expect = [(1, chosen[0], None)]
+    for k in range(2, _KC_K + 1):
+        rest = [(maxdot[v], v) for v in vecs if v not in chosen]
+        md, v = min(rest)
+        chosen.append(v)
+        expect.append((k, v, md))
+        for u, q in vecs.items():
+            maxdot[u] = max(
+                maxdot[u], sum(a * b for a, b in zip(q, vecs[v]))
+            )
+
+    rows = q_embed_kcenter_seed(spark, SF).collect()
+    assert len(rows) == _KC_K
+    radii = []
+    for r, (rank, vid, md) in zip(rows, expect):
+        assert (r["seed_rank"], r["vec_id"]) == (rank, vid)
+        if md is None:
+            assert r["radius_sim"] is None
+        else:
+            assert abs(r["radius_sim"] - md / _SCALE_SQ) < 2e-6
+            radii.append(r["radius_sim"])
+    assert radii == sorted(radii), "coverage radius must be non-decreasing"

@@ -135,6 +135,19 @@ SHOWCASE = {
         "frontier/label sides (known sizes from checkpointed "
         "leaves)",
     ],
+    "q_graph_mis": [
+        "per round: ONE edge-sized join against the undecided-"
+        "priority table + a node-sized partial_min aggregate + two "
+        "anti-joins; priorities are md5 expressions, no UDF",
+        "round tables are ExistingRDD leaves (localCheckpoint) — "
+        "fixed 4-round depth, flat plans",
+    ],
+    "q_embed_kcenter_seed": [
+        "each round is a NARROW map (64-multiply zip_with fold on "
+        "the int64 vectors) + TakeOrderedAndProject(1) — no "
+        "shuffle, no UDF, no corpus re-quantization (state "
+        "localCheckpointed once per round)",
+    ],
     "q_timeseries_gapfill": [
         "both bracketing lookups are RUNNING window frames "
         "([unboundedPreceding, currentRow]; the 'next' side over "
