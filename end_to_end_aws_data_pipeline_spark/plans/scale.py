@@ -203,6 +203,20 @@ def bucketed_write(
     WRITE time, join shuffle-free forever after. The catalog entry is
     what carries the guarantee; a bare parquet directory written with
     the same partitioning loses it on read."""
+    # idempotence across killed runs: a process killed mid-saveAsTable
+    # can leave the managed LOCATION on disk without its catalog entry,
+    # and the next saveAsTable (even mode=overwrite) refuses with
+    # LOCATION_ALREADY_EXISTS because the catalog has nothing to drop.
+    # Drop any catalog entry, then clear a stale orphaned location.
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.bucketBy(n_buckets, key)
         .sortBy(key)
