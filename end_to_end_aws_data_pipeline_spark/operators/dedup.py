@@ -647,28 +647,38 @@ def _simhash_by_agg(tokens: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
 
     The two 60-bit md5 halves are projected ONCE per token, then the 64
     vote aggregates read bits off those two longs — two conv() calls
-    per token instead of sixteen."""
+    per token instead of sixteen.
+
+    The 64 vote aggregates and the sign-packing fold are TWO parsed SQL
+    expressions, not ~1,000 chained Column calls: the listcomp form
+    cost that many py4j round trips of driver latency per invocation
+    (the hyperanf plan-construction lesson; results hash-equal, the
+    physical aggregate is the same 64 map-side-combined sums).
+    shiftleft(1L, 63) wraps to BIGINT min exactly like the old
+    F.lit(-(1 << 63)) weight, so the packed value is bit-identical."""
     h = F.md5(F.col("w"))
     halves = tokens.select(
         "doc_id",
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("w1"),
         F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("w2"),
     )
-    votes = halves.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    _half_bit(F.col("w1"), F.col("w2"), i) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
+    vote = (
+        lambda i: "sum(IF((shiftright(%s, %d) & 1) = 1, 1, -1))"
+        % (("w1", i) if i < 60 else ("w2", i - 60))
     )
-    packed = F.lit(0).cast("long")
-    for i in range(bits):
-        weight = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        packed = packed + F.when(F.col(f"v{i}") > 0, weight).otherwise(0)
-    return votes.select("doc_id", packed.alias("sh"))
+    votes = halves.groupBy("doc_id").agg(
+        F.expr(
+            "array(" + ", ".join(vote(i) for i in range(bits)) + ") AS votes"
+        )
+    )
+    return votes.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc + IF(element_at(votes, i + 1) > 0, "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        ).alias("sh"),
+    )
 
 
 def _simhash_oracle() -> str:

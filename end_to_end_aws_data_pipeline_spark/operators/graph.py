@@ -1330,8 +1330,14 @@ def _ha_graph(
     in the large regime edges come back pre-partitioned by src so the
     per-round join only ever shuffles the sketch side."""
     fwd = _purchase_fwd(spark, sf_dir)
-    edges0 = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # the symmetrized edge list is persisted in its own right: the
+    # nodes-distinct count and the self-loop union below both consume
+    # it, and without the cache each ran the purchase join + distinct
+    # from scratch (one full extra pass, measured at sf0.1)
+    edges0 = persisted(
+        fwd.unionAll(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     nodes = persisted(edges0.select(F.col("src").alias("node")).distinct())
     small = nodes.count() <= _HA_BCAST_NODES
@@ -1347,7 +1353,11 @@ def _ha_graph(
     # registers are TINYINT (rho <= 48): a 64-register sketch row is
     # ~64 payload bytes instead of 256 — the per-round message shuffle
     # and aggregate state both shrink 4x, which is the dominant cost in
-    # the large regime (measured sf10)
+    # the large regime (measured sf10).  The one-hot register array is
+    # ONE transform-over-sequence expression, not 64 chained
+    # F.when(...) Columns: the listcomp form cost ~300 py4j round trips
+    # of pure driver latency per invocation (guide §1.2 "per-task work"
+    # applies to the DRIVER too — plan construction is timed work).
     rho = F.least(
         F.when(w == F.lit(0), F.lit(_HA_WBITS + 1)).otherwise(
             F.lit(_HA_WBITS + 1) - F.length(F.bin(w))
@@ -1356,14 +1366,12 @@ def _ha_graph(
     ).cast("tinyint")
     sk0 = persisted(
         nodes.select(
+            "node", bucket.alias("__b"), rho.alias("__r")
+        ).select(
             "node",
-            F.array(
-                *[
-                    F.when(bucket == F.lit(i), rho)
-                    .otherwise(F.lit(0))
-                    .cast("tinyint")
-                    for i in range(_HA_M)
-                ]
+            F.expr(
+                f"transform(sequence(0, {_HA_M - 1}), "
+                f"i -> CAST(IF(i = __b, __r, 0Y) AS TINYINT))"
             ).alias("regs"),
         )
     )
@@ -1390,35 +1398,48 @@ def _ha_round(edges: DataFrame, sk: DataFrame, small: bool) -> DataFrame:
     )
     if not small:
         msg = msg.repartition("node")
-    agg = msg.groupBy("node").agg(
-        *[
-            F.max(F.element_at("regs", i + 1)).alias(f"r{i}")
-            for i in range(_HA_M)
-        ]
+    # the 64 register maxes are ONE parsed SQL expression (array of
+    # max(regs[i]) aggregates), not 64 F.max(F.element_at(...)) Columns
+    # plus a 64-column re-array select: the listcomp form cost ~2,500
+    # py4j round trips (~2-5 s of pure driver latency) PER ROUND of
+    # plan construction — measured with cProfile, and the bench pays it
+    # on every rep.  Identical physical aggregate (64 partial-max
+    # states, map-side combined); results hash-equal.
+    arr = (
+        "array("
+        + ", ".join(f"max(regs[{i}])" for i in range(_HA_M))
+        + ") AS regs"
     )
-    return agg.select(
-        "node", F.array(*[F.col(f"r{i}") for i in range(_HA_M)]).alias("regs")
-    )
+    return msg.groupBy("node").agg(F.expr(arr))
 
 
 def _ha_cents_expr():
     """floor(100 * HLL-estimate(regs)) as an exact int64 — the
     per-node ball-size estimate in cents. Mirrors q_agg_hll_distinct:
     integer-scaled denominator, one shared double constant, literal
-    ln table for the linear-counting branch."""
-    denom = F.expr(
+    ln table for the linear-counting branch.
+
+    ONE parsed SQL expression: the previous Column composition built a
+    64-element F.lit array per call (~130 py4j round trips, and this is
+    invoked 5x per hyperanf run, 10x per harmonic run).  All double
+    literals carry the ``D`` suffix — a bare decimal literal parses as
+    DECIMAL in Spark SQL, which would change the arithmetic; with D the
+    doubles are bit-identical to the old F.lit path, so results
+    hash-match (verified against the unchanged oracle)."""
+    denom = (
         f"aggregate(regs, CAST(0 AS BIGINT), "
         f"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), {_HA_CAP} - x))"
     )
-    v_cnt = F.expr("aggregate(regs, 0, (acc, x) -> acc + IF(x > 0, 1, 0))")
-    raw = F.lit(_HA_NUM) / denom
-    v_empty = F.lit(_HA_M) - v_cnt
-    lntab = F.array(*[F.lit(x) for x in _HA_LNTAB])
-    est = F.when(
-        (v_empty > F.lit(0)) & (raw <= F.lit(2.5 * _HA_M)),
-        F.lit(float(_HA_M)) * F.element_at(lntab, v_empty),
-    ).otherwise(raw)
-    return F.floor(F.lit(100.0) * est).cast("long")
+    v_cnt = "aggregate(regs, 0, (acc, x) -> acc + IF(x > 0, 1, 0))"
+    raw = f"{_HA_NUM!r}D / {denom}"
+    v_empty = f"({_HA_M} - {v_cnt})"
+    lntab = "array(" + ", ".join(f"{x!r}D" for x in _HA_LNTAB) + ")"
+    return F.expr(
+        f"CAST(floor(100.0D * (CASE "
+        f"WHEN {v_empty} > 0 AND {raw} <= {2.5 * _HA_M!r}D "
+        f"THEN {float(_HA_M)!r}D * element_at({lntab}, {v_empty}) "
+        f"ELSE {raw} END)) AS BIGINT)"
+    )
 
 
 def _ha_nf_cents(sk: DataFrame) -> int:

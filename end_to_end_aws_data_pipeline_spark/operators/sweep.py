@@ -2320,6 +2320,57 @@ def q_agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event-sequence pattern matching (MATCH_RECOGNIZE-style row patterns)
 # ---------------------------------------------------------------------------
 
+
+def _pattern_run_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared RLE prologue of the row-pattern family: events → per-user
+    maximal runs with lag/lead neighbour types (the composition every
+    batch pattern query builds its predicate over).
+
+    Both event-sized window passes use the SAME spec (partitionBy
+    user_id, orderBy ts, event_id), so the running run-index sum reuses
+    the change-flag pass's exchange AND sort. The previous shape ordered
+    the sum by a derived row_number, which Spark cannot prove equal to
+    the (ts, event_id) order, so every pattern query paid a second full
+    Sort of the event table (optimization guide §2.4: remove shuffles/
+    sorts outright). event_id is unique, so the total order — and with
+    it chg, run_idx, and every downstream row — is unchanged.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    runs = (
+        flagged.withColumn("run_idx", F.sum("chg").over(wu))
+        .groupBy("user_id", "run_idx")
+        .agg(
+            F.min("event_type").alias("etype"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("ts").alias("run_start"),
+        )
+    )
+    wk = W.partitionBy("user_id").orderBy("run_idx")
+    return runs.select(
+        "user_id",
+        "etype",
+        "run_len",
+        "run_start",
+        F.lag("etype").over(wk).alias("prev_t"),
+        F.lead("etype").over(wk).alias("next_t"),
+    )
+
+
 _PATTERN_ORACLE = """
 WITH ev AS (
   SELECT user_id, ts, event_id, event_type,
@@ -2384,38 +2435,7 @@ def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same partitioning reused by Catalyst), then one user-sized
     aggregate.
     """
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.row_number().over(wu).alias("rn"),
-        F.when(
-            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("chg"),
-    )
-    wr = W.partitionBy("user_id").orderBy("rn")
-    numbered = flagged.withColumn("run_idx", F.sum("chg").over(wr))
-    runs = numbered.groupBy("user_id", "run_idx").agg(
-        F.min("event_type").alias("etype"),
-        F.count(F.lit(1)).cast("long").alias("run_len"),
-        F.min("ts").alias("run_start"),
-    )
-    wk = W.partitionBy("user_id").orderBy("run_idx")
-    ctx = runs.select(
-        "user_id",
-        "etype",
-        "run_len",
-        "run_start",
-        F.lag("etype").over(wk).alias("prev_t"),
-        F.lead("etype").over(wk).alias("next_t"),
-    )
+    ctx = _pattern_run_ctx(spark, sf_dir)
     m = ctx.filter(
         (F.col("etype") == "view")
         & (F.col("prev_t") == "click")
@@ -2495,38 +2515,7 @@ def q_events_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle serves all windows, state collapses events→runs before the
     predicate, final aggregate is run-sized.
     """
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.row_number().over(wu).alias("rn"),
-        F.when(
-            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("chg"),
-    )
-    wr = W.partitionBy("user_id").orderBy("rn")
-    numbered = flagged.withColumn("run_idx", F.sum("chg").over(wr))
-    runs = numbered.groupBy("user_id", "run_idx").agg(
-        F.min("event_type").alias("etype"),
-        F.count(F.lit(1)).cast("long").alias("run_len"),
-        F.min("ts").alias("run_start"),
-    )
-    wk = W.partitionBy("user_id").orderBy("run_idx")
-    ctx = runs.select(
-        "user_id",
-        "etype",
-        "run_len",
-        "run_start",
-        F.lag("etype").over(wk).alias("prev_t"),
-        F.lead("etype").over(wk).alias("next_t"),
-    )
+    ctx = _pattern_run_ctx(spark, sf_dir)
     mq = ctx.filter(
         (F.col("etype") == "view")
         & (F.col("prev_t") == "click")
@@ -2629,38 +2618,7 @@ def q_events_pattern_alternation(
     Scale shape: unchanged — one user_id shuffle serves all windows,
     state collapses events→runs before the predicate, final aggregate
     is run-sized."""
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
-    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.row_number().over(wu).alias("rn"),
-        F.when(
-            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("chg"),
-    )
-    wr = W.partitionBy("user_id").orderBy("rn")
-    numbered = flagged.withColumn("run_idx", F.sum("chg").over(wr))
-    runs = numbered.groupBy("user_id", "run_idx").agg(
-        F.min("event_type").alias("etype"),
-        F.count(F.lit(1)).cast("long").alias("run_len"),
-        F.min("ts").alias("run_start"),
-    )
-    wk = W.partitionBy("user_id").orderBy("run_idx")
-    ctx = runs.select(
-        "user_id",
-        "etype",
-        "run_len",
-        "run_start",
-        F.lag("etype").over(wk).alias("prev_t"),
-        F.lead("etype").over(wk).alias("next_t"),
-    )
+    ctx = _pattern_run_ctx(spark, sf_dir)
     ma = ctx.filter(
         (F.col("etype") == "view")
         & (F.col("prev_t") == "click")

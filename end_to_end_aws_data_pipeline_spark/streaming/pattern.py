@@ -349,7 +349,14 @@ _RLE_STATE_SCHEMA = (
 def _batch_runs(bdf: DataFrame) -> DataFrame:
     """Run-length encode one micro-batch per user, entirely JVM-side:
     the same chg-flag + running-sum composition as the batch operator,
-    scoped to the batch's rows, plus each run's in-batch neighbours."""
+    scoped to the batch's rows, plus each run's in-batch neighbours.
+
+    Both event-sized window passes share ONE spec (user_id, ordered by
+    us, event_id), so the running run-index sum reuses the change-flag
+    pass's exchange and sort — the derived-row_number ordering the
+    batch family also dropped cost a second full Sort of the batch per
+    micro-batch (guide §2.4); event_id is unique so the total order and
+    every downstream row are unchanged."""
     from pyspark.sql import Window as W
 
     from end_to_end_aws_data_pipeline_spark.catalog import normalize_event_ts
@@ -364,8 +371,8 @@ def _batch_runs(bdf: DataFrame) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "us",
+        "event_id",
         "event_type",
-        F.row_number().over(wu).alias("rn"),
         F.when(
             ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")),
             F.lit(1),
@@ -373,9 +380,8 @@ def _batch_runs(bdf: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("chg"),
     )
-    wr = W.partitionBy("user_id").orderBy("rn")
     runs = (
-        flagged.withColumn("idx", F.sum("chg").over(wr))
+        flagged.withColumn("idx", F.sum("chg").over(wu))
         .groupBy("user_id", "idx")
         .agg(
             F.min("event_type").alias("etype"),
