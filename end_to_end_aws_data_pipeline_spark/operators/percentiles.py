@@ -209,16 +209,75 @@ def binned_exact_percentiles_multi(
     # 6.0 s for the two percentile consumers at sf0.1) than paying the
     # corpus-sized cache materialization — the "don't persist a
     # corpus-sized relation to save cheap scans" rule (SCALING.md).
-    all_stats = {
-        (r["cidx"], r["g"]): (r["n"], r["lo"], r["hi"])
-        for r in base.groupBy("cidx", "g")
+    #
+    # FUSED pass 1 + round 1 (r13): pass 1 additionally groups by a
+    # data-independent bucketing that is strictly MONOTONE in v — sign
+    # × (clamped binade × 16 mantissa sub-buckets), zero in its own
+    # bucket — so ONE scan yields both the per-(column, group)
+    # (n, lo, hi) (summed/min'd/max'd over buckets on the driver) and,
+    # per rank, the exact bucket containing its order statistic with
+    # exact local rank and exact [bucket-min, bucket-max] interval:
+    # the narrowing round 1 used to buy costs no extra scan.
+    # Monotonicity is FP-robust: within a binade av/2^e and (frac−1)·16
+    # are exact (power-of-two divisor), and floor∘log2 is monotone even
+    # if a binade boundary misrounds by an ulp (the misplaced value is
+    # still ordered against both neighbor buckets), so cumulative
+    # bucket counts in key order locate every rank correctly; interval
+    # endpoints come from the DATA (per-bucket min/max), never from
+    # bucket boundaries, so exactness is untouched. Driver rows are
+    # occupied buckets only: value magnitudes span b binades →
+    # ≤ 16·b + 2 rows per (column, group) — bounded by the same
+    # low-cardinality-grouping contract as the rest of the driver
+    # state (max_groups).
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_PCT_NO_FUSE"):
+        # A/B lever: a constant bucket key degenerates the fused pass
+        # to the pre-r13 plain (n, lo, hi) pass 1 — one bucket per
+        # (column, group), so state init falls back to the full
+        # [lo, hi] interval and round 1 runs as a separate scan
+        _b0 = F.lit(0).cast("long")
+    else:
+        _av = F.abs(F.col("v"))
+        _e = F.greatest(
+            F.lit(-64.0), F.least(F.lit(63.0), F.floor(F.log2(_av)))
+        )
+        _sub = F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(15.0),
+                F.floor((_av / F.pow(F.lit(2.0), _e) - F.lit(1.0)) * 16),
+            ),
+        )
+        _mag = (_e + F.lit(64.0)) * 16 + _sub
+        _b0 = (
+            F.when(F.col("v") == 0, F.lit(0.0))
+            .when(F.col("v") > 0, _mag + 1)
+            .otherwise(-_mag - 1)
+            .cast("long")
+        )
+    fused_rows = (
+        base.groupBy("cidx", "g", _b0.alias("b0"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )
         .collect()
-    }
+    )
+    buckets: dict[tuple, list] = {}
+    for r in fused_rows:
+        buckets.setdefault((r["cidx"], r["g"]), []).append(
+            (r["b0"], r["n"], r["lo"], r["hi"])
+        )
+    all_stats = {}
+    for key, bs in buckets.items():
+        bs.sort()
+        all_stats[key] = (
+            sum(b[1] for b in bs),
+            min(b[2] for b in bs),
+            max(b[3] for b in bs),
+        )
     n_groups = len({g for (_, g) in all_stats})
     if n_groups > max_groups:
         raise ValueError(
@@ -242,14 +301,30 @@ def binned_exact_percentiles_multi(
     # search states: one per needed order statistic
     # state: [cidx, g, rank, lo, hi, k_local, population, value_or_None,
     #         point_suspect]
+    # Each state initializes from its rank's FUSED bucket: exact local
+    # rank (k − cumulative count of earlier buckets), exact population,
+    # and the bucket's observed [min, max] as the interval. A bucket
+    # whose min == max holds one distinct value — the order statistic
+    # itself — resolving the state with no further scan.
     states: dict[tuple, list] = {}
     for (ci, g), (n, lo, hi) in all_stats.items():
+        bs = buckets[(ci, g)]
         for p in specs[cols[ci]]:
             pos = p * (n - 1)
             for k in {int(math.floor(pos)), int(math.ceil(pos))}:
-                states.setdefault(
-                    (ci, g, k), [ci, g, k, lo, hi, k, n, None, 0]
-                )
+                if (ci, g, k) in states:
+                    continue
+                cum = 0
+                st = [ci, g, k, lo, hi, k, n, None, 0]
+                for _b0, bc, blo, bhi in bs:
+                    if k < cum + bc:
+                        st[3], st[4] = blo, bhi
+                        st[5], st[6] = k - cum, bc
+                        if blo == bhi:
+                            st[7] = blo
+                        break
+                    cum += bc
+                states[(ci, g, k)] = st
 
     spark = df.sparkSession
 

@@ -237,12 +237,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
+    from end_to_end_aws_data_pipeline_spark.plans.scale import overlap_jobs
+
     v = persisted(spread(_quantized(spark, sf_dir)))
-    books = _pq_codebooks(v)
-    q_ids, q_mat = _query_matrix(
-        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .orderBy("vec_id")
-        .limit(_MAX_QUERIES)
+    # the bounded query-matrix collect is independent of codebook
+    # training — overlap the two action chains (guide §2.6)
+    books, (q_ids, q_mat) = overlap_jobs(
+        lambda: _pq_codebooks(v),
+        lambda: _query_matrix(
+            v.filter(F.col("vec_id") % _QUERY_MOD == 0)
+            .orderBy("vec_id")
+            .limit(_MAX_QUERIES)
+        ),
     )
     # per-query ADC lookup tables: luts[q, m, k] = q_m · code_mk
     luts = np.stack(
@@ -493,15 +499,20 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    residuals, cent_ids, cent_mat = _residual_assigned(spark, sf_dir)
-    books = _pq_codebooks(residuals)
+    from end_to_end_aws_data_pipeline_spark.plans.scale import overlap_jobs
 
-    # bounded query set: raw vectors + their probed centroid + q·cent
+    residuals, cent_ids, cent_mat = _residual_assigned(spark, sf_dir)
+    # bounded query set: raw vectors + their probed centroid + q·cent —
+    # the query collect scans raw v and is independent of residual
+    # codebook training; overlap the two action chains (guide §2.6)
     v = _quantized(spark, sf_dir)
-    q_ids, q_mat = _query_matrix(
-        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .orderBy("vec_id")
-        .limit(_MAX_QUERIES)
+    books, (q_ids, q_mat) = overlap_jobs(
+        lambda: _pq_codebooks(residuals),
+        lambda: _query_matrix(
+            v.filter(F.col("vec_id") % _QUERY_MOD == 0)
+            .orderBy("vec_id")
+            .limit(_MAX_QUERIES)
+        ),
     )
     probe_idx = (q_mat @ cent_mat.T).argmax(axis=1)
     q_cents = cent_ids[probe_idx]

@@ -709,10 +709,22 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HOF over the full scan); spreading before the persist parallelizes
     # the normalize once and lets every round map over cached partitions
     # with no further shuffle
+    from end_to_end_aws_data_pipeline_spark.plans.scale import overlap_jobs
+
     v = _quantized(spark, sf_dir)
     vs = persisted(spread(v))
     n_cent = n_centroids_for(v.count())  # parquet-metadata count: cheap
-    cent_ids, cent_mat = _kmeans_centroids(vs, n_cent)
+    # the bounded query-matrix collect is independent of the Lloyd
+    # chain — run it as a concurrent job (guide §2.6) so it rides the
+    # training rounds' idle tail instead of serializing after them
+    (cent_ids, cent_mat), (q_ids, q_mat) = overlap_jobs(
+        lambda: _kmeans_centroids(vs, n_cent),
+        lambda: _query_matrix(
+            vs.filter(F.col("vec_id") % _QUERY_MOD == 0)
+            .orderBy("vec_id")
+            .limit(_MAX_QUERIES)
+        ),
+    )
 
     import numpy as np
 
@@ -734,11 +746,6 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign = vs.mapInPandas(
         _assign, schema="vec_id long, cent_id long, q array<long>"
-    )
-    q_ids, q_mat = _query_matrix(
-        vs.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .orderBy("vec_id")
-        .limit(_MAX_QUERIES)
     )
     q_cents = cent_ids[(q_mat @ cent_mat.T).argmax(axis=1)]
     qs = spark.createDataFrame(
@@ -969,10 +976,22 @@ def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from end_to_end_aws_data_pipeline_spark.cache import persisted
 
+    from end_to_end_aws_data_pipeline_spark.plans.scale import overlap_jobs
+
     v = _quantized(spark, sf_dir)
     n_cent = n_centroids_for(v.count())
-    cent_ids, cent_mat = _query_matrix(
-        v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
+    # the centroid collect and the query collect are both bounded and
+    # mutually independent scans of v — run them as concurrent jobs
+    # (guide §2.6) instead of two serialized full normalize passes
+    (cent_ids, cent_mat), (q_ids, q_mat) = overlap_jobs(
+        lambda: _query_matrix(
+            v.filter(F.col("vec_id") < n_cent).orderBy("vec_id")
+        ),
+        lambda: _query_matrix(
+            v.filter(F.col("vec_id") % _QUERY_MOD == 0)
+            .orderBy("vec_id")
+            .limit(_MAX_QUERIES)
+        ),
     )
     sup_ids, sup_mat, route = _super_quantizer(
         cent_ids, cent_mat, n_super_for(n_cent)
@@ -1008,11 +1027,6 @@ def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign2, schema="vec_id long, cent_id long, q array<long>"
     )
     # queries routed on the driver with the IDENTICAL two-level rule
-    q_ids, q_mat = _query_matrix(
-        v.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .orderBy("vec_id")
-        .limit(_MAX_QUERIES)
-    )
     qbs = live[(q_mat @ live_sup.T).argmax(axis=1)]
     q_cents = []
     for s, qv in zip(qbs, q_mat):

@@ -17,6 +17,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def overlap_jobs(*thunks: Callable):
+    """Run independent driver-side Spark actions as CONCURRENT jobs
+    (guide §2.6): actions are only sequential because driver code calls
+    them sequentially; the scheduler happily overlaps jobs, and the
+    later job's tasks back-fill executors the earlier job's tail leaves
+    idle. Returns the thunks' results in call order; the first thunk
+    runs inline on the calling thread, the rest on
+    ``pyspark.InheritableThread`` (the documented way to run driver
+    threads so JVM thread-local properties are inherited and cleaned
+    up under pinned-thread mode).
+
+    Use ONLY for genuinely independent actions — e.g. a bounded
+    query-matrix collect next to an iterative trainer's first round.
+    Exceptions propagate (the first one raised, after all threads
+    join). ``SPARK_GRAFT_NO_JOB_OVERLAP=1`` forces sequential
+    execution — the A/B lever, and the off switch for deployments
+    whose scheduler pools are managed externally.
+    """
+    import os
+
+    if len(thunks) <= 1 or os.environ.get("SPARK_GRAFT_NO_JOB_OVERLAP"):
+        return [t() for t in thunks]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list[BaseException] = []
+
+    def _run(i: int, t: Callable) -> None:
+        try:
+            results[i] = t()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+
+    threads = [
+        InheritableThread(target=_run, args=(i, t))
+        for i, t in enumerate(thunks[1:], start=1)
+    ]
+    for th in threads:
+        th.start()
+    _run(0, thunks[0])
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],
@@ -207,16 +254,33 @@ def bucketed_write(
     # can leave the managed LOCATION on disk without its catalog entry,
     # and the next saveAsTable (even mode=overwrite) refuses with
     # LOCATION_ALREADY_EXISTS because the catalog has nothing to drop.
-    # Drop any catalog entry, then clear a stale orphaned location.
+    # Only a TRUE orphan may be cleared: if the catalog knew the table,
+    # DROP TABLE already handled its data correctly (managed → removed,
+    # external → intentionally preserved; a subsequent location clash
+    # then fails loudly instead of silently deleting external data).
     import os
     import shutil
+    from urllib.parse import urlparse
 
+    if "." in table_name:
+        raise ValueError(
+            f"bucketed_write takes an unqualified table name, got "
+            f"{table_name!r}: db-qualified names would break both the "
+            "quoted DROP and the orphan-location check"
+        )
     spark = df.sparkSession
+    existed = spark.catalog.tableExists(table_name)
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), table_name.lower())
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    if not existed:
+        # resolve the default database location via the catalog (not by
+        # string-stripping spark.sql.warehouse.dir, which breaks for
+        # file://host URIs); non-local warehouses are left alone — the
+        # orphan-reap is a local-FS convenience only
+        u = urlparse(spark.catalog.getDatabase("default").locationUri)
+        if u.scheme in ("", "file") and u.netloc in ("", "localhost"):
+            loc = os.path.join(u.path, table_name.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.bucketBy(n_buckets, key)
         .sortBy(key)

@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt.
 
 Usage:
   python tools/dump_plans.py before q_graph_hyperanf q_stream_pattern_match_rle
   python tools/dump_plans.py after q_graph_hyperanf
+  SPARK_GRAFT_PLAN_DIR=r13 python tools/dump_plans.py before q_x
 
 Queries whose result is driver-materialized (createDataFrame readouts)
 still show the plan of the returned frame; for those the interesting
@@ -21,10 +22,16 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(_REPO, "plans", "r12")
+OUT = os.path.join(
+    _REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13")
+)
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        print("error: need <tag> and at least one query name", file=sys.stderr)
+        return 2
     tag = sys.argv[1]
     names = sys.argv[2:]
     os.makedirs(OUT, exist_ok=True)
@@ -42,11 +49,16 @@ def main() -> int:
             continue
         try:
             df = fn(spark, SF)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
-            )
+            # documented API only: explain() prints, so capture stdout
+            # (the former _jdf.queryExecution() route relied on private
+            # internals that break across versions)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001 — record the failure in the file
             plan = f"EXPLAIN FAILED: {type(e).__name__}: {e}"
         finally:
