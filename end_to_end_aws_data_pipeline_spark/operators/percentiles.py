@@ -407,7 +407,17 @@ def binned_exact_percentiles_multi(
             _state_schema,
         )
         # one scan: histogram every active interval; a row can feed
-        # multiple (nested) intervals via the range join
+        # multiple (nested) intervals via the range join.
+        # The narrowed interval comes from each bin's OBSERVED min/max
+        # (same aggregate, same shuffle), never from recomputed bin
+        # edges: at large dynamic range (e.g. [-1e18, 3.5]) the edge
+        # arithmetic lo + (b+1)·w can round BELOW a value the binning
+        # expression placed in bin b, producing an interval that
+        # excludes its own order statistic (r12 latent bug, caught by
+        # tests/test_round13_opt.py). The bin index is monotone in v
+        # (fixed lo/w: subtract, divide, floor, clamp — each monotone),
+        # so cumulative bin counts still locate every rank exactly, and
+        # data-derived endpoints are always consistent with the counts.
         hist = (
             base.join(
                 F.broadcast(st),
@@ -424,35 +434,47 @@ def binned_exact_percentiles_multi(
                     ).cast("int"),
                     F.lit(bins - 1),
                 ).alias("b"),
+                "v",
             )
             .groupBy("sid", "b")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("bmin"),
+                F.max("v").alias("bmax"),
+            )
             .collect()
         )
-        by_sid: dict[int, dict[int, int]] = {}
+        by_sid: dict[int, dict[int, tuple]] = {}
         for r in hist:
-            by_sid.setdefault(r["sid"], {})[r["b"]] = r["c"]
+            by_sid.setdefault(r["sid"], {})[r["b"]] = (
+                r["c"],
+                r["bmin"],
+                r["bmax"],
+            )
         for sid, s in enumerate(hist_states):
             if s[7] is not None or (s[3] == s[4]):
                 continue
             ci, g, k, lo, hi, kl, popn, _, susp = s
             if sid not in by_sid:
                 continue
-            w = (hi - lo) / bins
             cum = 0
             for b in sorted(by_sid[sid]):
-                c = by_sid[sid][b]
+                c, bmin, bmax = by_sid[sid][b]
                 if kl < cum + c:
-                    s[3] = lo + b * w
-                    s[4] = min(hi, lo + (b + 1) * w)
+                    s[3] = bmin
+                    s[4] = bmax
                     s[5] = kl - cum
                     s[6] = c
+                    if bmin == bmax:
+                        # every value in the bin is identical — the
+                        # order statistic itself, no further scan
+                        s[7] = bmin
                     # the ENTIRE remaining population in one bucket is
                     # the signature of a point mass (e.g. integer-valued
                     # doubles): route to a bounded value-count next
                     # round instead of shrinking the interval 4096x a
                     # round until float64 underflows (~4 wasted scans)
-                    if susp >= 0:
+                    elif susp >= 0:
                         s[8] = susp + 1 if c == popn and len(by_sid[sid]) == 1 else 0
                     break
                 cum += c
