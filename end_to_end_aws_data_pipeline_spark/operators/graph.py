@@ -2387,6 +2387,13 @@ def scc_labels(
 
     _dbg = bool(_os.environ.get("SPARK_GRAFT_SCC_DEBUG"))
     _t0 = _time.perf_counter()
+    # Per-round action fusion (r13): a localCheckpoint(eager) followed
+    # by a fixpoint count() is TWO jobs per round; a LAZY checkpoint
+    # truncates the plan identically (the DataFrame is LogicalRDD-backed
+    # either way) but materializes inside the count's job — one job per
+    # round instead of 2-3, across ~90 inner rounds at sf10.
+    # SPARK_GRAFT_SCC_EAGER=1 restores eager checkpoints (A/B lever).
+    _eager = bool(_os.environ.get("SPARK_GRAFT_SCC_EAGER"))
 
     def _mark(phase: str, rounds: int = -1) -> None:
         if _dbg:
@@ -2430,12 +2437,12 @@ def scc_labels(
                 F.coalesce("od", F.lit(0)).alias("od"),
                 F.coalesce("id_", F.lit(0)).alias("id_"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=_eager)
         )
         dead = (
             deg.filter((F.col("od") <= 0) | (F.col("id_") <= 0))
             .select("node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=_eager)
         )
         _mark("degrees built")
         for _t in range(max_inner):
@@ -2468,12 +2475,12 @@ def scc_labels(
                     (F.col("od") - F.coalesce("d_od", F.lit(0))).alias("od"),
                     (F.col("id_") - F.coalesce("d_id", F.lit(0))).alias("id_"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=_eager)
             )
             dead = (
                 deg.filter((F.col("od") <= 0) | (F.col("id_") <= 0))
                 .select("node")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=_eager)
             )
         else:
             raise RuntimeError(
@@ -2520,7 +2527,7 @@ def scc_labels(
                         F.coalesce("c_in", "color") < F.col("color")
                     ).alias("chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=_eager)
             )
             changed = upd.filter("chg").count()
             colors = upd.drop("chg")
@@ -2555,12 +2562,12 @@ def scc_labels(
                 "left_semi",
             )
             new = cand.join(member, "node", "left_anti").localCheckpoint(
-                eager=True
+                eager=_eager
             )
             if new.count() == 0:
                 _mark("backward fixpoint", _b)
                 break
-            member = member.unionAll(new).localCheckpoint(eager=True)
+            member = member.unionAll(new).localCheckpoint(eager=_eager)
             frontier = new
         else:
             raise RuntimeError(
@@ -2570,7 +2577,7 @@ def scc_labels(
         # remainder re-enters the loop (and the adaptive cap) with
         # peeled members' edges removed
         remaining = live.join(member, "node", "left_anti").localCheckpoint(
-            eager=True
+            eager=_eager
         )
         if remaining.count() == 0:
             break

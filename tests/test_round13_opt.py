@@ -137,6 +137,17 @@ class TestRleRowsFramePin:
         )
 
 
+def test_every_query_oracle_backed_except_known_two():
+    """Pin the registry/oracle count delta (VERDICT r12 nit): exactly
+    two queries are rows-only by design — engine-specific sketches with
+    no replayable arithmetic. Any NEW query missing an oracle grows
+    this set and must fail here, not silently widen the gap."""
+    import __spark_entry__ as ent
+
+    missing = set(ent.queries()) - set(ent.oracle_sql())
+    assert missing == {"q_agg_approx", "q_ann_lsh_projection"}
+
+
 class TestBucketedWriteGuards:
     def test_db_qualified_name_rejected(self, spark):
         from end_to_end_aws_data_pipeline_spark.plans.scale import (
