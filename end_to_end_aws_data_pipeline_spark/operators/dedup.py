@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_aws_data_pipeline_spark.catalog import spread, table
 from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+from end_to_end_aws_data_pipeline_spark.operators.iterate import fused_ckpt
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1119,11 +1120,12 @@ def connected_components(
             fwd.join(labels, fwd.dst == labels.node)
             .select(F.col("src").alias("node"), F.col("label"))
         )
-        new_labels = (
+        # fused_ckpt: the checkpoint materializes inside the changed
+        # count's job — 1 job/round instead of 2 (operators/iterate.py)
+        new_labels = fused_ckpt(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1225,7 +1227,8 @@ def connected_components_star(
             .union(mins.select(F.col("src"), F.col("m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
         )
-        new_e = sym(small).localCheckpoint(eager=True)
+        # fused_ckpt: materializes inside the fixpoint count below
+        new_e = fused_ckpt(sym(small))
         # fixpoint = identical edge set (both sides are distinct sets,
         # so equal counts + empty difference ⇒ equality); the previous
         # round's count is remembered, and the subtract job only runs

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from end_to_end_aws_data_pipeline_spark.cache import persisted
 from end_to_end_aws_data_pipeline_spark.catalog import table
 from end_to_end_aws_data_pipeline_spark.functions.aggs import stable_round
+from end_to_end_aws_data_pipeline_spark.operators.iterate import fused_ckpt
 from end_to_end_aws_data_pipeline_spark.registry import register
 
 _PR_ITERS = 3
@@ -802,15 +803,14 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             continue
         rm = persisted(deg.filter(F.col("d") < _KCORE_K).select("src"))
-        g = (
+        # fused_ckpt: both per-round checkpoints materialize inside the
+        # stats collect's job — 1 job/round instead of 3 (iterate.py)
+        g = fused_ckpt(
             g.join(rm, "src", "left_anti")
             .join(rm.select(F.col("src").alias("dst")), "dst", "left_anti")
-            .localCheckpoint()
         )
-        deg = (
-            g.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint()
+        deg = fused_ckpt(
+            g.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         )
         cur = _stats(deg)
         rows.append(
@@ -859,16 +859,16 @@ def kcore_peel_deep(
         rm = persisted(deg.filter(F.col("d") < k).select("src"))
         if rm.isEmpty():
             return deg  # fixpoint detected in-step: identity stop
-        g = (
+        g = fused_ckpt(
             graph["g"]
             .join(rm, "src", "left_anti")
             .join(rm.select(F.col("src").alias("dst")), "dst", "left_anti")
-            .localCheckpoint()
         )
         graph["g"] = g
-        return (
+        # fused_ckpt: materializes inside the runner's next probe job
+        return fused_ckpt(
             g.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        ).localCheckpoint()
+        )
 
     deg0 = g0.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     return run_until_periodic(
@@ -1041,11 +1041,12 @@ def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     enc = F.max(F.col("cnt") * F.lit(_LPA_B) + (b1 - F.col("lbl"))).alias(
         "enc"
     )
-    return (
+    # fused_ckpt: rounds between the period-2 probes fuse their
+    # shuffles into the probe's job (iterate.py)
+    return fused_ckpt(
         votes.groupBy("node")
         .agg(enc)
         .select("node", (b1 - F.expr(f"enc & {_LPA_B - 1}")).alias("lbl"))
-        .localCheckpoint()
     )
 
 

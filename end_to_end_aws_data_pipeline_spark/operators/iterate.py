@@ -36,6 +36,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fused_ckpt(df: DataFrame) -> DataFrame:
+    """LAZY localCheckpoint for per-round lineage truncation: the
+    returned DataFrame is LogicalRDD-backed immediately (the plan is
+    truncated exactly as with eager=True), but materialization happens
+    inside the NEXT action's job — so a round's "checkpoint job +
+    fixpoint-probe job" collapses to one job, and rounds between
+    probes (period>1 runners) fuse their shuffles into the probe job.
+    Measured on SCC at sf10: 91 inner rounds, 144.3 → 128.9 s (−11%).
+    SPARK_GRAFT_EAGER_CKPT=1 restores eager checkpoints (A/B lever;
+    also the right setting if a step's result is consumed by something
+    that must not pay materialization inside its own job)."""
+    import os
+
+    return df.localCheckpoint(
+        eager=bool(os.environ.get("SPARK_GRAFT_EAGER_CKPT"))
+    )
+
+
 def vectors_differ(
     a: DataFrame,
     b: DataFrame,
