@@ -1978,6 +1978,11 @@ def hits_scores(
         # 600 rows — all driver time).  Checkpointing the node-sized
         # raw aggregate truncates the lineage to a leaf per half-step,
         # the q_graph_pagerank deep-runner lesson applied at depth 6.
+        # r13 note: a fused_ckpt (lazy) variant A/B-measured a WASH at
+        # sf0.1 (2/5 pairs, min 4.58 vs 4.70) and was reverted — the
+        # lazy chain would materialize inside the NEXT half-step's
+        # BroadcastExchange build, putting upstream compute under
+        # spark.sql.broadcastTimeout at scale.
         raw = (
             msg.groupBy(out_key)
             .agg(F.sum(vcol).alias(out))
